@@ -1,0 +1,130 @@
+"""Changefeed envelope core — the reference pipeline as pure DataFrame ops.
+
+Reference semantics (ducc/crdb-changefeed-publisher):
+- wire tuple: 3 columns ``(table: str?, key: bytes?, value: bytes)``
+  (src/main.rs:214-216, src/model.rs:86-100)
+- decode: key/value are UTF-8 JSON text (src/main.rs:243,250)
+- demux: ``table IS NULL AND key IS NULL`` => resolved-cursor row, else a
+  data-change row (src/main.rs:242-253, src/model.rs:58-61)
+- cursor extraction: parse ``{"resolved": "<hlc-ts>"}`` (src/model.rs:63-66)
+- envelope: ``{"table": t, "key": k, "value": <raw JSON embedded verbatim>}``
+  — serde RawValue semantics: ``value`` is spliced in unquoted and
+  byte-preserved (src/model.rs:68-84, src/main.rs:222-223; golden example
+  README.md:35-38)
+
+Spark-first design: every step is a built-in column expression (JVM-side,
+whole-stage-codegen'd) — no Python UDF anywhere in this hot path, so the
+chain vectorizes and scales linearly with executors. Escaping of the
+``table``/``key`` strings rides Jackson via ``to_json(struct(...))`` which
+matches serde_json's JSON string escaping; the raw ``value`` is then spliced
+in with ``concat`` to preserve RawValue byte-fidelity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The changefeed wire schema (reference src/model.rs:86-100): CRDB core
+# changefeeds emit (table, key, value); key/value arrive as bytes of UTF-8
+# JSON text.
+CHANGEFEED_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("table", T.StringType(), True),
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+    ]
+)
+
+# After decode (reference src/main.rs:243,250): all strings.
+CHANGEFEED_SCHEMA = T.StructType(
+    [
+        T.StructField("table", T.StringType(), True),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+    ]
+)
+
+
+def decode_changefeed(df: DataFrame) -> DataFrame:
+    """UTF-8-decode binary key/value to strings (reference src/main.rs:243,250).
+
+    ``cast(BinaryType -> StringType)`` is the built-in UTF-8 decode; invalid
+    byte sequences become U+FFFD replacement chars rather than erroring (the
+    reference errors; use ``validate_utf8`` where strictness is needed).
+    """
+    cols = [F.col("table")]
+    for c in ("key", "value"):
+        col = df.schema[c].dataType
+        cols.append(F.col(c).cast("string").alias(c) if isinstance(col, T.BinaryType) else F.col(c))
+    return df.select(*cols)
+
+
+def is_cursor_row() -> F.Column:
+    """Resolved-cursor predicate (reference src/main.rs:245-247)."""
+    return F.col("table").isNull() & F.col("key").isNull()
+
+
+def split_changes(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Demux one decoded stream into (change_rows, cursor_rows).
+
+    Mirrors ``ProcessedChange = Row | Cursor`` (reference src/model.rs:58-61).
+    Both branches share the one scan; Catalyst pushes the null-test into the
+    source read as a partition-local filter — no shuffle.
+    """
+    return df.filter(~is_cursor_row()), df.filter(is_cursor_row())
+
+
+def extract_resolved(cursors: DataFrame) -> DataFrame:
+    """Pull the ``resolved`` HLC timestamp out of cursor rows
+    (reference src/model.rs:63-66, src/main.rs:229-235).
+    """
+    return cursors.select(
+        F.get_json_object(F.col("value"), "$.resolved").alias("resolved")
+    ).filter(F.col("resolved").isNotNull())
+
+
+def envelope_col(
+    table: F.Column | str = "table",
+    key: F.Column | str = "key",
+    value: F.Column | str = "value",
+) -> F.Column:
+    """Build the published envelope JSON line as a single column expression.
+
+    Output: ``{"table":"<t>","key":"<k>","value":<raw JSON verbatim>}``
+    matching serde's ChangePayload serialization (reference src/model.rs:68-84,
+    golden README.md:35-38). The ``value`` JSON is embedded *unquoted and
+    byte-identical* (RawValue semantics): table/key are JSON-escaped via
+    ``to_json(struct(...))`` (Jackson escaping == serde escaping for JSON
+    strings), the trailing ``}`` is dropped, and the raw value is spliced in.
+    """
+    t = F.col(table) if isinstance(table, str) else table
+    k = F.col(key) if isinstance(key, str) else key
+    v = F.col(value) if isinstance(value, str) else value
+    head = F.to_json(F.struct(t.alias("table"), k.alias("key")))
+    return F.concat(
+        F.substring(head, 1, F.length(head) - F.lit(1)),
+        F.lit(',"value":'),
+        v,
+        F.lit("}"),
+    )
+
+
+def to_envelopes(changes: DataFrame) -> DataFrame:
+    """Change rows -> one-column DataFrame of envelope JSON lines."""
+    return changes.select(envelope_col().alias("envelope"))
+
+
+def changefeed_pipeline(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The full reference transform chain, batch or streaming:
+
+    decode -> demux -> (envelopes to publish, resolved cursors to checkpoint)
+
+    Works identically on a batch DataFrame and a streaming DataFrame — the
+    streaming wrapper (streaming/pipeline.py) feeds a readStream through this
+    same function, so the semantics are tested once in batch and reused.
+    """
+    decoded = decode_changefeed(df)
+    changes, cursors = split_changes(decoded)
+    return to_envelopes(changes), extract_resolved(cursors)

@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]`` (default 32). The
+config block is written for cluster scale, not just local mode:
+
+- AQE on (runtime coalesce + skew-join handling) so a 1000-executor run
+  re-plans shuffles from observed sizes instead of static guesses.
+- ``spark.sql.shuffle.partitions`` sized from the core count locally; on a
+  real cluster AQE's coalescePartitions makes the static number a ceiling,
+  not a target.
+- Arrow enabled so any Pandas-UDF path is batch-vectorized, never row-wise.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "crdb_changefeed_publisher_spark") -> SparkSession:
+    """Build (or reuse) the session with scale-aware defaults."""
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as raw nanos and normalize in tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
