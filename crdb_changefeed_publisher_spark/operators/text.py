@@ -1,0 +1,104 @@
+"""Text analysis operators for training-data pipelines: tokenization stats,
+quality scoring, language ID, and document fingerprinting.
+
+Everything is built-in column expressions (no Python in the hot path), so the
+operators scale linearly: a 100 TB documents table maps straight through the
+scan with zero shuffles (all per-row), and downstream aggregates shuffle once.
+
+Marker-word counting uses the replace-length trick
+(``(len(s) - len(replace(s, m, ''))) / len(m)``) instead of regexp so the
+exact same arithmetic runs on any SQL oracle engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Matching is on space-padded whole words.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "und", "die", "ist"],
+    "fr": ["le", "et", "les", "est"],
+    "es": ["el", "los", "que", "es"],
+    "zh": ["de", "shi", "le", "zai"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def count_occurrences(text: Column, needle: str) -> Column:
+    """Number of occurrences of `needle` via the portable replace-length trick."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count (single-space separated after trim)."""
+    return F.size(F.split(F.trim(text), " "))
+
+
+def marker_score(text: Column, markers: list[str]) -> Column:
+    """Total space-padded marker-word occurrences in the text."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    score: Column = F.lit(0.0)
+    for m in markers:
+        score = score + count_occurrences(padded, f" {m} ")
+    return score
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-lexicon hit counts, 'und' when
+    no lexicon fires. Deterministic tiebreak: alphabetically first language
+    wins (fold in sorted order, strictly-greater replaces)."""
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for code in sorted(LANG_MARKERS):
+        s = marker_score(text, LANG_MARKERS[code])
+        best = F.when(s > best_score, F.lit(code)).otherwise(best)
+        best_score = F.greatest(s, best_score)
+    return best
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + word-length sanity +
+    punctuation-density penalty. All portable arithmetic."""
+    n_chars = F.length(text)
+    n_words = word_count(text)
+    avg_word_len = (F.length(F.replace(F.trim(text), F.lit(" "), F.lit(""))) / n_words).cast(
+        "double"
+    )
+    punct = count_occurrences(text, ".") + count_occurrences(text, ",")
+    length_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_len_term = F.when((avg_word_len >= 3) & (avg_word_len <= 10), 1.0).otherwise(0.5)
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct / F.greatest(n_words, F.lit(1)))
+    return F.round(0.4 * length_term + 0.3 * word_len_term + 0.3 * punct_term, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of the document characters:
+    ``h = (h*31 + ascii(ch)) mod 1e9+7`` — a deterministic, engine-portable
+    document fingerprint (same fold is expressible in any SQL with lambdas)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substring(text, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    n_words = word_count(t)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_computed"),
+        n_words.alias("n_tokens"),
+        F.round(
+            (F.length(F.replace(F.trim(t), F.lit(" "), F.lit(""))) / n_words).cast("double"), 4
+        ).alias("avg_token_len"),
+    )

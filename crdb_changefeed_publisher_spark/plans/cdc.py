@@ -1,0 +1,125 @@
+"""CDC parity queries: the reference's envelope pipeline exercised as batch
+queries over a changefeed-shaped replay of the `events` fixture, so the
+DuckDB oracle can verify the envelope/demux/cursor semantics value-by-value.
+
+The wire rows are built from events deterministically: key = [event_id],
+value = {"after": {...}} built from integer fields + the raw props JSON
+(integer formatting is engine-identical; no float-to-string divergence).
+Every 100th event becomes a resolved-cursor row, like a live changefeed's
+resolved messages interleaving with data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.operators.changefeed import (
+    changefeed_pipeline,
+    envelope_col,
+    extract_resolved,
+    split_changes,
+)
+from crdb_changefeed_publisher_spark.plans.registry import query
+from crdb_changefeed_publisher_spark.tables import load_table
+
+# Engine-portable wire replay: (table, key, value) as strings.
+_WIRE_SQL = """
+    SELECT CASE WHEN event_id % 100 = 0 THEN NULL ELSE 'events' END AS "table",
+           CASE WHEN event_id % 100 = 0 THEN NULL
+                ELSE '[' || CAST(event_id AS VARCHAR) || ']' END    AS key,
+           CASE WHEN event_id % 100 = 0
+                THEN '{"resolved": "17000' || CAST(event_id AS VARCHAR) || '.0000000000,0"}'
+                ELSE '{"after": {"event_id": ' || CAST(event_id AS VARCHAR)
+                     || ', "user_id": ' || CAST(user_id AS VARCHAR)
+                     || ', "props": ' || props || '}}' END          AS value
+    FROM events
+"""
+
+
+def _wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_resolved = F.col("event_id") % 100 == 0
+    return ev.select(
+        F.when(is_resolved, F.lit(None)).otherwise(F.lit("events")).alias("table"),
+        F.when(is_resolved, F.lit(None))
+        .otherwise(F.concat(F.lit("["), F.col("event_id").cast("string"), F.lit("]")))
+        .alias("key"),
+        F.when(
+            is_resolved,
+            F.concat(
+                F.lit('{"resolved": "17000'),
+                F.col("event_id").cast("string"),
+                F.lit('.0000000000,0"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"after": {"event_id": '),
+                F.col("event_id").cast("string"),
+                F.lit(', "user_id": '),
+                F.col("user_id").cast("string"),
+                F.lit(', "props": '),
+                F.col("props"),
+                F.lit("}}"),
+            )
+        )
+        .alias("value"),
+    )
+
+
+@query(
+    "cdc_envelopes",
+    oracle=f"""
+    WITH wire AS ({_WIRE_SQL})
+    SELECT '{{"table":"' || "table" || '","key":"' || key || '","value":' || value || '}}'
+               AS envelope
+    FROM wire
+    WHERE NOT ("table" IS NULL AND key IS NULL)
+    """,
+    doc="Reference envelope pipeline (decode -> demux -> raw-JSON envelope) "
+    "over a changefeed replay of events; cursor rows excluded from publish. "
+    "Mirrors src/model.rs ChangePayload + src/main.rs process_change.",
+)
+def cdc_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    envelopes, _ = changefeed_pipeline(_wire(spark, sf_dir))
+    return envelopes
+
+
+@query(
+    "cdc_resolved_cursors",
+    oracle=f"""
+    WITH wire AS ({_WIRE_SQL})
+    SELECT json_extract_string(value, '$.resolved') AS resolved
+    FROM wire
+    WHERE "table" IS NULL AND key IS NULL
+    """,
+    doc="Cursor branch of the demux: resolved HLC timestamps extracted from "
+    "cursor rows (src/model.rs JsonCursor, src/main.rs:229-235).",
+)
+def cdc_resolved_cursors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, resolved = changefeed_pipeline(_wire(spark, sf_dir))
+    return resolved
+
+
+@query(
+    "cdc_change_counts_by_table",
+    oracle=f"""
+    WITH wire AS ({_WIRE_SQL})
+    SELECT "table" AS table_name,
+           count(*) AS n_changes,
+           count(DISTINCT key) AS n_distinct_keys
+    FROM wire
+    WHERE NOT ("table" IS NULL AND key IS NULL)
+    GROUP BY "table"
+    """,
+    doc="Observability aggregate over the change branch (per-table change and "
+    "distinct-key counts) — the multi-table fan-out stats the reference "
+    "lacks (it is single-table by construction).",
+)
+def cdc_change_counts_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    changes, _ = split_changes(_wire(spark, sf_dir))
+    return changes.groupBy(F.col("table").alias("table_name")).agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.countDistinct("key").alias("n_distinct_keys"),
+    )

@@ -1,0 +1,185 @@
+"""Event-time analytics over the `events` stream table (batch views of the
+streaming semantics: tumbling windows, sessionization, as-of joins).
+
+The streaming twins of these queries live in streaming/pipeline.py; batch
+versions are expressed so the DuckDB oracle can validate identical semantics.
+
+Scale notes: all window/session logic partitions by user_id (the natural
+stream key) — one shuffle, then partition-local sorts. The as-of join has two
+implementations: a declarative ranked-join (Catalyst-optimizable) and a
+partitioned merge-asof over applyInPandas (linear scan per partition) which is
+the 100 TB path when the ranked join's per-key fanout gets large.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.plans.registry import query
+from crdb_changefeed_publisher_spark.tables import load_table
+
+# Shared oracle: for each purchase event, the most recent earlier click by the
+# same user (deterministic tiebreak on event id).
+ASOF_ORACLE = """
+SELECT p_event_id, click_event_id, gap_seconds FROM (
+    SELECT p.event_id  AS p_event_id,
+           c.event_id  AS click_event_id,
+           round(epoch(p.ts) - epoch(c.ts), 3) AS gap_seconds,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY c.ts DESC, c.event_id DESC) AS rn
+    FROM events p
+    JOIN events c ON c.user_id = p.user_id
+                 AND c.event_type = 'click'
+                 AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+) WHERE rn = 1
+"""
+
+
+@query(
+    "events_hourly_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time window aggregate (batch view of the "
+    "streaming window(ts, '1 hour') + watermark pipeline).",
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_user_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*)                         AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+    doc="Sessionization (30-min gap) via gaps-and-islands; batch twin of the "
+    "streaming session_window/applyInPandasWithState operator.",
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts").cast("double")).over(w)
+    new_session = (
+        F.when(prev_ts.isNull() | ((F.col("ts").cast("double") - prev_ts) > 1800), 1).otherwise(0)
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "asof_purchase_last_click",
+    oracle=ASOF_ORACLE,
+    doc="As-of join (declarative form): ranked inequality join; Catalyst "
+    "plans it as a shuffled join + per-key top-1 window.",
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    w = Window.partitionBy("p_event_id").orderBy(F.col("c_ts").desc(), F.col("click_event_id").desc())
+    return (
+        p.join(c, (F.col("c_user") == F.col("p_user")) & (F.col("c_ts") < F.col("p_ts")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_event_id",
+            "click_event_id",
+            F.round(F.col("p_ts").cast("double") - F.col("c_ts").cast("double"), 3).alias(
+                "gap_seconds"
+            ),
+        )
+    )
+
+
+@query(
+    "asof_purchase_last_click_merge",
+    oracle=ASOF_ORACLE,
+    doc="As-of join (scale form): repartition both sides by user_id, then a "
+    "partition-local pandas merge_asof — linear in rows, no per-key fanout. "
+    "This is the 100 TB plan; identical semantics to the ranked-join form.",
+)
+def asof_purchase_last_click_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    both = purchases.withColumn("side", F.lit("p")).unionByName(
+        clicks.withColumn("side", F.lit("c"))
+    )
+
+    def merge_asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Partition-local: all rows for one user-group, sorted merge like
+        # pd.merge_asof but with the reference tiebreak (latest ts, then
+        # highest event_id strictly before the purchase).
+        p = pdf[pdf["side"] == "p"].sort_values(["ts", "event_id"])
+        c = pdf[pdf["side"] == "c"].sort_values(["ts", "event_id"])
+        if p.empty or c.empty:
+            return pd.DataFrame(columns=["p_event_id", "click_event_id", "gap_seconds"])
+        out = []
+        by_user = {u: g for u, g in c.groupby("user_id")}
+        for row in p.itertuples():
+            g = by_user.get(row.user_id)
+            if g is None:
+                continue
+            prior = g[g["ts"] < row.ts]
+            if prior.empty:
+                continue
+            best = prior.sort_values(["ts", "event_id"]).iloc[-1]
+            gap = (row.ts - best["ts"]).total_seconds()
+            # SQL ROUND is half-away-from-zero; Python round() is banker's.
+            out.append((row.event_id, int(best["event_id"]), math.floor(gap * 1000 + 0.5) / 1000))
+        return pd.DataFrame(out, columns=["p_event_id", "click_event_id", "gap_seconds"])
+
+    return (
+        both.repartition("user_id")
+        .groupBy("user_id")
+        .applyInPandas(merge_asof, "p_event_id long, click_event_id long, gap_seconds double")
+    )

@@ -1,0 +1,244 @@
+"""LLM-training-data pipeline queries: deduplication, similarity search,
+text analysis — each wired to the operators package, with engine-portable
+DuckDB oracles where the semantics are SQL-expressible. MinHash-LSH and
+SimHash use engine-native hashing (xxhash64) so they get rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.operators import dedup, similarity, text
+from crdb_changefeed_publisher_spark.plans.registry import query
+from crdb_changefeed_publisher_spark.tables import load_table
+
+# --- deduplication ---------------------------------------------------------
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup: hash-groupBy on document text (group on xxhash64(text) at scale).",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_normalized_documents",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    """,
+    doc="Near-exact dedup on lowercase/whitespace-normalized text.",
+)
+def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.normalized_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM words
+    ), blocked AS (
+        SELECT doc_id, sh, list_aggregate(sh, 'min') AS block FROM sh
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        FROM blocked a JOIN blocked b
+          ON a.block = b.block AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.2
+    """,
+    doc="Near-dup pairs: exact word-3-gram Jaccard over candidates blocked on "
+    "the lexicographic-min shingle (portable 1-hash MinHash).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs_min_shingle(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 signatures are engine-native; rows-only check
+    doc="MinHash (k=16) + LSH (4 bands) candidate pairs — the 100 TB near-dup "
+    "path: shuffles only on band keys, no O(n^2) stage.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based signature; rows-only check
+    doc="SimHash-64 near-dup pairs via 16-bit chunk banding + Hamming verify.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=16)
+
+
+# --- similarity search -----------------------------------------------------
+
+
+@query(
+    "embedding_topk_bruteforce",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+                     6) AS score
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 25 = 0
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="Exact cosine top-5 neighbors for sampled query vectors (brute force: "
+    "broadcast queries, map over corpus, per-query ranking window).",
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.brute_force_topk(queries, emb, k=5)
+
+
+@query(
+    "embedding_topk_ivf",
+    oracle=None,  # approximate by construction; rows-only check
+    doc="IVF approximate top-5: per-label mean-vector centroids, queries probe "
+    "2 nearest cells — the partition-pruning ANN path for 100 TB corpora.",
+)
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_topk(queries, emb, k=5, n_probe=2)
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text)                              AS n_chars_computed,
+           len(string_split(trim(text), ' '))        AS n_tokens,
+           round(length(replace(trim(text), ' ', ''))
+                 / len(string_split(trim(text), ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+    doc="Whitespace token counting + per-doc token stats (pure row-local map).",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text.token_stats(load_table(spark, sf_dir, "documents"))
+    return df.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars,
+               len(string_split(trim(text), ' ')) AS n_words,
+               length(replace(trim(text), ' ', ''))
+                   / len(string_split(trim(text), ' ')) AS awl,
+               (length(text) - length(replace(text, '.', ''))) / 1.0
+                 + (length(text) - length(replace(text, ',', ''))) / 1.0 AS punct
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           round(0.4 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.5 END)
+                 + 0.3 * greatest(0.0, 1.0 - punct / greatest(n_words, 1)),
+                 4) AS quality
+    FROM q
+    """,
+    doc="Composite quality heuristic (length band, word-length sanity, "
+    "punctuation density) — portable arithmetic, rounded.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.quality_score(F.col("text")).alias("quality"))
+
+
+def _marker_sql(markers: list[str]) -> str:
+    terms = [
+        f"(length(p) - length(replace(p, ' {m} ', ''))) / {len(m) + 2}.0" for m in markers
+    ]
+    return " + ".join(terms)
+
+
+_LANG_SCORES = ",\n".join(
+    f"{_marker_sql(text.LANG_MARKERS[code])} AS s_{code}" for code in sorted(text.LANG_MARKERS)
+)
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        "WHEN s_{c} > 0 AND ".format(c=c)
+        + " AND ".join(
+            f"s_{c} >= s_{other}" for other in sorted(text.LANG_MARKERS) if other != c
+        )
+        + f" THEN '{c}'"
+        for c in sorted(text.LANG_MARKERS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH padded AS (
+        SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents
+    ), scores AS (
+        SELECT doc_id, lang, {_LANG_SCORES} FROM padded
+    )
+    SELECT lang, {_LANG_CASE} AS predicted, count(*) AS n_docs
+    FROM scores GROUP BY 1, 2
+    """,
+    doc="Marker-lexicon language ID vs the labeled lang column, aggregated to "
+    "a confusion matrix. The CASE mirrors the Spark fold's argmax+tiebreak.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(1, length(text) + 1),
+                                           i -> CAST(ascii(text[i]) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 1000000007) AS fp
+    FROM documents
+    """,
+    doc="Polynomial rolling-hash document fingerprint (h*31+code mod 1e9+7), "
+    "identical fold on both engines.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))

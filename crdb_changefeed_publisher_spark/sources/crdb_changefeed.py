@@ -1,0 +1,238 @@
+"""Custom PySpark streaming data source for CockroachDB core changefeeds
+(Spark 4 Python data source API), short name ``crdb_changefeed``.
+
+Reference semantics reproduced:
+- query construction (src/main.rs:108-123):
+  ``EXPERIMENTAL CHANGEFEED FOR {table} WITH resolved = '{freq}'[, cursor =
+  '{ts}']`` — the entire scan+filter is pushed into CockroachDB; the offset
+  (resolved HLC timestamp) is the only state.
+- offset bootstrap (src/main.rs:136-148): no stored cursor -> changefeed
+  starts from "now"; stored cursor -> resume.
+- GC-threshold fallback (src/main.rs:188-203): when the database reports
+  ``batch timestamp ... must be after replica GC threshold ...``, the cursor
+  is too old; restart WITHOUT a cursor (skip to now, data loss accepted,
+  logged loudly). Any other error is fatal (process exit in the reference;
+  query failure here).
+
+Because no live CockroachDB exists in this environment, the connection layer
+is pluggable: ``JsonlReplayConnection`` replays changefeed-shaped rows from
+a JSONL file (used by tests and the local bench); ``CrdbConnection`` holds
+the psycopg wiring (import-gated).
+
+Offsets: ``{"pos": <rows consumed>, "resolved": <last HLC ts or None>}``.
+``pos`` makes the replay deterministic; a real changefeed uses ``resolved``
+only (pos carries across restarts via Spark's offset log either way).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from enum import Enum
+from typing import Iterator, Protocol
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+WIRE_SCHEMA = StructType(
+    [
+        StructField("table", StringType(), True),
+        StructField("key", BinaryType(), True),
+        StructField("value", BinaryType(), True),
+    ]
+)
+
+# src/main.rs:188-203 — CRDB's "cursor older than GC window" message.
+GC_THRESHOLD_RE = re.compile(
+    r"^batch timestamp [0-9.,]* must be after replica GC threshold [0-9.,]*$"
+)
+
+
+class RetryReason(Enum):
+    NONE = "none"
+    INVALID_CURSOR = "invalid_cursor"
+
+
+def should_retry(error_message: str) -> RetryReason:
+    """Parity with src/main.rs:188-203: retry (cursor-less) only on the GC
+    threshold error; everything else is fatal."""
+    if GC_THRESHOLD_RE.match(error_message.strip()):
+        return RetryReason.INVALID_CURSOR
+    return RetryReason.NONE
+
+
+def build_changefeed_query(table: str, frequency: str, cursor: str | None = None) -> str:
+    """Parity with src/main.rs:108-123."""
+    query = f"EXPERIMENTAL CHANGEFEED FOR {table} WITH resolved = '{frequency}'"
+    if cursor is not None:
+        query += f", cursor = '{cursor}'"
+    return query
+
+
+class GcThresholdError(RuntimeError):
+    """Raised by a connection when the requested cursor predates the GC
+    threshold (replays CRDB's error string)."""
+
+
+@dataclass
+class WireRow:
+    table: str | None
+    key: bytes | None
+    value: bytes
+
+
+class ChangefeedConnection(Protocol):
+    """One logical changefeed subscription."""
+
+    def fetch(self, pos: int, cursor: str | None, limit: int) -> list[WireRow]:
+        """Return up to `limit` rows starting at `pos` (replay) / after
+        `cursor` (live). Raises GcThresholdError when cursor is too old."""
+        ...
+
+
+class JsonlReplayConnection:
+    """Replays changefeed rows from a JSONL file of ``[table, key, value]``
+    triples (null table/key => resolved row). The test/bench double for a
+    live changefeed; also how recorded changefeeds can be (re)processed."""
+
+    def __init__(self, path: str, gc_floor: int = 0) -> None:
+        self.path = path
+        # rows below this position are "garbage collected": fetching from
+        # before the floor raises the CRDB GC error (for fallback tests)
+        self.gc_floor = gc_floor
+
+    def fetch(self, pos: int, cursor: str | None, limit: int) -> list[WireRow]:
+        if pos < self.gc_floor:
+            raise GcThresholdError(
+                f"batch timestamp {cursor or '0.0'} must be after replica GC threshold 1.0"
+            )
+        out: list[WireRow] = []
+        with open(self.path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                if i < pos or len(out) >= limit:
+                    continue
+                t, k, v = json.loads(line)
+                out.append(
+                    WireRow(
+                        t,
+                        k.encode() if k is not None else None,
+                        v.encode(),
+                    )
+                )
+        return out
+
+
+class CrdbConnection:
+    """Live changefeed over the Postgres wire protocol. Requires psycopg and
+    a reachable CockroachDB (DATABASE_URL) — not bundled in this
+    environment, so the constructor gates on the import."""
+
+    def __init__(self, database_url: str, table: str, frequency: str) -> None:
+        try:
+            import psycopg  # type: ignore[import-not-found]  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("psycopg is required for a live CRDB changefeed") from e
+        self.database_url = database_url
+        self.table = table
+        self.frequency = frequency
+
+    def fetch(self, pos: int, cursor: str | None, limit: int) -> list[WireRow]:  # pragma: no cover
+        import psycopg
+
+        query = build_changefeed_query(self.table, self.frequency, cursor)
+        out: list[WireRow] = []
+        with psycopg.connect(self.database_url) as conn, conn.cursor() as cur:
+            try:
+                cur.execute(query)
+                for row in cur:
+                    out.append(WireRow(row[0], row[1], row[2]))
+                    if len(out) >= limit:
+                        break
+            except psycopg.errors.Error as e:
+                if should_retry(str(e)) is RetryReason.INVALID_CURSOR:
+                    raise GcThresholdError(str(e)) from e
+                raise
+        return out
+
+
+class ChangefeedSimpleStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.options = options
+        replay = options.get("replay")
+        if replay:
+            self.conn: ChangefeedConnection = JsonlReplayConnection(
+                replay, gc_floor=int(options.get("gc_floor", "0") or 0)
+            )
+        else:
+            self.conn = CrdbConnection(
+                options.get("database_url") or "",
+                options.get("table", ""),
+                options.get("cursor_frequency", "10s"),
+            )
+        self.batch_limit = int(options.get("batch_limit", "10000") or 10000)
+
+    def initialOffset(self) -> dict:
+        # reference: no cursor stored -> start from now (main.rs:118-120);
+        # for replay, "now" is position 0 of the recording.
+        return {"pos": 0, "resolved": None}
+
+    def _fetch(self, start: dict, limit: int) -> list[WireRow]:
+        try:
+            return self.conn.fetch(start["pos"], start.get("resolved"), limit)
+        except GcThresholdError as e:
+            # main.rs:175 (ignore_cursor): fall back to a cursor-less scan —
+            # skip to "now", accept the gap, log loudly.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "changefeed cursor invalid (%s); restarting without cursor "
+                "(data between cursor and now is lost, reference parity)",
+                e,
+            )
+            if isinstance(self.conn, JsonlReplayConnection):
+                return self.conn.fetch(self.conn.gc_floor, None, limit)
+            return self.conn.fetch(0, None, limit)
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows = self._fetch(start, self.batch_limit)
+        resolved = start.get("resolved")
+        for r in rows:
+            if r.table is None and r.key is None:
+                try:
+                    resolved = json.loads(r.value)["resolved"]
+                except (json.JSONDecodeError, KeyError):
+                    pass
+        end = {"pos": start["pos"] + len(rows), "resolved": resolved}
+        return iter([(r.table, r.key, r.value) for r in rows]), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        rows = self._fetch(start, end["pos"] - start["pos"])
+        return iter([(r.table, r.key, r.value) for r in rows])
+
+    def commit(self, end: dict) -> None:
+        # Spark's commit log is the durable cursor (cursors.rs:45-57 analog);
+        # nothing to do source-side.
+        pass
+
+
+class CrdbChangefeedDataSource(DataSource):
+    """spark.readStream.format("crdb_changefeed")
+         .option("table", "foo")            # live mode (needs DATABASE_URL)
+         .option("cursor_frequency", "10s")
+         .option("replay", "/path/feed.jsonl")  # replay mode (tests/bench)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "crdb_changefeed"
+
+    def schema(self) -> StructType:
+        return WIRE_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> ChangefeedSimpleStreamReader:
+        return ChangefeedSimpleStreamReader(dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(CrdbChangefeedDataSource)

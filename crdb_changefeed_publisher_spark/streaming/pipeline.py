@@ -1,0 +1,123 @@
+"""The streaming pipeline: readStream (changefeed-shaped rows) -> the shared
+batch transform chain (operators/changefeed.py) -> ordered, confirmed
+publish in foreachBatch + resolved-cursor mirroring.
+
+Reference lifecycle parity (SURVEY.md §3.1):
+- scan+filter pushed to the source      -> custom source / file replay
+- per-row demux Row|Cursor              -> two filters on the micro-batch
+- sequential confirmed publish          -> per-partition sequential publish
+  (main.rs:226-227)                        after repartition by key
+- cursor UPSERT at resolved marks       -> Spark commit log (authoritative)
+  (cursors.rs:45-57)                       + optional CursorStore mirror
+
+Delivery semantics: at-least-once, exactly like the reference (§2.2 of
+SURVEY.md): publishes happen during the batch; offsets commit after. A crash
+between them replays the batch => duplicates, never loss.
+
+Ordering: per-key order is preserved by repartitioning the batch on `key`
+and publishing each partition sequentially (reference preserves global order
+on one connection; Spark preserves it per key-partition, which is the
+guarantee consumers can actually use — and the one that scales).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.operators.changefeed import changefeed_pipeline
+from crdb_changefeed_publisher_spark.streaming.cursors import CursorStore
+from crdb_changefeed_publisher_spark.streaming.metrics import MESSAGES_SENT
+from crdb_changefeed_publisher_spark.streaming.queues import DirQueue, MessageQueue
+
+
+def publish_batch_to_dir(
+    batch: DataFrame, out_dir: str, key_col: str = "key", envelope_col_name: str = "envelope"
+) -> None:
+    """Publish one micro-batch with per-key ordering: repartition on key so
+    all messages for a key land in one partition, then each partition opens
+    its queue and publishes sequentially with confirm-on-write."""
+
+    def publish_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        q = DirQueue(out_dir, pid)
+        n = 0
+        for row in rows:
+            q.publish(row[envelope_col_name].encode())
+            n += 1
+        q.close()
+        yield n
+
+    counts = (
+        batch.repartition(F.col(key_col))
+        .select(key_col, envelope_col_name)
+        .rdd.mapPartitions(publish_partition)
+        .collect()
+    )
+    MESSAGES_SENT.inc(sum(counts))
+
+
+def make_foreach_batch(
+    out_dir: str,
+    cursor_store: CursorStore | None = None,
+    on_batch: Callable[[int, int, list[str]], None] | None = None,
+):
+    """foreachBatch function: demux the micro-batch via the shared transform,
+    publish change-envelopes (with key for ordering), mirror the max resolved
+    timestamp to the cursor store (reference main.rs:229-235 persists every
+    resolved row; the max within a batch is the same end state)."""
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        from crdb_changefeed_publisher_spark.operators.changefeed import (
+            decode_changefeed,
+            envelope_col,
+            extract_resolved,
+            split_changes,
+        )
+
+        decoded = decode_changefeed(batch_df)
+        changes, cursors = split_changes(decoded)
+        with_env = changes.select("key", envelope_col().alias("envelope"))
+        publish_batch_to_dir(with_env, out_dir)
+
+        resolved = [r.resolved for r in extract_resolved(cursors).collect()]
+        if resolved and cursor_store is not None:
+            cursor_store.set(max(resolved))
+        if on_batch is not None:
+            n = MESSAGES_SENT.value
+            on_batch(batch_id, n, resolved)
+
+    return run
+
+
+def run_pipeline(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    cursor_store: CursorStore | None = None,
+    trigger_seconds: float | None = None,
+    available_now: bool = False,
+):
+    """Wire a changefeed-shaped streaming DataFrame to the publish sink.
+
+    trigger_seconds is the cursor-frequency analog (reference default 10s,
+    cli.yml:18-21): micro-batch cadence == resolved/commit cadence.
+    """
+    writer = stream_df.writeStream.foreachBatch(
+        make_foreach_batch(out_dir, cursor_store)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def streaming_envelopes(stream_df: DataFrame) -> DataFrame:
+    """Pure-transform streaming view (for memory-sink tests): envelopes only."""
+    envelopes, _ = changefeed_pipeline(stream_df)
+    return envelopes

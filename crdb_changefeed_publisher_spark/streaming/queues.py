@@ -1,0 +1,121 @@
+"""Message-queue sinks, mirroring the reference's MessageQueue trait
+(reference src/queues.rs:13-15: ``publish(message: Vec<u8>)``) with
+at-least-once, publisher-confirmed semantics (src/queues.rs:44-65).
+
+Implementations:
+- InMemoryQueue: driver-side list — test double.
+- DirQueue: one file per partition under a directory, appended sequentially —
+  a distributed-safe stand-in used by the streaming tests (executors write
+  their own partition file, order within partition preserved like the
+  reference's sequential confirmed publish).
+- RabbitMQQueue: real AMQP via pika when available (import-gated: pika is
+  not bundled in this environment), one channel per partition, publisher
+  confirms on (delivery confirmation == the double-await in queues.rs:55-56).
+
+The registry mirrors model.rs:6-16 QueueType (single variant "rabbitmq")
+plus the test doubles.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Protocol
+
+
+class MessageQueue(Protocol):
+    """Parity with reference src/queues.rs:13-15."""
+
+    def publish(self, message: bytes) -> None: ...
+
+    def close(self) -> None: ...
+
+
+class InMemoryQueue:
+    """Driver-side capture queue for unit tests."""
+
+    def __init__(self) -> None:
+        self.messages: list[bytes] = []
+
+    def publish(self, message: bytes) -> None:
+        self.messages.append(message)
+
+    def close(self) -> None:
+        pass
+
+
+class DirQueue:
+    """Append-to-file queue: each partition opens its own file, writes are
+    sequential and flushed per message (the publisher-confirm analog —
+    a message is 'confirmed' once fsync'd)."""
+
+    def __init__(self, path: str, partition_id: int = 0) -> None:
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._f = open(  # noqa: SIM115 - lifetime managed by close()
+            os.path.join(path, f"partition-{partition_id:05d}.jsonl"), "ab"
+        )
+
+    def publish(self, message: bytes) -> None:
+        self._f.write(message + b"\n")
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def close(self) -> None:
+        self._f.close()
+
+    @staticmethod
+    def read_all(path: str) -> list[bytes]:
+        out: list[bytes] = []
+        for name in sorted(os.listdir(path)):
+            with open(os.path.join(path, name), "rb") as f:
+                out.extend(line.rstrip(b"\n") for line in f)
+        return out
+
+
+class RabbitMQQueue:
+    """AMQP publisher with confirms (reference src/queues.rs:17-65):
+    declares the queue (durable=False to match queue_declare defaults there),
+    publishes to the default exchange with routing_key = queue name, and
+    enables confirm_delivery so each publish waits for the broker ack."""
+
+    def __init__(self, amqp_addr: str, queue: str) -> None:
+        try:
+            import pika  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - pika not bundled
+            raise RuntimeError(
+                "pika is not installed; use DirQueue/InMemoryQueue or install pika"
+            ) from e
+        self._conn = pika.BlockingConnection(pika.URLParameters(amqp_addr))
+        self._chan = self._conn.channel()
+        self._chan.queue_declare(queue=queue)
+        self._chan.confirm_delivery()  # publisher confirms, queues.rs:55-56
+        self._queue = queue
+
+    def publish(self, message: bytes) -> None:
+        self._chan.basic_publish(exchange="", routing_key=self._queue, body=message)
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+def make_queue(kind: str, *, path: str | None = None, partition_id: int = 0,
+               amqp_addr: str | None = None, queue: str = "rabbitmq") -> MessageQueue:
+    """QueueType registry (reference src/model.rs:6-16 has only 'rabbitmq')."""
+    if kind == "rabbitmq":
+        return RabbitMQQueue(amqp_addr or os.environ.get("AMQP_ADDR", "amqp://127.0.0.1:5672"), queue)
+    if kind == "dir":
+        assert path is not None
+        return DirQueue(path, partition_id)
+    if kind == "memory":
+        return InMemoryQueue()
+    raise ValueError(f"unknown queue type: {kind}")
+
+
+def publish_iter(queue: MessageQueue, messages: Iterable[bytes]) -> int:
+    """Sequential confirmed publish of an iterator (reference main.rs:226-227
+    publishes one in-flight message at a time). Returns count."""
+    n = 0
+    for m in messages:
+        queue.publish(m)
+        n += 1
+    return n
