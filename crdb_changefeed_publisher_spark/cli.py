@@ -1,0 +1,92 @@
+"""CLI entry point — argument/env parity with the reference
+(cli.yml:5-22, README.md:56-73):
+
+  --table             watched table (required)
+  --queue             queue type, default 'rabbitmq' (model.rs:6-16)
+  --cursor-store      cursor store type, default 'cockroachdb' (model.rs:18-30)
+  --cursor-frequency  resolved cadence, default '10s' (cli.yml:18-21)
+
+  env: DATABASE_URL, AMQP_ADDR, AMQP_QUEUE, PROMETHEUS_ADDR (main.rs:57-69)
+
+plus Spark-specific options (--replay for the recorded-feed mode, --out-dir
+for the dir-queue sink, --checkpoint for the offset log).
+
+Run: python -m crdb_changefeed_publisher_spark.cli --table foo --replay feed.jsonl \
+         --queue dir --out-dir /tmp/out --checkpoint /tmp/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="crdb-changefeed-publisher-spark",
+        description="Publish CockroachDB changefeed rows to a message queue (Spark edition).",
+    )
+    p.add_argument("--table", required=True, help="table to watch")
+    p.add_argument("--queue", default="rabbitmq", choices=["rabbitmq", "dir", "memory"])
+    p.add_argument(
+        "--cursor-store", default="cockroachdb", choices=["cockroachdb", "file", "memory"]
+    )
+    p.add_argument("--cursor-frequency", default="10s")
+    p.add_argument("--replay", default=None, help="JSONL recorded feed (test/bench mode)")
+    p.add_argument("--out-dir", default=None, help="output dir for --queue dir")
+    p.add_argument("--checkpoint", default=None, help="Spark checkpointLocation")
+    p.add_argument("--cursor-path", default=None, help="path for --cursor-store file")
+    p.add_argument("--once", action="store_true", help="process available data then exit")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from crdb_changefeed_publisher_spark.session import get_spark
+    from crdb_changefeed_publisher_spark.sources.crdb_changefeed import register
+    from crdb_changefeed_publisher_spark.streaming.cursors import make_cursor_store
+    from crdb_changefeed_publisher_spark.streaming.metrics import serve_metrics
+    from crdb_changefeed_publisher_spark.streaming.pipeline import run_pipeline
+
+    if args.queue == "dir" and not args.out_dir:
+        print("--queue dir requires --out-dir", file=sys.stderr)
+        return 2
+    spark = get_spark(f"crdb-changefeed-{args.table}")
+    register(spark)
+    server = serve_metrics()  # PROMETHEUS_ADDR or 0.0.0.0:8001, main.rs:57
+
+    reader = (
+        spark.readStream.format("crdb_changefeed")
+        .option("table", args.table)
+        .option("cursor_frequency", args.cursor_frequency)
+    )
+    if args.replay:
+        reader = reader.option("replay", args.replay)
+    else:
+        reader = reader.option("database_url", os.environ.get("DATABASE_URL", ""))
+
+    store = make_cursor_store(
+        args.cursor_store,
+        path=args.cursor_path or f"/tmp/crdb-cursor-{args.table}.json",
+        database_url=os.environ.get("DATABASE_URL"),
+    ) if args.cursor_store != "cockroachdb" or os.environ.get("DATABASE_URL") else None
+
+    freq = float(args.cursor_frequency.rstrip("s")) if args.cursor_frequency.endswith("s") else 10.0
+    query = run_pipeline(
+        reader.load(),
+        out_dir=args.out_dir or "/tmp/crdb-changefeed-out",
+        checkpoint_dir=args.checkpoint or f"/tmp/crdb-changefeed-ckpt-{args.table}",
+        cursor_store=store,
+        trigger_seconds=None if args.once else freq,
+        available_now=args.once,
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary` columns
+with typed metadata, processed through Arrow-batched mapInPandas.
+
+The Spark-side machinery (schemas, batch iteration, partition sizing) is
+real and tested; the actual media decoding is STUBBED — the codec libraries
+(Pillow/ffmpeg/torchaudio) are not available in this container. Each stub
+either raises NotImplementedError (real-decode path) or produces a
+deterministic fake (test path), clearly marked.
+
+Scale notes (100 TB of media):
+- binary payloads ride the parquet scan; metadata columns are pruned
+  independently so metadata-only queries never read the bytes.
+- mapInPandas streams Arrow record batches: peak executor memory is
+  ~maxRecordsPerBatch * avg_blob_size, tuned via
+  spark.sql.execution.arrow.maxRecordsPerBatch (set small for video).
+- feature extraction is embarrassingly parallel: no shuffle until the
+  (tiny) feature output is aggregated or joined.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for plumbing tests: payload bytes are a
+    seeded function of media_id (stands in for real image/audio blobs)."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("id") % 3 + 1).cast("int")).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.col("id") * 100).alias("duration_ms"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":  # pragma: no cover - stub
+    """REAL decode path — requires an image codec library, not available in
+    this container. The Spark plumbing calls extract_features below, which
+    routes around this stub deterministically."""
+    raise NotImplementedError("image decoding requires a codec library (e.g. Pillow)")
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector: bytes are
+    hashed into `dim` buckets. Replace with real decode+embed when codecs
+    are available."""
+    acc = [0] * dim
+    for i, b in enumerate(payload or b""):
+        acc[i % dim] = (acc[i % dim] + b) % 997
+    return [v / 997.0 for v in acc]
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    mapInPandas keeps the blobs executor-side in Arrow batches; the returned
+    features are small, so everything downstream (similarity joins, dedup)
+    operates on compact vectors.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                    "feature": pdf["payload"].map(_fake_feature),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: computes the frame timestamps to decode
+    per video (pure column math — real decoding is the stubbed part). This
+    is the shape of the operator at scale: plan rows explode to (video,
+    frame_ts) work units that partition evenly across executors."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

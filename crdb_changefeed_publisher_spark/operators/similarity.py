@@ -16,6 +16,8 @@ are reproducible and oracle-comparable bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,25 +33,62 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of `corpus` for each row of `queries`.
 
-    Plan shape: BroadcastNestedLoopJoin (queries broadcast) -> per-partition
-    score -> ranking window partitioned by query id. Scores are rounded to 6
-    decimals *before* ranking with an id tiebreak, making the top-k set
-    deterministic across engines and runs.
+    Plan shape (the 100 TB shape): collect the *query* matrix (small by
+    contract) and broadcast it into an Arrow-batched mapInPandas over corpus
+    partitions; each batch computes a numpy GEMM (corpus_batch x queries^T),
+    keeps its partition-local top-k per query, and a final ranking window
+    over the ~(partitions * k) survivors picks the global top-k. No
+    per-pair expression evaluation, no O(|corpus| * |queries|) shuffle.
+
+    Determinism: scores round to 6 decimals *before* ranking, ties break on
+    neighbor id — the same contract the SQL oracle implements. Dot products
+    are accumulated in float64; GEMM summation order is fixed for a given
+    dimension, so results are reproducible run to run.
     """
-    q = queries.select(
+    import numpy as np
+
+    q_rows = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).collect()
+    if not q_rows:
+        raise ValueError("brute_force_topk: empty query set")
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score_partition(batches):
+        for pdf in batches:
+            c_ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)  # |batch| x |q|
+            sims = np.round(sims, 6)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = c_ids != qid
+                ids, scores = c_ids[mask], col[mask]
+                if len(ids) > k:
+                    # partition-local prune: top-k by (score desc, id asc)
+                    order = np.lexsort((ids, -scores))[:k]
+                else:
+                    order = np.argsort(ids)
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(scores[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
-        .select("query_id", "neighbor_id", "score")
+    survivors = c.mapInPandas(
+        score_partition, "query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )

@@ -13,8 +13,7 @@ the 100 TB path when the ranked join's per-key fanout gets large.
 
 from __future__ import annotations
 
-import math
-
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -156,27 +155,37 @@ def asof_purchase_last_click_merge(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     def merge_asof(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Partition-local: all rows for one user-group, sorted merge like
-        # pd.merge_asof but with the reference tiebreak (latest ts, then
-        # highest event_id strictly before the purchase).
+        # Partition-local vectorized sorted merge: pd.merge_asof picks, for
+        # each purchase, the LAST click row with ts strictly before it
+        # (allow_exact_matches=False). Sorting clicks by (ts, event_id)
+        # makes "last" == latest ts then highest event_id — the reference
+        # tiebreak. Linear in rows after the sort; no per-row Python loop.
         p = pdf[pdf["side"] == "p"].sort_values(["ts", "event_id"])
         c = pdf[pdf["side"] == "c"].sort_values(["ts", "event_id"])
         if p.empty or c.empty:
-            return pd.DataFrame(columns=["p_event_id", "click_event_id", "gap_seconds"])
-        out = []
-        by_user = {u: g for u, g in c.groupby("user_id")}
-        for row in p.itertuples():
-            g = by_user.get(row.user_id)
-            if g is None:
-                continue
-            prior = g[g["ts"] < row.ts]
-            if prior.empty:
-                continue
-            best = prior.sort_values(["ts", "event_id"]).iloc[-1]
-            gap = (row.ts - best["ts"]).total_seconds()
-            # SQL ROUND is half-away-from-zero; Python round() is banker's.
-            out.append((row.event_id, int(best["event_id"]), math.floor(gap * 1000 + 0.5) / 1000))
-        return pd.DataFrame(out, columns=["p_event_id", "click_event_id", "gap_seconds"])
+            return pd.DataFrame(
+                {
+                    "p_event_id": pd.Series(dtype="int64"),
+                    "click_event_id": pd.Series(dtype="int64"),
+                    "gap_seconds": pd.Series(dtype="float64"),
+                }
+            )
+        merged = pd.merge_asof(
+            p[["event_id", "ts"]].rename(columns={"event_id": "p_event_id"}),
+            c[["event_id", "ts"]].rename(columns={"event_id": "click_event_id"}),
+            on="ts",
+            allow_exact_matches=False,
+            direction="backward",
+            suffixes=("", "_c"),
+        )
+        # merge_asof keeps the purchase ts; recover the click ts by id join
+        click_ts = c.set_index("event_id")["ts"]
+        merged = merged.dropna(subset=["click_event_id"])
+        merged["click_event_id"] = merged["click_event_id"].astype("int64")
+        gap = (merged["ts"] - merged["click_event_id"].map(click_ts)).dt.total_seconds()
+        # SQL ROUND is half-away-from-zero; Python round() is banker's.
+        merged["gap_seconds"] = np.floor(gap * 1000 + 0.5) / 1000
+        return merged[["p_event_id", "click_event_id", "gap_seconds"]]
 
     return (
         both.repartition("user_id")

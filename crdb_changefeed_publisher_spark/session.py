@@ -41,7 +41,10 @@ def get_spark(app_name: str = "crdb_changefeed_publisher_spark") -> SparkSession
         # reader rejects; read as raw nanos and normalize in tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # long sessions run many unrelated queries; reclaim broadcast/shuffle
+        # state promptly so later queries don't inherit GC pressure
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,62 @@
+"""Physical-plan shape assertions: the properties that transfer from
+local[32] to a 1000-executor cluster — pushdown, broadcast choices, top-k
+without full sort, and Python staying out of JVM-only paths."""
+
+from __future__ import annotations
+
+from crdb_changefeed_publisher_spark import plans
+
+
+def physical_plan(spark, name: str, sf_dir: str) -> str:
+    df = plans.get_spec(name).fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = physical_plan(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = physical_plan(spark, "q1_pricing_summary", sf_dir)
+    # ReadSchema must not include unused columns like l_orderkey/l_partkey
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_returnflag" in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = physical_plan(spark, "q5_region_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 4  # nation/region/customer/supplier
+
+
+def test_top_k_uses_take_ordered(spark, sf_dir):
+    plan = physical_plan(spark, "top_expensive_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in physical_plan(spark, "customers_with_orders_semi", sf_dir)
+    assert "LeftAnti" in physical_plan(spark, "customers_without_orders_anti", sf_dir)
+
+
+def test_cdc_envelopes_no_python_no_shuffle(spark, sf_dir):
+    plan = physical_plan(spark, "cdc_envelopes", sf_dir)
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # pure per-row map over the scan
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    for name in ["text_quality_scores", "doc_fingerprints", "lang_id_confusion"]:
+        assert "EvalPython" not in physical_plan(spark, name, sf_dir), name
+
+
+def test_minhash_has_partial_aggregation(spark, sf_dir):
+    plan = physical_plan(spark, "dedup_minhash_lsh", sf_dir)
+    # groupBy-min must partial-aggregate before the shuffle (map-side combine)
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_similarity_uses_arrow_batches(spark, sf_dir):
+    plan = physical_plan(spark, "embedding_topk_bruteforce", sf_dir)
+    assert "MapInPandas" in plan

@@ -1,0 +1,112 @@
+"""Streaming semantics tests: foreachBatch publish with cursor mirroring,
+checkpoint resume (at-least-once), and the metrics counter — reference
+parity per SURVEY.md §5.2 item 3."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.streaming.cursors import (
+    FileCursorStore,
+    MemoryCursorStore,
+)
+from crdb_changefeed_publisher_spark.streaming.metrics import MESSAGES_SENT, serve_metrics
+from crdb_changefeed_publisher_spark.streaming.pipeline import run_pipeline
+from crdb_changefeed_publisher_spark.streaming.queues import DirQueue
+
+
+def wire_feed_df(spark, n_rows: int = 50, resolved_every: int = 10):
+    """Changefeed-shaped batch df derived from a range (deterministic)."""
+    is_resolved = F.col("id") % resolved_every == 0
+    return spark.range(n_rows).select(
+        F.when(is_resolved, F.lit(None)).otherwise(F.lit("t")).alias("table"),
+        F.when(is_resolved, F.lit(None))
+        .otherwise(F.concat(F.lit("["), F.col("id").cast("string"), F.lit("]")))
+        .cast("binary")
+        .alias("key"),
+        F.when(
+            is_resolved,
+            F.concat(F.lit('{"resolved": "'), F.col("id").cast("string"), F.lit('.0,0"}')),
+        )
+        .otherwise(F.concat(F.lit('{"after": {"a": '), F.col("id").cast("string"), F.lit("}}")))
+        .cast("binary")
+        .alias("value"),
+    )
+
+
+def start_stream(spark, feed_dir: str, out_dir: str, ckpt: str, store):
+    sdf = spark.readStream.schema("table string, key binary, value binary").parquet(feed_dir)
+    return run_pipeline(sdf, out_dir, ckpt, cursor_store=store, available_now=True)
+
+
+def test_publish_and_cursor_mirror(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    wire_feed_df(spark, 50, 10).write.parquet(feed)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    store = MemoryCursorStore()
+    before = MESSAGES_SENT.value
+
+    q = start_stream(spark, feed, out, ckpt, store)
+    q.awaitTermination(120)
+
+    msgs = [json.loads(m) for m in DirQueue.read_all(out)]
+    assert len(msgs) == 45  # 50 rows, 5 resolved
+    assert all(set(m) == {"table", "key", "value"} for m in msgs)
+    assert all(m["value"]["after"]["a"] is not None for m in msgs)
+    # cursor mirrored to max resolved ts of the batch (string max of "NN.0,0")
+    assert store.get() is not None and store.get().endswith(".0,0")
+    assert MESSAGES_SENT.value - before == 45
+
+
+def test_checkpoint_resume_at_least_once(spark, tmp_path):
+    """New data after a restart is published exactly from the offset log:
+    no rows lost, previously-committed rows not re-published."""
+    feed = str(tmp_path / "feed")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    store = FileCursorStore(str(tmp_path / "cursor.json"))
+
+    wire_feed_df(spark, 30, 10).write.mode("overwrite").parquet(feed)
+    q = start_stream(spark, feed, out, ckpt, store)
+    q.awaitTermination(120)
+    n_first = len(DirQueue.read_all(out))
+    assert n_first == 27  # 30 - 3 resolved
+
+    # append more files => restart picks up only the new ones
+    wire_feed_df(spark, 30, 10).withColumn(
+        "key",
+        F.when(F.col("key").isNull(), F.col("key")).otherwise(
+            F.concat(F.lit("new-").cast("binary"), F.col("key"))
+        ),
+    ).write.mode("append").parquet(feed)
+    q2 = start_stream(spark, feed, out, ckpt, store)
+    q2.awaitTermination(120)
+
+    msgs = DirQueue.read_all(out)
+    assert len(msgs) == 54
+    assert sum(1 for m in msgs if b"new-" in m) == 27
+
+
+def test_metrics_endpoint(tmp_path):
+    import urllib.request
+
+    server = serve_metrics("127.0.0.1:18901")
+    try:
+        base = MESSAGES_SENT.value
+        MESSAGES_SENT.inc(3)
+        body = urllib.request.urlopen("http://127.0.0.1:18901/metrics").read().decode()
+        assert "# TYPE rabbitmq_messages_sent counter" in body
+        assert f"rabbitmq_messages_sent {base + 3}" in body
+    finally:
+        server.shutdown()
+
+
+def test_dir_queue_partition_files_ordered(tmp_path):
+    q = DirQueue(str(tmp_path / "q"), partition_id=3)
+    q.publish(b"a")
+    q.publish(b"b")
+    q.close()
+    assert DirQueue.read_all(str(tmp_path / "q")) == [b"a", b"b"]
+    assert os.listdir(str(tmp_path / "q")) == ["partition-00003.jsonl"]
