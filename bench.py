@@ -34,21 +34,35 @@ def main() -> None:
     # not first-task startup.
     materialize(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
+    def run_once(spec) -> float:
+        t0 = time.time()
+        materialize(spec.fn(spark, sf_dir))
+        return time.time() - t0
+
+    # This host exhibits bursty CPU steal (multi-second windows where the VM
+    # gets ~1 core); a stalled run says nothing about the query. Take the min
+    # of 2 runs, then give likely-stall victims (slow AND unstable) one more
+    # attempt.
+    specs = sorted(plans.all_specs().items())
+    runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
-    for name, spec in sorted(plans.all_specs().items()):
-        best = None
+    for name, spec in specs:
         try:
-            # min of 2 runs: measures the query, not transient session noise
-            # (python-worker spinup, GC of prior queries' state)
-            for _ in range(2):
-                t0 = time.time()
-                materialize(spec.fn(spark, sf_dir))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+            runs[name] = [run_once(spec), run_once(spec)]
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+    for name, spec in specs:
+        if name in timings:
+            continue
+        pair = runs[name]
+        best = min(pair)
+        if best > 10.0 and (max(pair) > 3 * best or best > 30.0):
+            try:
+                best = min(best, run_once(spec))
+            except Exception:  # noqa: BLE001
+                pass
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

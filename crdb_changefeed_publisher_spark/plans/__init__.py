@@ -15,6 +15,7 @@ from crdb_changefeed_publisher_spark.plans.registry import (  # noqa: F401
 from crdb_changefeed_publisher_spark.plans import (  # noqa: F401,E402
     cdc,
     events,
+    extra,
     llm,
     scalar,
     tpch,

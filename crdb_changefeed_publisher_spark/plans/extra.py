@@ -1,0 +1,308 @@
+"""Second wave of relational coverage: pivot, outer joins, scalar
+subqueries, grouping sets, percentiles, statistical aggregates, regexp,
+null-handling functions, date arithmetic, sliding event-time windows, and
+the argmax-via-join pattern.
+
+Same contract as every plans module: aliased columns, rounded floats,
+deterministic tiebreaks, portable oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.plans.registry import query
+from crdb_changefeed_publisher_spark.tables import load_table
+
+
+@query(
+    "pivot_returnflag_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot (wide aggregation); with explicit pivot values Spark plans a "
+    "single-pass aggregate, no extra job to discover values.",
+)
+def pivot_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@query(
+    "left_join_order_counts",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey)                         AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2)  AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="Left outer join preserving customers with zero orders.",
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "full_outer_nation_activity",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.nk, sn.nk)        AS nationkey,
+           coalesce(cn.n_customers, 0)   AS n_customers,
+           coalesce(sn.n_suppliers, 0)   AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    doc="Full outer join of two aggregates with null-side coalescing.",
+)
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("cnk")).agg(F.count(F.lit(1)).alias("n_customers"))
+    sn = s.groupBy(F.col("s_nationkey").alias("snk")).agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return cn.join(sn, F.col("cnk") == F.col("snk"), "full_outer").select(
+        F.coalesce("cnk", "snk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "orders_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+    """,
+    doc="Scalar subquery via broadcast cross join (no global window — that "
+    "would single-partition at scale). Avg rounded before comparing so the "
+    "boundary is engine-stable.",
+)
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    avg_df = o.agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "regexp_part_names",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           CAST(regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS INT) AS two_words
+    FROM part
+    WHERE regexp_matches(p_name, '(ring|bolt)')
+    """,
+    doc="Regexp extract/match filters (RE2-compatible patterns on both engines).",
+)
+def regexp_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("(ring|bolt)")).select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+$").cast("int").alias("two_words"),
+    )
+
+
+@query(
+    "null_handling_orders",
+    oracle="""
+    SELECT coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+           count(*)                                      AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    doc="NULL-handling scalar functions: nullif + coalesce relabeling.",
+)
+def null_handling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    label = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open"))
+    return o.groupBy(label.alias("status_label")).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS revenue,
+           CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+           CAST(grouping(l_linestatus) AS INT)  AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping() indicators (SQL surface).",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS revenue,
+               CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+               CAST(grouping(l_linestatus) AS INT)  AS g_status
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "order_price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Continuous percentiles (linear interpolation on both engines). "
+    "Exact percentile needs a per-group sort; approx_percentile is the "
+    "documented swap at extreme scale.",
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+    )
+
+
+@query(
+    "lineitem_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2)             AS price_stddev,
+           round(var_samp(l_discount), 6)                     AS disc_var,
+           round(corr(l_extendedprice, l_quantity), 4)        AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 2)  AS price_qty_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: stddev/variance/correlation/covariance.",
+)
+def lineitem_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("price_qty_covar"),
+    )
+
+
+@query(
+    "order_ship_latency",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(avg(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE))), 2) AS avg_latency_days,
+           max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)))           AS max_latency_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Date arithmetic (calendar-day difference) across a join.",
+)
+def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    latency = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg(latency), 2).alias("avg_latency_days"),
+            F.max(latency).cast("long").alias("max_latency_days"),
+        )
+    )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    WITH starts AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts)                       AS w_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS w_start, value FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:00') AS window_start,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM starts GROUP BY 1
+    """,
+    doc="Sliding event-time windows (1h size, 30m slide): each event lands "
+    "in exactly two windows; batch twin of the streaming sliding window.",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:00").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_daily_distinct_users",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(DISTINCT user_id)                     AS n_users,
+           count(*)                                    AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc="Daily distinct users over event time.",
+)
+def events_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "best_order_per_customer",
+    oracle="""
+    WITH m AS (SELECT o_custkey, max(o_totalprice) AS best_price FROM orders GROUP BY 1)
+    SELECT m.o_custkey, m.best_price, min(o.o_orderkey) AS best_orderkey
+    FROM m JOIN orders o ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.best_price
+    GROUP BY m.o_custkey, m.best_price
+    """,
+    doc="Argmax via self-join-back (two partial aggregates + one equi-join) "
+    "— the shuffle-bounded alternative to a ranking window.",
+)
+def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("mk")).agg(F.max("o_totalprice").alias("best_price"))
+    return (
+        o.join(m, (F.col("o_custkey") == F.col("mk")) & (F.col("o_totalprice") == F.col("best_price")))
+        .groupBy("o_custkey", "best_price")
+        .agg(F.min("o_orderkey").alias("best_orderkey"))
+    )

@@ -61,6 +61,16 @@ def test_brute_force_topk_self_similarity(spark, sf_dir):
     assert all(-1.0 <= r.score <= 1.0 for r in top)
 
 
+def test_srp_lsh_topk_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    a = similarity.srp_lsh_topk(queries, emb, k=3).collect()
+    b = similarity.srp_lsh_topk(queries, emb, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+    assert all(r.rnk <= 3 and -1.0 <= r.score <= 1.0 for r in a)
+
+
 def test_ivf_topk_subset_of_cells(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") == 0)

@@ -1,0 +1,75 @@
+"""Scale-mechanics tests: bucketed co-partitioned joins (shuffle-free),
+salted aggregation equivalence, and AQE behaviors the engine relies on."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.functions.skew import salted_agg
+from crdb_changefeed_publisher_spark.tables import load_table
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Writing both join sides bucketed on the join key makes the fact-fact
+    join exchange-free — the co-location strategy for 100 TB lineitem/orders."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        "lineitem_b"
+    )
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        "orders_b"
+    )
+    try:
+        joined = (
+            spark.table("lineitem_b")
+            .join(spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        got = {(r.o_orderpriority, round(r.qty, 2)) for r in joined.collect()}
+        # AQE final plan after execution: bucket pruning visible, and no
+        # exchange on either join key (bucketing provides the partitioning)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # result matches the unbucketed join
+        expect = (
+            lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        want = {(r.o_orderpriority, round(r.qty, 2)) for r in expect.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    salted = salted_agg(
+        l,
+        ["l_returnflag"],
+        {"total_qty": F.sum("l_quantity"), "n_rows": F.count(F.lit(1))},
+        n_salts=8,
+    )
+    plain = l.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("total_qty"), F.count(F.lit(1)).alias("n_rows")
+    )
+    got = {(r.l_returnflag, round(r.total_qty, 6), r.n_rows) for r in salted.collect()}
+    want = {(r.l_returnflag, round(r.total_qty, 6), r.n_rows) for r in plain.collect()}
+    assert got == want
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE must be active: tiny groupBy outputs should coalesce below the
+    static 32 shuffle partitions."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = load_table(spark, sf_dir, "orders").groupBy("o_orderstatus").count()
+    df.collect()
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts < 32

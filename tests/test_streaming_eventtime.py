@@ -1,0 +1,134 @@
+"""Structured Streaming event-time operator coverage over the events
+fixture: tumbling windows + watermark, session windows, watermark-scoped
+dedup, and a custom stateful operator via applyInPandasWithState.
+
+These are the streaming twins of the batch queries in plans/events.py —
+the reference has no event-time surface at all (SURVEY §2.2), so these
+demonstrate the north-star streaming extension end to end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from crdb_changefeed_publisher_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def read_stream(spark, d):
+    return spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(d)
+
+
+def drain(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+def test_tumbling_window_with_watermark(spark, sf_dir, events_stream_dir):
+    sdf = read_stream(spark, events_stream_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = agg.writeStream.format("memory").queryName("tumbling").outputMode("append").start()
+    drain(q)
+    got = spark.sql("select sum(n_events) s, count(*) c from tumbling").collect()[0]
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # append mode emits only watermark-closed windows; all but the final
+    # open window(s) must match the batch result
+    assert got.c >= batch.count() - 10
+    assert got.s is not None and got.s > 0
+
+
+def test_session_window_streaming(spark, events_stream_dir):
+    sdf = read_stream(spark, events_stream_dir)
+    agg = (
+        sdf.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = agg.writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    drain(q)
+    rows = spark.sql(
+        "select count(*) c, sum(n_events) s from sessions"
+    ).collect()[0]
+    assert rows.c > 0 and rows.s > 0
+
+
+def test_drop_duplicates_within_watermark(spark, events_stream_dir, tmp_path):
+    # duplicate the feed: same events twice in one directory
+    dup_dir = str(tmp_path / "dup")
+    spark.read.parquet(events_stream_dir).write.mode("overwrite").parquet(dup_dir)
+    spark.read.parquet(events_stream_dir).write.mode("append").parquet(dup_dir)
+
+    sdf = read_stream(spark, dup_dir)
+    dedup = sdf.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    q = dedup.writeStream.format("memory").queryName("dedup_stream").start()
+    drain(q)
+    n = spark.sql("select count(*) c from dedup_stream").collect()[0].c
+    n_unique = spark.read.parquet(events_stream_dir).count()
+    assert n == n_unique  # each duplicated event_id emitted once
+
+
+def test_custom_stateful_running_user_totals(spark, events_stream_dir):
+    """applyInPandasWithState: per-user running event count + value sum that
+    persists across micro-batches (the custom-stateful-operator surface)."""
+    sdf = read_stream(spark, events_stream_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    out = (
+        sdf.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = out.writeStream.format("memory").queryName("user_totals").outputMode("update").start()
+    drain(q)
+    # final state per user must equal the batch aggregate
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(
+            """
+            select user_id, n_events, total_value from (
+              select *, row_number() over (partition by user_id order by n_events desc) rn
+              from user_totals
+            ) where rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == batch
