@@ -45,11 +45,14 @@ def shingle_rows(
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+    # NOTE: output may contain duplicate shingles per doc — consumers that
+    # need set semantics dedup inside their aggregation (collect_set), and
+    # min-hashing is duplicate-insensitive, so no standalone distinct()
+    # shuffle is spent here.
     return (
         words.select("doc_id", *[c.alias(f"w{j}") for j, c in enumerate(leads)])
         .filter(F.col(f"w{n-1}").isNotNull())
         .select("doc_id", F.concat_ws(" ", *[f"w{j}" for j in range(n)]).alias("shingle"))
-        .distinct()
     )
 
 
@@ -60,7 +63,7 @@ def shingle_sets(
     shingle). The arrays come out of an aggregation, so downstream set ops
     work on materialized data, never a re-evaluated expression tree."""
     return shingle_rows(docs, text_col, id_col, n).groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("shingle")).alias("sh"),
+        F.array_sort(F.collect_set("shingle")).alias("sh"),
         F.min("shingle").alias("block"),
     )
 

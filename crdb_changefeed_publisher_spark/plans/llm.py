@@ -88,6 +88,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=16)
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    """,
+    doc="Embedding-cosine near-duplicate pairs (>= 0.3, tuned to the synthetic embedding distribution) blocked on the label "
+    "cell — the semantic-dedup tier: at 100 TB the blocking key comes from "
+    "coarse quantization (IVF cell / LSH bucket), making the pair join "
+    "cell-local instead of O(n^2).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.functions.vectors import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("e").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.3)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+# portable RE2/Java alternation (no lookarounds): words | numbers | single
+# non-space symbol — the BPE-pretokenizer-shaped split
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "doc_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))      AS n_bpe_tokens,
+           len(string_split(trim(text), ' '))                       AS n_ws_tokens
+    FROM documents
+    """,
+    doc="Token counting, BPE-ish: regex pretokenizer (words/numbers/symbols) "
+    "vs whitespace tokens, per document.",
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_ws_tokens"),
+    )
+
+
 # --- similarity search -----------------------------------------------------
 
 
@@ -133,9 +193,47 @@ def embedding_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_topk_ivf",
-    oracle=None,  # approximate by construction; rows-only check
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
+    cent AS (
+        SELECT label AS cell, list(m ORDER BY pos) AS c FROM (
+            SELECT label, pos, avg(e[pos]) AS m
+            FROM v, range(1, 65) t(pos)  -- fixture dim = 64; DuckDB range() cannot be lateral
+            GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.e, cent.c)
+                                / (sqrt(list_dot_product(q.e, q.e))
+                                   * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+                                cent.cell) AS rn
+            FROM q, cent
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(c.e, c.e))), 6) AS score
+        FROM probes p
+        JOIN q ON q.vec_id = p.query_id
+        JOIN v c ON c.label = p.cell AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
     doc="IVF approximate top-5: per-label mean-vector centroids, queries probe "
-    "2 nearest cells — the partition-pruning ANN path for 100 TB corpora.",
+    "2 nearest cells — the partition-pruning ANN path for 100 TB corpora. "
+    "Deterministic (rounded scores, id tiebreaks), so even the approximation "
+    "is oracle-verified.",
 )
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -90,6 +90,20 @@ def test_decode_and_demux_unit(spark):
     assert extract_resolved(cursors).collect()[0].resolved == "1.0,0"
 
 
+def test_invalid_utf8_becomes_replacement_chars(spark):
+    """Documented divergence from the reference (which errors,
+    src/main.rs:243): invalid UTF-8 bytes decode to U+FFFD so the stream
+    keeps flowing; the envelope stays parseable."""
+    df = spark.createDataFrame(
+        [("t", b"[1]", b'{"after": "\xff\xfe"}')],
+        "table string, key binary, value binary",
+    )
+    envelopes, _ = changefeed_pipeline(df)
+    line = envelopes.collect()[0].envelope
+    assert "�" in line
+    assert json.loads(line)["table"] == "t"
+
+
 def test_envelope_plan_is_codegen_only(spark):
     """The hot path must stay JVM-side: no Python eval nodes in the plan."""
     df = wire_rows(spark, [("foo", "[54]", GOLDEN_VALUE)])
