@@ -47,11 +47,21 @@ def brute_force_topk(
     """
     import numpy as np
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).collect()
+    max_queries = 100_000  # collect guard: the query matrix must stay
+    # driver/broadcast-sized (100k x 64 doubles ~ 50 MB); beyond that, use
+    # srp_lsh_topk / ivf_topk or chunk the query set.
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
     if not q_rows:
         raise ValueError("brute_force_topk: empty query set")
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk: query set exceeds {max_queries} rows; use the "
+            "LSH/IVF path or chunk the queries"
+        )
     q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))

@@ -85,6 +85,47 @@ def test_gc_threshold_fallback(tmp_path):
     assert len(rows) == 6
 
 
+def test_streaming_checkpoint_resume(spark, tmp_path):
+    """Stop the query, extend the feed, restart with the same checkpoint:
+    the source resumes from the committed offset (reference cursor-resume
+    semantics, main.rs:136-148, via Spark's offset log)."""
+    import json as _json
+
+    from crdb_changefeed_publisher_spark.streaming.pipeline import run_pipeline
+    from crdb_changefeed_publisher_spark.streaming.queues import DirQueue
+
+    feed = str(tmp_path / "feed.jsonl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_feed(feed, 10, 5)
+    register(spark)
+
+    def start():
+        sdf = (
+            spark.readStream.format("crdb_changefeed")
+            .option("replay", feed)
+            .option("batch_limit", "4")
+            .load()
+        )
+        return run_pipeline(sdf, out, ckpt)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(DirQueue.read_all(out)) == 8  # 10 rows - 2 resolved
+
+    write_feed(feed, 20, 5)  # extend recording: 10 new rows (2 resolved)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    msgs = DirQueue.read_all(out)
+    # resumed from the committed offset: 8 new envelopes appended, the first
+    # 10 feed rows were NOT replayed
+    assert len(msgs) == 16
+    ids = sorted(int(_json.loads(m)["key"][1:-1]) for m in msgs)
+    assert ids == [i for i in range(20) if i % 5 != 0]
+
+
 def test_streaming_end_to_end(spark, tmp_path):
     feed = str(tmp_path / "feed.jsonl")
     write_feed(feed, 20, 5)
