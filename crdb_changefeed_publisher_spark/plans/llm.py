@@ -148,6 +148,35 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "top_shingles_corpus",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    grams AS (
+        SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM words
+    )
+    SELECT shingle, count(*) AS n_occurrences
+    FROM grams GROUP BY shingle
+    ORDER BY n_occurrences DESC, shingle
+    LIMIT 20
+    """,
+    doc="Corpus-level top-20 word trigrams: explode (lateral) + aggregate + "
+    "deterministic top-k — the explode/flatten surface at scale (partial "
+    "counts map-side, TakeOrdered for the limit).",
+)
+def top_shingles_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.shingle_rows(docs)  # duplicates preserved => true occurrence counts
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "shingle")
+        .limit(20)
+    )
+
+
 # --- similarity search -----------------------------------------------------
 
 

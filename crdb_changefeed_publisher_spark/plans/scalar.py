@@ -122,6 +122,33 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "map_funcs_events",
+    oracle="""
+    SELECT k AS prop_key,
+           count(*)                  AS n_events,
+           round(avg(CAST(v AS INT)), 4) AS avg_value
+    FROM (SELECT unnest(json_keys(props)) AS k,
+                 json_extract_string(props, '$.' || unnest(json_keys(props))) AS v
+          FROM events)
+    GROUP BY k
+    """,
+    doc="Map-typed column surface: parse the JSON props into map<string,int>, "
+    "explode entries, aggregate per key.",
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("v"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
     "json_extract_events",
     oracle="""
     SELECT event_type,

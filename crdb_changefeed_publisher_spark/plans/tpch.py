@@ -289,13 +289,15 @@ def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers_without_orders_anti",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
-    doc="Left-anti join (NOT EXISTS).",
+    doc="Left-anti join (NOT EXISTS): customers with no urgent order.",
 )
 def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
@@ -342,13 +344,17 @@ def nation_setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_nationkey AS nationkey FROM nation
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
     """,
-    doc="EXCEPT: nations with no suppliers.",
+    doc="EXCEPT: nations with no high-balance suppliers.",
 )
 def nation_setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return n.exceptAll(s).distinct()
 
 

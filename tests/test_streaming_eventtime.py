@@ -87,6 +87,62 @@ def test_drop_duplicates_within_watermark(spark, events_stream_dir, tmp_path):
     assert n == n_unique  # each duplicated event_id emitted once
 
 
+def test_stream_stream_join_with_watermarks(spark, sf_dir, events_stream_dir):
+    """Stream-stream inner join: purchases joined to clicks of the same user
+    within the preceding hour, both sides watermarked (state is bounded by
+    the time-range condition — the streaming twin of the as-of family)."""
+    purchases = (
+        read_stream(spark, events_stream_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        read_stream(spark, events_stream_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_id", "c_id")
+    q = joined.writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    drain(q)
+    got = {(r.p_id, r.c_id) for r in spark.sql("select * from ss_join").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    want = {
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            (F.col("u") == F.col("cu"))
+            & (F.col("c_ts") < F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    # watermark may hold back pairs near the stream tail; everything emitted
+    # must be correct and cover (almost) all of the batch answer
+    assert got <= want
+    assert len(got) >= len(want) * 0.9
+
+
 def test_custom_stateful_running_user_totals(spark, events_stream_dir):
     """applyInPandasWithState: per-user running event count + value sum that
     persists across micro-batches (the custom-stateful-operator surface)."""
