@@ -198,6 +198,103 @@ def minhash_lsh_pairs(
     )
 
 
+PORTABLE_MOD = 1_000_000_007
+PORTABLE_BASE = 31
+_PORTABLE_MAX_SHINGLE = 256
+_PORTABLE_POWERS = [pow(PORTABLE_BASE, k, PORTABLE_MOD) for k in range(_PORTABLE_MAX_SHINGLE)]
+# k affine transforms (a_i * h + b_i) mod p over the base string hash —
+# coefficients are fixed so any engine reproduces the exact signature.
+PORTABLE_COEFFS = [(2 * i + 3, 7 * i + 1) for i in range(8)]
+
+
+def _portable_string_hash(col: Column) -> Column:
+    """Polynomial hash h = fold(h*31 + code) mod p over the string's chars,
+    closed-form with a precomputed power table (same construction as
+    text.fingerprint) — reproducible in any SQL engine with list lambdas."""
+    powers = F.array(*[F.lit(p) for p in _PORTABLE_POWERS])
+    chars = F.split(F.substring(col, 1, _PORTABLE_MAX_SHINGLE), "")
+    n = F.size(chars)
+    contrib = F.zip_with(
+        chars,
+        F.reverse(F.slice(powers, 1, n.cast("int"))),
+        lambda c, pw: (F.ascii(c).cast("long") * pw) % PORTABLE_MOD,
+    )
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x) % PORTABLE_MOD
+
+
+def minhash_portable_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash+LSH with an engine-portable hash family, so the entire
+    pipeline (shingles -> k minhashes -> 2 bands of 4 -> candidate pairs ->
+    estimated Jaccard) is value-verifiable against a SQL oracle.
+
+    Same scale shape as minhash_lsh_pairs (k codegen'd hash projections,
+    partial-aggregated mins, band equi-joins); the xxhash64 variant remains
+    the faster production path — this one exists to keep the LSH *logic*
+    under the correctness gate.
+    """
+    sh = shingle_rows(docs, text_col, id_col, n)
+    base = sh.select("doc_id", _portable_string_hash(F.col("shingle")).alias("h"))
+    k = len(PORTABLE_COEFFS)
+    sig = base.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * a + b) % PORTABLE_MOD).alias(f"m{i}")
+            for i, (a, b) in enumerate(PORTABLE_COEFFS)
+        ]
+    )
+    r = k // 2
+    band_hash = [
+        sum(
+            (F.col(f"m{i}") * _PORTABLE_POWERS[j + 1]) % PORTABLE_MOD
+            for j, i in enumerate(range(band * r, (band + 1) * r))
+        )
+        % PORTABLE_MOD
+        for band in range(2)
+    ]
+    banded = sig.select(
+        "doc_id",
+        *[F.col(f"m{i}") for i in range(k)],
+        band_hash[0].alias("b0"),
+        band_hash[1].alias("b1"),
+    )
+    # one equi-join per band, unioned then deduped — an OR-condition join
+    # would plan as a nested loop; per-band equi-joins shuffle on the band
+    # hash only (the LSH scale property)
+    match_count = sum(
+        F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0) for i in range(k)
+    )
+    per_band = []
+    for band_col in ("b0", "b1"):
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"m{i}").alias(f"am{i}") for i in range(k)],
+            F.col(band_col).alias("bh"),
+        )
+        b = banded.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"m{i}").alias(f"bm{i}") for i in range(k)],
+            F.col(band_col).alias("bh"),
+        )
+        per_band.append(
+            a.join(b, "bh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a", "doc_b", F.round(match_count / F.lit(k), 4).alias("est_jaccard")
+            )
+        )
+    return (
+        per_band[0]
+        .unionByName(per_band[1])
+        .distinct()
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -79,6 +79,72 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
 
 
+_MINHASH_SIG_COLS = ",\n".join(
+    f"        min((h * {a} + {b}) % 1000000007) AS m{i}"
+    for i, (a, b) in enumerate(dedup.PORTABLE_COEFFS)
+)
+_MINHASH_BANDS = ",\n".join(
+    "        ("
+    + " + ".join(
+        f"(m{i} * {dedup._PORTABLE_POWERS[j + 1]}) % 1000000007"
+        for j, i in enumerate(range(band * 4, band * 4 + 4))
+    )
+    + f") % 1000000007 AS b{band}"
+    for band in range(2)
+)
+_MINHASH_MATCHES = " + ".join(f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(8))
+
+
+@query(
+    "dedup_minhash_portable",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM words
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, least(length(shingle), 256) + 1),
+                                      i -> CAST(ascii(substr(shingle, i, 1)) AS BIGINT))),
+                   (h, c) -> (h * 31 + c) % 1000000007) AS h
+        FROM grams
+    ),
+    sig AS (
+        SELECT doc_id,
+{_MINHASH_SIG_COLS}
+        FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT *,
+{_MINHASH_BANDS}
+        FROM sig
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(({_MINHASH_MATCHES}) / 8.0, 4) AS est_jaccard
+        FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id,
+               round(({_MINHASH_MATCHES}) / 8.0, 4)
+        FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.2
+    """,
+    doc="MinHash+LSH with a fully engine-portable hash family (polynomial "
+    "string hash + affine transforms mod 1e9+7, 2 bands of 4): the entire "
+    "LSH pipeline — signatures, banding, candidate pairs, estimates — is "
+    "value-verified against the oracle. The xxhash64 variant stays as the "
+    "faster production path.",
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_portable_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
 @query(
     "dedup_simhash",
     oracle=None,  # xxhash64-based signature; rows-only check

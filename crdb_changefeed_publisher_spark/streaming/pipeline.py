@@ -34,11 +34,19 @@ from crdb_changefeed_publisher_spark.streaming.queues import DirQueue, MessageQu
 
 
 def publish_batch_to_dir(
-    batch: DataFrame, out_dir: str, key_col: str = "key", envelope_col_name: str = "envelope"
+    batch: DataFrame,
+    out_dir: str,
+    key_col: str = "key",
+    envelope_col_name: str = "envelope",
+    seq_col: str | None = None,
 ) -> None:
     """Publish one micro-batch with per-key ordering: repartition on key so
     all messages for a key land in one partition, then each partition opens
-    its queue and publishes sequentially with confirm-on-write."""
+    its queue and publishes sequentially with confirm-on-write.
+
+    When `seq_col` is given, rows are additionally sorted within each
+    partition by (key, seq) — a *provable* per-key order (the shuffle alone
+    only preserves arrival order per upstream partition)."""
 
     def publish_partition(rows):
         from pyspark import TaskContext
@@ -52,12 +60,11 @@ def publish_batch_to_dir(
         q.close()
         yield n
 
-    counts = (
-        batch.repartition(F.col(key_col))
-        .select(key_col, envelope_col_name)
-        .rdd.mapPartitions(publish_partition)
-        .collect()
-    )
+    cols = [key_col, envelope_col_name] + ([seq_col] if seq_col else [])
+    shuffled = batch.repartition(F.col(key_col)).select(*cols)
+    if seq_col:
+        shuffled = shuffled.sortWithinPartitions(key_col, seq_col)
+    counts = shuffled.rdd.mapPartitions(publish_partition).collect()
     MESSAGES_SENT.inc(sum(counts))
 
 
@@ -79,10 +86,15 @@ def make_foreach_batch(
             split_changes,
         )
 
-        decoded = decode_changefeed(batch_df)
+        # _seq stamps the batch's arrival order (monotonic within each input
+        # partition — exact feed order for single-partition sources like the
+        # changefeed reader) so the publish can sort per key.
+        decoded = decode_changefeed(batch_df).withColumn(
+            "_seq", F.monotonically_increasing_id()
+        )
         changes, cursors = split_changes(decoded)
-        with_env = changes.select("key", envelope_col().alias("envelope"))
-        publish_batch_to_dir(with_env, out_dir)
+        with_env = changes.select("key", "_seq", envelope_col().alias("envelope"))
+        publish_batch_to_dir(with_env, out_dir, seq_col="_seq")
 
         resolved = [r.resolved for r in extract_resolved(cursors).collect()]
         if resolved and cursor_store is not None:

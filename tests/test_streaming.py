@@ -89,6 +89,32 @@ def test_checkpoint_resume_at_least_once(spark, tmp_path):
     assert sum(1 for m in msgs if b"new-" in m) == 27
 
 
+def test_per_key_publish_order(spark, tmp_path):
+    """Multiple updates to the same key must publish in feed order
+    (reference preserves changefeed order end-to-end, main.rs:226-227;
+    here: per key via the _seq sort before partition-sequential publish)."""
+    n_keys, n_versions = 5, 8
+    rows = []
+    for v in range(n_versions):
+        for k in range(n_keys):
+            rows.append(("t", f"[{k}]".encode(), f'{{"after": {{"v": {v}}}}}'.encode()))
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(rows, "table string, key binary, value binary").coalesce(
+        1
+    ).write.parquet(feed)
+
+    q = start_stream(spark, feed, str(tmp_path / "out"), str(tmp_path / "ckpt"), None)
+    q.awaitTermination(120)
+
+    per_key: dict[str, list[int]] = {}
+    for m in DirQueue.read_all(str(tmp_path / "out")):
+        d = json.loads(m)
+        per_key.setdefault(d["key"], []).append(d["value"]["after"]["v"])
+    assert len(per_key) == n_keys
+    for key, versions in per_key.items():
+        assert versions == sorted(versions), f"key {key} out of order: {versions}"
+
+
 def test_metrics_endpoint(tmp_path):
     import urllib.request
 
