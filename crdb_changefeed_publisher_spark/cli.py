@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.queue == "dir" and not args.out_dir:
         print("--queue dir requires --out-dir", file=sys.stderr)
         return 2
+    if args.queue == "memory":
+        # An executor-side in-memory queue is invisible to the driver; accepting
+        # it would silently drop every message. InMemoryQueue is a unit-test
+        # double only.
+        print("--queue memory is a test double; use 'rabbitmq' or 'dir'", file=sys.stderr)
+        return 2
     spark = get_spark(f"crdb-changefeed-{args.table}")
     register(spark)
     server = serve_metrics()  # PROMETHEUS_ADDR or 0.0.0.0:8001, main.rs:57
@@ -75,11 +81,15 @@ def main(argv: list[str] | None = None) -> int:
     freq = float(args.cursor_frequency.rstrip("s")) if args.cursor_frequency.endswith("s") else 10.0
     query = run_pipeline(
         reader.load(),
-        out_dir=args.out_dir or "/tmp/crdb-changefeed-out",
+        out_dir=args.out_dir,
         checkpoint_dir=args.checkpoint or f"/tmp/crdb-changefeed-ckpt-{args.table}",
         cursor_store=store,
         trigger_seconds=None if args.once else freq,
         available_now=args.once,
+        queue_kind=args.queue,
+        amqp_addr=os.environ.get("AMQP_ADDR"),
+        # "queue name is required" when publishing to RabbitMQ (main.rs:69)
+        amqp_queue=os.environ["AMQP_QUEUE"] if args.queue == "rabbitmq" else None,
     )
     try:
         query.awaitTermination()

@@ -98,17 +98,34 @@ def envelope_col(
     byte-identical* (RawValue semantics): table/key are JSON-escaped via
     ``to_json(struct(...))`` (Jackson escaping == serde escaping for JSON
     strings), the trailing ``}`` is dropped, and the raw value is spliced in.
+
+    A change row with a NULL table, key, or value is malformed (only a row
+    with BOTH table and key NULL is a cursor row): the reference hard-errors
+    on such rows (src/main.rs:243-251 ``?`` on None), and ``to_json`` would
+    otherwise silently drop the field, emitting an envelope that violates the
+    documented 3-field schema — so this expression raises instead.
     """
     t = F.col(table) if isinstance(table, str) else table
     k = F.col(key) if isinstance(key, str) else key
     v = F.col(value) if isinstance(value, str) else value
     head = F.to_json(F.struct(t.alias("table"), k.alias("key")))
-    return F.concat(
+    envelope = F.concat(
         F.substring(head, 1, F.length(head) - F.lit(1)),
         F.lit(',"value":'),
         v,
         F.lit("}"),
     )
+    return F.when(
+        t.isNull() | k.isNull() | v.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("malformed change row (null field): table="),
+                F.coalesce(t, F.lit("<null>")),
+                F.lit(" key="),
+                F.coalesce(k, F.lit("<null>")),
+            )
+        ),
+    ).otherwise(envelope)
 
 
 def to_envelopes(changes: DataFrame) -> DataFrame:

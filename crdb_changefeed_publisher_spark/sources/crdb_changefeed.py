@@ -110,8 +110,10 @@ class JsonlReplayConnection:
         out: list[WireRow] = []
         with open(self.path, encoding="utf-8") as f:
             for i, line in enumerate(f):
-                if i < pos or len(out) >= limit:
+                if i < pos:
                     continue
+                if len(out) >= limit:
+                    break
                 t, k, v = json.loads(line)
                 out.append(
                     WireRow(
@@ -177,9 +179,15 @@ class ChangefeedSimpleStreamReader(SimpleDataSourceStreamReader):
         # for replay, "now" is position 0 of the recording.
         return {"pos": 0, "resolved": None}
 
-    def _fetch(self, start: dict, limit: int) -> list[WireRow]:
+    def _fetch(self, start: dict, limit: int) -> tuple[list[WireRow], int]:
+        """Fetch up to `limit` rows; returns (rows, effective_start).
+
+        `effective_start` is the position the rows actually begin at — equal
+        to `start["pos"]` normally, but advanced to the GC floor after a
+        fallback, so callers can compute the end offset from where the fetch
+        really started (otherwise fallback batches would be replayed twice)."""
         try:
-            return self.conn.fetch(start["pos"], start.get("resolved"), limit)
+            return self.conn.fetch(start["pos"], start.get("resolved"), limit), start["pos"]
         except GcThresholdError as e:
             # main.rs:175 (ignore_cursor): fall back to a cursor-less scan —
             # skip to "now", accept the gap, log loudly.
@@ -191,11 +199,12 @@ class ChangefeedSimpleStreamReader(SimpleDataSourceStreamReader):
                 e,
             )
             if isinstance(self.conn, JsonlReplayConnection):
-                return self.conn.fetch(self.conn.gc_floor, None, limit)
-            return self.conn.fetch(0, None, limit)
+                floor = self.conn.gc_floor
+                return self.conn.fetch(floor, None, limit), floor
+            return self.conn.fetch(0, None, limit), 0
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        rows = self._fetch(start, self.batch_limit)
+        rows, effective_start = self._fetch(start, self.batch_limit)
         resolved = start.get("resolved")
         for r in rows:
             if r.table is None and r.key is None:
@@ -203,11 +212,16 @@ class ChangefeedSimpleStreamReader(SimpleDataSourceStreamReader):
                     resolved = json.loads(r.value)["resolved"]
                 except (json.JSONDecodeError, KeyError):
                     pass
-        end = {"pos": start["pos"] + len(rows), "resolved": resolved}
+        end = {"pos": effective_start + len(rows), "resolved": resolved}
         return iter([(r.table, r.key, r.value) for r in rows]), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        rows = self._fetch(start, end["pos"] - start["pos"])
+        rows, effective_start = self._fetch(start, end["pos"] - start["pos"])
+        # After a fallback, rows begin at the GC floor, not start['pos'];
+        # never hand Spark more rows than the committed offset range.
+        needed = end["pos"] - effective_start
+        if len(rows) > max(needed, 0):
+            rows = rows[: max(needed, 0)]
         return iter([(r.table, r.key, r.value) for r in rows])
 
     def commit(self, end: dict) -> None:

@@ -18,7 +18,25 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Protocol
+from decimal import Decimal
+from typing import Iterable, Protocol
+
+
+def parse_hlc(ts: str) -> tuple[Decimal, int]:
+    """Parse a CRDB HLC timestamp string ``<wall>[.<frac>][,<logical>]`` into
+    a sortable (decimal wall time, logical counter) pair.
+
+    HLC strings must never be compared lexicographically: ``'9.x' > '10.x'``
+    and ``'ts,9' > 'ts,10'`` as strings. The pipeline persists cursors in feed
+    order (reference main.rs:229-235), so this is for consumers that need to
+    compare two persisted cursors correctly."""
+    head, _, logical = ts.partition(",")
+    return Decimal(head), int(logical) if logical else 0
+
+
+def max_hlc(cursors: Iterable[str]) -> str:
+    """The latest of several HLC timestamp strings under HLC order."""
+    return max(cursors, key=parse_hlc)
 
 
 class CursorStore(Protocol):

@@ -30,12 +30,15 @@ from pyspark.sql import functions as F
 from crdb_changefeed_publisher_spark.operators.changefeed import changefeed_pipeline
 from crdb_changefeed_publisher_spark.streaming.cursors import CursorStore
 from crdb_changefeed_publisher_spark.streaming.metrics import MESSAGES_SENT
-from crdb_changefeed_publisher_spark.streaming.queues import DirQueue, MessageQueue
+from crdb_changefeed_publisher_spark.streaming.queues import DirQueue, MessageQueue, make_queue
 
 
-def publish_batch_to_dir(
+def publish_batch(
     batch: DataFrame,
-    out_dir: str,
+    queue_kind: str = "dir",
+    out_dir: str | None = None,
+    amqp_addr: str | None = None,
+    amqp_queue: str | None = None,
     key_col: str = "key",
     envelope_col_name: str = "envelope",
     seq_col: str | None = None,
@@ -44,15 +47,32 @@ def publish_batch_to_dir(
     all messages for a key land in one partition, then each partition opens
     its queue and publishes sequentially with confirm-on-write.
 
+    `queue_kind` selects the sink per the QueueType registry: 'rabbitmq'
+    (reference default, AMQP with publisher confirms) or 'dir' (fsync-confirm
+    file queue). 'memory' is rejected here — an executor-side in-memory list
+    is invisible to the driver, so silently accepting it would drop data.
+
     When `seq_col` is given, rows are additionally sorted within each
     partition by (key, seq) — a *provable* per-key order (the shuffle alone
     only preserves arrival order per upstream partition)."""
+    if queue_kind == "dir" and out_dir is None:
+        raise ValueError("queue_kind='dir' requires out_dir")
+    if queue_kind not in ("dir", "rabbitmq"):
+        raise ValueError(
+            f"queue_kind {queue_kind!r} is not publishable from executors; use 'dir' or 'rabbitmq'"
+        )
 
     def publish_partition(rows):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        q = DirQueue(out_dir, pid)
+        q = make_queue(
+            queue_kind,
+            path=out_dir,
+            partition_id=pid,
+            amqp_addr=amqp_addr,
+            queue=amqp_queue or "rabbitmq",
+        )
         n = 0
         for row in rows:
             q.publish(row[envelope_col_name].encode())
@@ -68,21 +88,44 @@ def publish_batch_to_dir(
     MESSAGES_SENT.inc(sum(counts))
 
 
-def make_foreach_batch(
+def publish_batch_to_dir(
+    batch: DataFrame,
     out_dir: str,
+    key_col: str = "key",
+    envelope_col_name: str = "envelope",
+    seq_col: str | None = None,
+) -> None:
+    """Back-compat wrapper: publish_batch with the dir queue."""
+    publish_batch(
+        batch,
+        queue_kind="dir",
+        out_dir=out_dir,
+        key_col=key_col,
+        envelope_col_name=envelope_col_name,
+        seq_col=seq_col,
+    )
+
+
+def make_foreach_batch(
+    out_dir: str | None,
     cursor_store: CursorStore | None = None,
     on_batch: Callable[[int, int, list[str]], None] | None = None,
+    queue_kind: str = "dir",
+    amqp_addr: str | None = None,
+    amqp_queue: str | None = None,
 ):
     """foreachBatch function: demux the micro-batch via the shared transform,
-    publish change-envelopes (with key for ordering), mirror the max resolved
-    timestamp to the cursor store (reference main.rs:229-235 persists every
-    resolved row; the max within a batch is the same end state)."""
+    publish change-envelopes (with key for ordering) to the selected queue,
+    and mirror the *last* resolved timestamp in feed order to the cursor
+    store (reference main.rs:229-235 persists each resolved mark as it
+    arrives; persisting the batch's last one in feed order reaches the same
+    end state — note HLC strings must NOT be compared lexicographically:
+    '9.x' > '10.x' as strings)."""
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
         from crdb_changefeed_publisher_spark.operators.changefeed import (
             decode_changefeed,
             envelope_col,
-            extract_resolved,
             split_changes,
         )
 
@@ -94,11 +137,26 @@ def make_foreach_batch(
         )
         changes, cursors = split_changes(decoded)
         with_env = changes.select("key", "_seq", envelope_col().alias("envelope"))
-        publish_batch_to_dir(with_env, out_dir, seq_col="_seq")
+        publish_batch(
+            with_env,
+            queue_kind=queue_kind,
+            out_dir=out_dir,
+            amqp_addr=amqp_addr,
+            amqp_queue=amqp_queue,
+            seq_col="_seq",
+        )
 
-        resolved = [r.resolved for r in extract_resolved(cursors).collect()]
+        resolved = [
+            r.resolved
+            for r in cursors.select(
+                F.get_json_object(F.col("value"), "$.resolved").alias("resolved"), "_seq"
+            )
+            .filter(F.col("resolved").isNotNull())
+            .orderBy("_seq")
+            .collect()
+        ]
         if resolved and cursor_store is not None:
-            cursor_store.set(max(resolved))
+            cursor_store.set(resolved[-1])
         if on_batch is not None:
             n = MESSAGES_SENT.value
             on_batch(batch_id, n, resolved)
@@ -108,11 +166,14 @@ def make_foreach_batch(
 
 def run_pipeline(
     stream_df: DataFrame,
-    out_dir: str,
+    out_dir: str | None,
     checkpoint_dir: str,
     cursor_store: CursorStore | None = None,
     trigger_seconds: float | None = None,
     available_now: bool = False,
+    queue_kind: str = "dir",
+    amqp_addr: str | None = None,
+    amqp_queue: str | None = None,
 ):
     """Wire a changefeed-shaped streaming DataFrame to the publish sink.
 
@@ -120,7 +181,13 @@ def run_pipeline(
     cli.yml:18-21): micro-batch cadence == resolved/commit cadence.
     """
     writer = stream_df.writeStream.foreachBatch(
-        make_foreach_batch(out_dir, cursor_store)
+        make_foreach_batch(
+            out_dir,
+            cursor_store,
+            queue_kind=queue_kind,
+            amqp_addr=amqp_addr,
+            amqp_queue=amqp_queue,
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

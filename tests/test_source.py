@@ -83,6 +83,15 @@ def test_gc_threshold_fallback(tmp_path):
     # fell back to the floor: rows 4..9 only — the pre-floor rows are lost,
     # loudly, exactly like the reference
     assert len(rows) == 6
+    # the end offset accounts for where the fallback fetch actually started
+    # (floor 4 + 6 rows = 10), so the next batch does NOT republish rows 6..9
+    assert end["pos"] == 10
+    rows2, end2 = reader.read(end)
+    assert list(rows2) == []
+    assert end2["pos"] == 10
+    # replay of the committed fallback range is bounded by the offset range
+    again = list(reader.readBetweenOffsets({"pos": 0, "resolved": "0.0,0"}, end))
+    assert len(again) == 6
 
 
 def test_streaming_checkpoint_resume(spark, tmp_path):
