@@ -62,9 +62,13 @@ def main() -> None:
                 best = min(best, run_once(spec))
             except Exception:  # noqa: BLE001
                 pass
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 2)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    # One COMPACT line: the driver captures a bounded output tail, and round
+    # 1's 3 kB pretty-separated line overflowed it ("parsed": null in
+    # BENCH_r01.json) — compact separators + 2-decimal times keep the full
+    # line inside the capture window.
     print(
         json.dumps(
             {
@@ -73,7 +77,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

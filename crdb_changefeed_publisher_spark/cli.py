@@ -85,7 +85,9 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_dir=args.checkpoint or f"/tmp/crdb-changefeed-ckpt-{args.table}",
         cursor_store=store,
         trigger_seconds=None if args.once else freq,
-        available_now=args.once,
+        # the CLI always reads through the Python changefeed source, where
+        # Trigger.AvailableNow degrades to one batch — drain explicitly
+        drain_all=args.once,
         queue_kind=args.queue,
         amqp_addr=os.environ.get("AMQP_ADDR"),
         # "queue name is required" when publishing to RabbitMQ (main.rs:69)

@@ -47,17 +47,28 @@ CHANGEFEED_SCHEMA = T.StructType(
 )
 
 
-def decode_changefeed(df: DataFrame) -> DataFrame:
+def decode_changefeed(df: DataFrame, strict_utf8: bool = False) -> DataFrame:
     """UTF-8-decode binary key/value to strings (reference src/main.rs:243,250).
 
-    ``cast(BinaryType -> StringType)`` is the built-in UTF-8 decode; invalid
-    byte sequences become U+FFFD replacement chars rather than erroring (the
-    reference errors; use ``validate_utf8`` where strictness is needed).
+    Default (lenient): ``cast(BinaryType -> StringType)`` substitutes U+FFFD
+    for invalid byte sequences — a documented divergence (the pipeline keeps
+    flowing; bad rows stay observable in the output).
+    ``strict_utf8=True`` restores exact reference behavior: the reference's
+    ``String::from_utf8(...)?`` hard-errors on the first invalid sequence
+    (src/main.rs:243,250), and so does ``validate_utf8`` here.
     """
     cols = [F.col("table")]
     for c in ("key", "value"):
         col = df.schema[c].dataType
-        cols.append(F.col(c).cast("string").alias(c) if isinstance(col, T.BinaryType) else F.col(c))
+        if isinstance(col, T.BinaryType):
+            decoded = (
+                F.validate_utf8(F.col(c)).cast("string")
+                if strict_utf8
+                else F.col(c).cast("string")
+            )
+            cols.append(decoded.alias(c))
+        else:
+            cols.append(F.col(c))
     return df.select(*cols)
 
 

@@ -103,11 +103,15 @@ def jaccard_pairs_min_shingle(
     threshold: float = 0.2,
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard, blocked on the
-    lexicographic-min shingle (portable single-hash MinHash): only pairs
-    sharing their min shingle are compared, then exact Jaccard filters.
+    lexicographic-min shingle.
 
-    Scale shape: shuffle on the 1 min-shingle key (bounded blocks), pairs
-    within block via self-join, set ops on already-distinct shingle arrays.
+    RETIRED from the registered surface (kept for the equivalence test):
+    the lexicographic-min shingle is a heavy-hitter magnet — boilerplate
+    shingles ("lorem ipsum", license headers) become the min for whole
+    sub-corpora, and a block of m docs costs m^2/2 array_intersects. Round
+    1's bench had this at 24.6 s / slowest query. Use
+    `jaccard_pairs_minhash_block` (uniform hash blocking + size prefilter +
+    skew-bounded join) instead.
     """
     sh = shingle_sets(docs, text_col, id_col, n)
     a = sh.select(
@@ -121,6 +125,78 @@ def jaccard_pairs_min_shingle(
     return (
         a.join(b, "block")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_minhash_block(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    block_cap: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard, blocked on the MIN
+    PORTABLE HASH of the shingles (true 1-permutation MinHash).
+
+    Three scale properties the min-*shingle* variant lacked:
+
+    1. **Uniform blocks.** The block key is the min of a hash over distinct
+       shingles, so block collisions happen with probability = Jaccard
+       similarity — boilerplate text no longer funnels unrelated docs into
+       one mega-block.
+    2. **Exact-safe size prefilter.** J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+       so pairs failing the size-ratio bound are dropped BEFORE the
+       array_intersect — no result change, large constant saving.
+    3. **Skew-bounded join.** Blocks larger than `block_cap` are salted:
+       the probe side splits into ceil(m/cap) salt groups, the build side
+       replicates per salt; every pair still meets exactly once (result
+       unchanged) but no single task sees more than ~cap probe rows — the
+       m^2-in-one-task failure mode is gone even under adversarial input.
+
+    Shuffles: shingle explode -> groupBy doc (partial agg), groupBy block
+    count (tiny), pair equi-join on (block, salt). No O(n^2) stage.
+    """
+    from crdb_changefeed_publisher_spark.functions.phash import poly_hash
+
+    rows = shingle_rows(docs, text_col, id_col, n)
+    sets = (
+        rows.withColumn("h", poly_hash(F.col("shingle")))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_set("shingle")).alias("sh"),
+            F.min("h").alias("block"),
+        )
+    )
+    sizes = sets.groupBy("block").agg(F.count(F.lit(1)).alias("m"))
+    salted = sets.join(sizes, "block").withColumn(
+        "n_salt", F.ceil(F.col("m") / F.lit(block_cap)).cast("int")
+    )
+    probe = salted.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        "block",
+        F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int").alias("salt"),
+    )
+    build = salted.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        "block",
+        F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    size_ratio_ok = (
+        F.least(F.size("sh_a"), F.size("sh_b"))
+        / F.greatest(F.size("sh_a"), F.size("sh_b"))
+    ) >= threshold
+    return (
+        probe.join(build, ["block", "salt"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(size_ratio_ok)
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -210,7 +286,12 @@ PORTABLE_COEFFS = [(2 * i + 3, 7 * i + 1) for i in range(8)]
 def _portable_string_hash(col: Column) -> Column:
     """Polynomial hash h = fold(h*31 + code) mod p over the string's chars,
     closed-form with a precomputed power table (same construction as
-    text.fingerprint) — reproducible in any SQL engine with list lambdas."""
+    text.fingerprint) — reproducible in any SQL engine with list lambdas.
+
+    EXPRESSION form (interpreted HOF lambdas): kept only as the spec for the
+    equivalence test vs functions/phash.py::poly_hash, which computes the
+    identical value Arrow-vectorized ~5-10x faster. Production paths use
+    poly_hash."""
     powers = F.array(*[F.lit(p) for p in _PORTABLE_POWERS])
     chars = F.split(F.substring(col, 1, _PORTABLE_MAX_SHINGLE), "")
     n = F.size(chars)
@@ -238,8 +319,10 @@ def minhash_portable_pairs(
     the faster production path — this one exists to keep the LSH *logic*
     under the correctness gate.
     """
+    from crdb_changefeed_publisher_spark.functions.phash import poly_hash
+
     sh = shingle_rows(docs, text_col, id_col, n)
-    base = sh.select("doc_id", _portable_string_hash(F.col("shingle")).alias("h"))
+    base = sh.select("doc_id", poly_hash(F.col("shingle")).alias("h"))
     k = len(PORTABLE_COEFFS)
     sig = base.groupBy("doc_id").agg(
         *[
@@ -323,6 +406,148 @@ def simhash_signatures(
         bit = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
         sig = sig.bitwiseOR(F.when(F.col(f"v{b}") > 0, bit).otherwise(F.lit(0).cast("long")))
     return votes.select("doc_id", sig.alias("sig"))
+
+
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine >= threshold within a blocking cell,
+    computed as ONE numpy GEMM per cell via applyInPandas.
+
+    Round 1 evaluated an interpreted HOF-lambda cosine per candidate pair
+    (3.2 s at sf0.1); here each cell's m vectors cost a single m x m GEMM
+    and each vector crosses the wire once (grouped by cell), not once per
+    pair. At 100 TB the cell key comes from coarse quantization (IVF cell /
+    LSH bucket) so cells stay bounded; the GEMM is cell-local, no O(n^2)
+    global stage. Determinism: scores rounded to 6 decimals AFTER the
+    >= threshold cut on the raw value (same order as the SQL oracle); pair
+    orientation fixed by sorting ids ascending within the cell.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from crdb_changefeed_publisher_spark.functions.vectors import as_double
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["_v"]), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ m.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_sim": np.round(sims[ia[keep], ib[keep]], 6),
+            }
+        )
+
+    v = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(cell_col).alias("_cell"),
+        as_double(F.col(vec_col)).alias("_v"),
+    )
+    return v.groupBy("_cell").applyInPandas(cell, "vec_a long, vec_b long, cos_sim double")
+
+
+SIMHASH_PORTABLE_BITS = 30
+# one affine parity transform per signature bit (see docstring below)
+SIMHASH_COEFFS = [(2 * j + 3, 7 * j + 1) for j in range(SIMHASH_PORTABLE_BITS)]
+
+
+def simhash_portable_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text) -> (doc_id, sig: 30-bit SimHash long) using the portable
+    polynomial token hash, so the entire signature is value-reproducible in
+    any SQL engine (the xxhash64 64-bit variant in `simhash_signatures`
+    stays as the faster engine-native form).
+
+    Same shape as the 64-bit variant: explode tokens -> one vectorized hash
+    projection -> groupBy with 30 partial-aggregated bit-vote sums (map-side
+    combine; the shuffle carries 30 ints per doc) -> assemble the long.
+    Duplicate tokens vote once per occurrence (term-frequency weighting,
+    standard SimHash).
+
+    Bit j is the PARITY OF AN AFFINE TRANSFORM ``(h*a_j + b_j) mod p`` of
+    the token hash, not raw bit j of h: short tokens hash to small values
+    whose high bits are all zero, which correlated every signature's high
+    half and produced ~20% of all pairs as candidates. The affine parity
+    family mixes independently of token length (same trick as the portable
+    MinHash coefficients). h < 2^30 and a_j < 2^7, so the product stays
+    far inside int64 on any engine.
+    """
+    from crdb_changefeed_publisher_spark.functions.phash import poly_hash
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
+    )
+    hashed = toks.select("doc_id", poly_hash(F.col("tok")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    ((F.col("h") * a + b) % PORTABLE_MOD).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j, (a, b) in enumerate(SIMHASH_COEFFS)
+        ]
+    )
+    sig: Column = F.lit(0).cast("long")
+    for b in range(SIMHASH_PORTABLE_BITS):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", sig.alias("sig"))
+
+
+def simhash_portable_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by portable 30-bit SimHash: block on each of the two
+    15-bit chunks (pigeonhole candidate generation), then exact Hamming
+    verify — every value (signature, chunk, hamming) is oracle-checkable.
+    """
+    sig = simhash_portable_signatures(docs, text_col, id_col)
+    chunks = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("sig", i * 15).bitwiseAND(F.lit(0x7FFF)).alias("chunk"),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sig", "c.chunk_idx", "c.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash_pairs(

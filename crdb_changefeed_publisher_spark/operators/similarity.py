@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from crdb_changefeed_publisher_spark.functions.vectors import as_double, cosine
+from crdb_changefeed_publisher_spark.functions.vectors import as_double, cosine_arrow
 
 
 def brute_force_topk(
@@ -104,70 +104,87 @@ def brute_force_topk(
     )
 
 
+def srp_planes(
+    seed: int = 42, dim: int = 64, n_tables: int = 8, bits_per_table: int = 4
+):
+    """Seeded hyperplanes for SRP-LSH, ROUNDED to 6 decimals so the exact
+    same doubles can be embedded as literals in an oracle SQL string — this
+    is what makes the whole approximate operator value-verifiable."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((dim, n_tables * bits_per_table)), 6)
+
+
 def srp_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     n_tables: int = 8,
     bits_per_table: int = 4,
+    n_probes: int = 2,
     seed: int = 42,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k via multi-table signed-random-projection LSH.
+    """Approximate cosine top-k via multi-probe signed-random-projection LSH.
 
     L independent hash tables of b hyperplane sign bits each; a corpus
     vector is a candidate for a query when ANY table's b-bit bucket matches
-    (SRP bit collision prob = 1 - angle/pi, so P(candidate) =
-    1-(1-p^b)^L — the classic recall/cost dial). Exact cosine reranks the
-    deduplicated candidates. (A single wide signature — the first version of
-    this operator — had recall 0.01 on the fixture: requiring all bits to
-    match is essentially exact-match. Multi-table banding is the standard
-    construction.)
+    (SRP bit collision prob = 1 - angle/pi — the classic recall/cost dial).
+    Each query additionally probes, per table, the `n_probes` buckets
+    obtained by flipping its nearest-to-boundary bits (smallest |margin|) —
+    the standard multi-probe trick: recall of many more tables at the cost
+    of a few extra probe rows on the (tiny) query side only.
 
-    Scale shape: signatures are one GEMM mapInPandas pass per side; the
-    candidate join is an equi-join on (table_idx, bucket); rerank is
-    candidate-local; dedup is a distinct on (query, neighbor). Deterministic:
-    seeded planes, scores rounded before ranking, id tiebreaks.
+    Scale shape (round-2 rewrite): the signature pass emits (id, table,
+    bucket) ONLY — round 1 carried the full vector through the signature
+    explode, an L-fold shuffle amplification of the embedding payload at
+    100 TB. Vectors are re-joined by id just for the candidate-local rerank.
+    Deterministic end-to-end: seeded planes rounded to 6 decimals, margins
+    rounded before the sign/argmin, scores rounded before ranking, id
+    tiebreaks — so the oracle (same planes as SQL literals) reproduces every
+    bucket, probe, candidate, and rank.
     """
     import numpy as np
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_tables * bits_per_table))
+    planes = srp_planes(seed, dim, n_tables, bits_per_table)
     weights = 1 << np.arange(bits_per_table, dtype=np.int64)
 
-    def signatures(df: DataFrame, prefix: str) -> DataFrame:
+    def signatures(df: DataFrame, prefix: str, probe: bool) -> DataFrame:
         def run(batches):
             for pdf in batches:
                 mat = np.array(list(pdf["v"]), dtype=np.float64)
-                bits = (mat @ planes) > 0  # |rows| x (L*b)
-                out_id, out_t, out_b, out_v = [], [], [], []
+                margins = np.round(mat @ planes, 6)  # |rows| x (L*b)
+                ids = pdf["id"].to_numpy()
+                out_id, out_t, out_b = [], [], []
                 for t in range(n_tables):
-                    chunk = bits[:, t * bits_per_table : (t + 1) * bits_per_table]
-                    buckets = (chunk * weights).sum(axis=1)
-                    out_id.extend(pdf["id"])
-                    out_t.extend([t] * len(pdf))
+                    chunk = margins[:, t * bits_per_table : (t + 1) * bits_per_table]
+                    buckets = ((chunk > 0) * weights).sum(axis=1)
+                    out_id.extend(ids)
+                    out_t.extend([t] * len(ids))
                     out_b.extend(buckets)
-                    out_v.extend(pdf["v"])
+                    if probe:
+                        # flip the n_probes smallest-|margin| bits, one at a
+                        # time (stable sort => ties break on lowest bit idx)
+                        order = np.argsort(np.abs(chunk), axis=1, kind="stable")
+                        for p in range(min(n_probes, bits_per_table)):
+                            flip = order[:, p]
+                            out_id.extend(ids)
+                            out_t.extend([t] * len(ids))
+                            out_b.extend(buckets ^ (1 << flip.astype(np.int64)))
                 yield pd.DataFrame(
-                    {
-                        f"{prefix}_id": out_id,
-                        "table_idx": out_t,
-                        "bucket": out_b,
-                        f"{prefix}_v": out_v,
-                    }
+                    {f"{prefix}_id": out_id, "table_idx": out_t, "bucket": out_b}
                 )
 
         src = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        return src.mapInPandas(
-            run, f"{prefix}_id long, table_idx int, bucket long, {prefix}_v array<double>"
-        )
+        return src.mapInPandas(run, f"{prefix}_id long, table_idx int, bucket long")
 
-    q_sig = signatures(queries, "query")
-    c_sig = signatures(corpus, "neighbor").drop("neighbor_v")
+    q_sig = signatures(queries, "query", probe=True)
+    c_sig = signatures(corpus, "neighbor", probe=False)
     candidates = (
-        c_sig.join(q_sig, ["table_idx", "bucket"])
+        c_sig.join(F.broadcast(q_sig), ["table_idx", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -182,7 +199,7 @@ def srp_lsh_topk(
     return (
         candidates.join(c_vecs, "neighbor_id")
         .join(F.broadcast(q_vecs), "query_id")
-        .withColumn("score", F.round(cosine(F.col("query_v"), F.col("neighbor_v")), 6))
+        .withColumn("score", cosine_arrow(F.col("query_v"), F.col("neighbor_v")))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
@@ -229,7 +246,7 @@ def ivf_topk(
     probe_w = Window.partitionBy("query_id").orderBy(F.col("cell_score").desc(), F.col("cell"))
     probes = (
         q.join(F.broadcast(cents))
-        .withColumn("cell_score", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
+        .withColumn("cell_score", cosine_arrow(F.col("qv"), F.col("centroid")))
         .withColumn("cell_rnk", F.row_number().over(probe_w))
         .filter(F.col("cell_rnk") <= n_probe)
         .select("query_id", "qv", "cell")
@@ -243,7 +260,7 @@ def ivf_topk(
     return (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("score", cosine_arrow(F.col("qv"), F.col("cv")))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")

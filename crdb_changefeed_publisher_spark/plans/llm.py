@@ -41,18 +41,30 @@ def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.normalized_duplicates(load_table(spark, sf_dir, "documents"))
 
 
+def _poly_hash_sql(expr: str, max_len: int = 256) -> str:
+    """DuckDB rendering of functions/phash.py::poly_hash (same fold mod p)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, least(length({expr}), {max_len}) + 1), "
+        f"i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))), "
+        f"(h, c) -> (h * 31 + c) % 1000000007)"
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH words AS (
         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-    ), sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
-                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
         FROM words
+    ), hashed AS (
+        SELECT doc_id, shingle, {_poly_hash_sql('shingle')} AS h FROM grams
     ), blocked AS (
-        SELECT doc_id, sh, list_aggregate(sh, 'min') AS block FROM sh
+        SELECT doc_id, list_distinct(list(shingle)) AS sh, min(h) AS block
+        FROM hashed GROUP BY doc_id
     )
     SELECT doc_a, doc_b, jaccard FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -63,10 +75,14 @@ def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE jaccard >= 0.2
     """,
     doc="Near-dup pairs: exact word-3-gram Jaccard over candidates blocked on "
-    "the lexicographic-min shingle (portable 1-hash MinHash).",
+    "the min PORTABLE HASH of the shingles (1-permutation MinHash; uniform "
+    "blocks), with an exact-safe size-ratio prefilter and a salted cap on "
+    "block fan-out (operators/dedup.py::jaccard_pairs_minhash_block).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs_min_shingle(load_table(spark, sf_dir, "documents"), threshold=0.2)
+    return dedup.jaccard_pairs_minhash_block(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
 
 
 @query(
@@ -145,13 +161,50 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_portable_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
 
 
+_SIMHASH_VOTES = ",\n               ".join(
+    f"sum(CASE WHEN ((h * {a} + {b}) % 1000000007) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j, (a, b) in enumerate(dedup.SIMHASH_COEFFS)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+    for b in range(dedup.SIMHASH_PORTABLE_BITS)
+)
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based signature; rows-only check
-    doc="SimHash-64 near-dup pairs via 16-bit chunk banding + Hamming verify.",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ), hashed AS (
+        SELECT doc_id, {_poly_hash_sql('tok')} AS h FROM toks
+    ), votes AS (
+        SELECT doc_id,
+               {_SIMHASH_VOTES}
+        FROM hashed GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id, ({_SIMHASH_SIG})::BIGINT AS sig FROM votes
+    ), chunks AS (
+        SELECT doc_id, sig, 0 AS chunk_idx, sig & 32767 AS chunk FROM sig
+        UNION ALL
+        SELECT doc_id, sig, 1, (sig >> 15) & 32767 FROM sig
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 8
+    """,
+    doc="SimHash near-dup pairs, 30-bit PORTABLE signature (polynomial token "
+    "hash, per-bit partial-agg votes), 15-bit chunk banding + Hamming "
+    "verify — the full SimHash mechanism is value-verified against the "
+    "oracle. The engine-native 64-bit xxhash64 variant stays in "
+    "operators/dedup.py::simhash_pairs as the wider-fingerprint fast path "
+    "(equivalence-tested, not registered).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=16)
+    return dedup.simhash_portable_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
 
 
 @query(
@@ -167,24 +220,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
     """,
     doc="Embedding-cosine near-duplicate pairs (>= 0.3, tuned to the synthetic embedding distribution) blocked on the label "
-    "cell — the semantic-dedup tier: at 100 TB the blocking key comes from "
-    "coarse quantization (IVF cell / LSH bucket), making the pair join "
-    "cell-local instead of O(n^2).",
+    "cell — the semantic-dedup tier: one numpy GEMM per cell "
+    "(operators/dedup.py::embedding_cosine_pairs); at 100 TB the blocking "
+    "key comes from coarse quantization (IVF cell / LSH bucket), making the "
+    "computation cell-local instead of O(n^2).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crdb_changefeed_publisher_spark.functions.vectors import as_double, cosine
-
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("e").alias("eb"))
-    sim = cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(sim >= 0.3)
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
-    )
+    return dedup.embedding_cosine_pairs(emb, threshold=0.3)
 
 
 # portable RE2/Java alternation (no lookarounds): words | numbers | single
@@ -273,17 +316,88 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(queries, emb, k=5)
 
 
+def _srp_plane_values() -> str:
+    """The seeded SRP hyperplanes as SQL VALUES rows (tbl, bit, p).
+
+    The planes are rounded to 6 decimals at generation
+    (similarity.srp_planes), so their shortest-repr decimal literals parse
+    back to the IDENTICAL doubles in DuckDB — both engines hash with the
+    same numbers, which is what makes an LSH operator value-verifiable.
+    """
+    planes = similarity.srp_planes()  # (dim=64, 8 tables x 4 bits)
+    rows = []
+    for t in range(8):
+        for j in range(4):
+            col = planes[:, t * 4 + j].tolist()
+            lit = "[" + ", ".join(repr(x) for x in col) + "]::DOUBLE[]"
+            rows.append(f"({t}, {j}, {lit})")
+    return ",\n        ".join(rows)
+
+
 @query(
     "embedding_topk_srp_lsh",
-    oracle=None,  # approximate (bucketed recall); rows-only check
-    doc="Approximate top-5 via multi-table signed-random-projection LSH "
-    "(8 tables x 4 seeded hyperplane bits; candidate on any bucket match; "
-    "exact cosine rerank — measured recall 0.78 vs exact top-5 at sf0.01).",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
+    planes(tbl, bit, p) AS (VALUES
+        {_srp_plane_values()}
+    ),
+    cproj AS (
+        SELECT v.vec_id, tbl, bit, round(list_dot_product(e, p), 6) AS m
+        FROM v CROSS JOIN planes
+    ),
+    cbuck AS (
+        SELECT vec_id, tbl,
+               (sum(CASE WHEN m > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END))::BIGINT AS bucket
+        FROM cproj GROUP BY vec_id, tbl
+    ),
+    qproj AS (SELECT * FROM cproj WHERE vec_id % 25 = 0),
+    qbuck AS (SELECT * FROM cbuck WHERE vec_id % 25 = 0),
+    qflips AS (
+        SELECT vec_id, tbl, bit FROM (
+            SELECT vec_id, tbl, bit,
+                   row_number() OVER (PARTITION BY vec_id, tbl
+                                      ORDER BY abs(m), bit) AS rn
+            FROM qproj
+        ) WHERE rn <= 2
+    ),
+    qprobe AS (
+        SELECT vec_id, tbl, bucket FROM qbuck
+        UNION
+        SELECT f.vec_id, f.tbl, xor(b.bucket, (1::BIGINT << f.bit))
+        FROM qflips f JOIN qbuck b ON b.vec_id = f.vec_id AND b.tbl = f.tbl
+    ),
+    cand AS (
+        SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM qprobe qp JOIN cbuck c ON c.tbl = qp.tbl AND c.bucket = qp.bucket
+        WHERE c.vec_id <> qp.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(q.e, n.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(n.e, n.e))), 6) AS score
+        FROM cand
+        JOIN q ON q.vec_id = cand.query_id
+        JOIN v n ON n.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="Approximate top-5 via multi-probe signed-random-projection LSH "
+    "(8 tables x 4 seeded hyperplane bits + 2 nearest-boundary bit-flip "
+    "probes per table; ids-only signature pass; exact cosine rerank). "
+    "Deterministic end-to-end — the oracle embeds the same rounded "
+    "hyperplanes as literals, so buckets, probes, candidates, and ranks are "
+    "all value-verified.",
 )
 def embedding_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.srp_lsh_topk(queries, emb, k=5)
+    return similarity.srp_lsh_topk(queries, emb, k=5, n_probes=2)
 
 
 @query(
@@ -443,8 +557,12 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Polynomial rolling-hash document fingerprint (h*31+code mod 1e9+7), "
-    "identical fold on both engines.",
+    "identical fold on both engines; Arrow-vectorized "
+    "(functions/phash.py; the expression form in operators/text.py is the "
+    "spec, equivalence-tested).",
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.functions.phash import poly_hash
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+    return docs.select("doc_id", poly_hash(F.col("text"), max_len=4096).alias("fp"))

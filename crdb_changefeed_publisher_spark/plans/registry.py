@@ -31,25 +31,68 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     doc: str
+    cost: float = 0.5  # rough sf0.1 wall seconds, used only for run ordering
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# Measured sf0.1 bench seconds (idle-machine min-of-2, post round-2
+# rewrites). Queries not listed default to 0.5 s. Pure run-ordering
+# metadata.
+COST_HINTS: dict[str, float] = {
+    "cdc_change_counts_by_table": 0.4,
+    "asof_purchase_last_click_merge": 0.43,
+    "best_order_per_customer": 0.43,
+    "top_shingles_corpus": 0.45,
+    "q3_shipping_priority": 0.47,
+    "order_ship_latency": 0.49,
+    "embedding_topk_bruteforce": 0.51,
+    "lang_id_confusion": 0.57,
+    "q5_region_revenue": 0.59,
+    "order_price_percentiles": 0.61,
+    "asof_purchase_last_click": 0.62,
+    "doc_fingerprints": 0.96,
+    "dedup_minhash_portable": 1.13,
+    "dedup_minhash_lsh": 1.19,
+    "dedup_ngram_jaccard": 1.32,
+    "dedup_simhash": 1.39,
+    "embedding_topk_srp_lsh": 1.76,
+    "embedding_topk_ivf": 1.89,
+}
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator registering a named query with its oracle SQL."""
+
+def query(name: str, oracle: str | None = None, doc: str = "", cost: float | None = None):
+    """Decorator registering a named query with its oracle SQL.
+
+    `cost` is a coarse expected-runtime hint (seconds at sf0.1; defaults to
+    COST_HINTS / 0.5). It does not change any result; it only orders
+    `all_specs()`.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            cost=COST_HINTS.get(name, 0.5) if cost is None else cost,
+        )
         return fn
 
     return deco
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    """All registered queries, CHEAPEST FIRST (cost hint, then name).
+
+    The driver iterates this dict in order under a global time budget; in
+    round 1 the 12 most-expensively-placed queries got no CORRECTNESS row
+    because the budget expired mid-list. Cheapest-first maximizes the number
+    of queries that get a recorded correctness signal whatever the budget.
+    """
+    return dict(sorted(_REGISTRY.items(), key=lambda kv: (kv[1].cost, kv[0])))
 
 
 def get_spec(name: str) -> QuerySpec:

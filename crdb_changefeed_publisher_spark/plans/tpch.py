@@ -194,15 +194,27 @@ def running_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS nation_rnk
     FROM supplier
     """,
-    doc="Global + partitioned ranking windows on raw (exact) values.",
+    doc="Global + partitioned ranking windows on raw (exact) values. The "
+    "global dense_rank is computed TWO-PHASE (functions/ranks.py: range "
+    "partition -> local rank -> cumulative distinct-count offsets), so no "
+    "single-partition WindowExec appears even on fact-sized input.",
 )
 def supplier_acctbal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.functions.ranks import global_rank
+
     s = _t(spark, sf_dir, "supplier")
-    return s.select(
+    ranked = global_rank(
+        s,
+        order_cols=[F.col("s_acctbal").desc()],
+        key_cols=["s_acctbal"],
+        kind="dense_rank",
+        out="drnk",
+    )
+    return ranked.select(
         "s_suppkey",
         "s_nationkey",
         "s_acctbal",
-        F.dense_rank().over(Window.orderBy(F.col("s_acctbal").desc())).alias("drnk"),
+        "drnk",
         F.rank()
         .over(Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc()))
         .alias("nation_rnk"),

@@ -171,6 +171,7 @@ def run_pipeline(
     cursor_store: CursorStore | None = None,
     trigger_seconds: float | None = None,
     available_now: bool = False,
+    drain_all: bool = False,
     queue_kind: str = "dir",
     amqp_addr: str | None = None,
     amqp_queue: str | None = None,
@@ -179,6 +180,14 @@ def run_pipeline(
 
     trigger_seconds is the cursor-frequency analog (reference default 10s,
     cli.yml:18-21): micro-batch cadence == resolved/commit cadence.
+
+    `available_now` uses Spark's Trigger.AvailableNow — correct for file
+    sources, but a Python SimpleDataSourceStreamReader silently degrades to
+    ONE micro-batch under it (probed on pyspark 4.1: 17/105 rows drained).
+    For the custom changefeed source use `drain_all=True` instead: run real
+    micro-batches, block until every row available at (and during) the run
+    is processed (`processAllAvailable`), then stop — the `--once` drain
+    semantics, with the final resolved cursor mirrored as usual.
     """
     writer = stream_df.writeStream.foreachBatch(
         make_foreach_batch(
@@ -189,11 +198,16 @@ def run_pipeline(
             amqp_queue=amqp_queue,
         )
     ).option("checkpointLocation", checkpoint_dir)
-    if available_now:
+    if available_now and not drain_all:
         writer = writer.trigger(availableNow=True)
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    query = writer.start()
+    if drain_all:
+        query.processAllAvailable()
+        query.stop()
+        query.awaitTermination(60)
+    return query
 
 
 def streaming_envelopes(stream_df: DataFrame) -> DataFrame:

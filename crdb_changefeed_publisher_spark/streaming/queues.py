@@ -46,13 +46,24 @@ class InMemoryQueue:
 class DirQueue:
     """Append-to-file queue: each partition opens its own file, writes are
     sequential and flushed per message (the publisher-confirm analog —
-    a message is 'confirmed' once fsync'd)."""
+    a message is 'confirmed' once fsync'd).
 
-    def __init__(self, path: str, partition_id: int = 0) -> None:
+    `batch_id` switches on the IDEMPOTENT layout: the file is keyed by
+    (batch_id, partition) and TRUNCATED on open, so a foreachBatch retry of
+    the same batch overwrites its own previous attempt instead of appending
+    duplicates — the standard exactly-once-ish recipe for deterministic
+    micro-batches (Spark replays a failed batch under the same batch_id).
+    Default (no batch_id) appends: reference-parity at-least-once."""
+
+    def __init__(self, path: str, partition_id: int = 0, batch_id: int | None = None) -> None:
         self.path = path
         os.makedirs(path, exist_ok=True)
+        if batch_id is None:
+            name, mode = f"partition-{partition_id:05d}.jsonl", "ab"
+        else:
+            name, mode = f"batch-{batch_id:08d}-partition-{partition_id:05d}.jsonl", "wb"
         self._f = open(  # noqa: SIM115 - lifetime managed by close()
-            os.path.join(path, f"partition-{partition_id:05d}.jsonl"), "ab"
+            os.path.join(path, name), mode
         )
 
     def publish(self, message: bytes) -> None:
@@ -99,13 +110,14 @@ class RabbitMQQueue:
 
 
 def make_queue(kind: str, *, path: str | None = None, partition_id: int = 0,
-               amqp_addr: str | None = None, queue: str = "rabbitmq") -> MessageQueue:
+               amqp_addr: str | None = None, queue: str = "rabbitmq",
+               batch_id: int | None = None) -> MessageQueue:
     """QueueType registry (reference src/model.rs:6-16 has only 'rabbitmq')."""
     if kind == "rabbitmq":
         return RabbitMQQueue(amqp_addr or os.environ.get("AMQP_ADDR", "amqp://127.0.0.1:5672"), queue)
     if kind == "dir":
         assert path is not None
-        return DirQueue(path, partition_id)
+        return DirQueue(path, partition_id, batch_id=batch_id)
     if kind == "memory":
         return InMemoryQueue()
     raise ValueError(f"unknown queue type: {kind}")

@@ -24,7 +24,23 @@ TABLE_NAMES = [
 ]
 
 
+# name -> saved-table identifier. When set (tools/bucket_bench.py, scale
+# tests), load_table serves the bucketed catalog table instead of the plain
+# parquet path, so the SAME registered query plans run against bucketed
+# storage — co-located, exchange-free fact-fact joins — without forking the
+# query definitions.
+_BUCKETED_OVERRIDES: dict[str, str] = {}
+
+
+def set_bucketed_overrides(mapping: dict[str, str] | None) -> None:
+    _BUCKETED_OVERRIDES.clear()
+    if mapping:
+        _BUCKETED_OVERRIDES.update(mapping)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name in _BUCKETED_OVERRIDES:
+        return spark.table(_BUCKETED_OVERRIDES[name])
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as raw int64 nanos (see session.py); expose a

@@ -104,6 +104,25 @@ def test_invalid_utf8_becomes_replacement_chars(spark):
     assert json.loads(line)["table"] == "t"
 
 
+def test_invalid_utf8_strict_mode_errors_like_reference(spark):
+    """strict_utf8=True restores exact reference behavior: hard-error on the
+    first invalid byte sequence (src/main.rs:243,250 `?` on from_utf8)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("t", b"[1]", b'{"after": "\xff\xfe"}')],
+        "table string, key binary, value binary",
+    )
+    with pytest.raises(Exception, match="(?i)utf"):
+        decode_changefeed(df, strict_utf8=True).collect()
+    # valid input passes untouched under strict mode
+    ok = spark.createDataFrame(
+        [("t", b"[1]", b'{"after": {"a": 1}}')],
+        "table string, key binary, value binary",
+    )
+    assert decode_changefeed(ok, strict_utf8=True).collect()[0].value == '{"after": {"a": 1}}'
+
+
 def test_envelope_plan_is_codegen_only(spark):
     """The hot path must stay JVM-side: no Python eval nodes in the plan."""
     df = wire_rows(spark, [("foo", "[54]", GOLDEN_VALUE)])

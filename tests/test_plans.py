@@ -47,8 +47,14 @@ def test_cdc_envelopes_no_python_no_shuffle(spark, sf_dir):
 
 
 def test_text_ops_stay_jvm_side(spark, sf_dir):
-    for name in ["text_quality_scores", "doc_fingerprints", "lang_id_confusion"]:
+    for name in ["text_quality_scores", "lang_id_confusion"]:
         assert "EvalPython" not in physical_plan(spark, name, sf_dir), name
+    # doc_fingerprints moved to the Arrow-vectorized portable hash in round 2
+    # (HOF char-fold was interpreted + 2.5 s); Arrow batches are sanctioned,
+    # row-at-a-time Python is not.
+    plan = physical_plan(spark, "doc_fingerprints", sf_dir)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_minhash_has_partial_aggregation(spark, sf_dir):

@@ -1,0 +1,203 @@
+"""Round-2 operator tests: vectorized portable hash, minhash-blocked Jaccard
+(skew-bounded), portable SimHash, multi-probe SRP-LSH recall, GEMM reranks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.functions import phash
+from crdb_changefeed_publisher_spark.functions.vectors import as_double, cosine, cosine_arrow
+from crdb_changefeed_publisher_spark.operators import dedup, similarity, text
+from crdb_changefeed_publisher_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_poly_hash_matches_expression_forms(spark):
+    """phash.poly_hash (Arrow) == the interpreted HOF spec forms on real docs."""
+    docs = load_table(spark, SF, "documents").limit(50)
+    rows = docs.select(
+        phash.poly_hash(F.col("text"), max_len=4096).alias("fast"),
+        text.fingerprint(F.col("text")).alias("spec"),
+    ).collect()
+    assert rows and all(r.fast == r.spec for r in rows)
+    sh = dedup.shingle_rows(docs).limit(200)
+    rows = sh.select(
+        phash.poly_hash(F.col("shingle")).alias("fast"),
+        dedup._portable_string_hash(F.col("shingle")).alias("spec"),
+    ).collect()
+    assert rows and all(r.fast == r.spec for r in rows)
+
+
+def test_jaccard_minhash_block_identical_docs(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),
+            (3, "completely different text here now"),
+        ],
+    )
+    pairs = dedup.jaccard_pairs_minhash_block(df, threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_jaccard_block_cap_preserves_results_and_bounds_tasks(spark):
+    """Adversarial heavy-hitter: every doc shares one boilerplate shingle that
+    is also the min-hash block key. The salted cap must (a) not change the
+    result, (b) bound the probe-side rows per (block, salt) task."""
+    # 'zzz zzz zzz' dominates; each doc also has unique filler
+    rows = [(i, f"zzz zzz zzz filler{i} mid{i} tail{i}") for i in range(12)]
+    df = docs_df(spark, rows)
+    capped = dedup.jaccard_pairs_minhash_block(df, threshold=0.05, block_cap=3)
+    uncapped = dedup.jaccard_pairs_minhash_block(df, threshold=0.05, block_cap=10**9)
+    got_c = {(p.doc_a, p.doc_b, p.jaccard) for p in capped.collect()}
+    got_u = {(p.doc_a, p.doc_b, p.jaccard) for p in uncapped.collect()}
+    # the salted cap changes the physical join layout, never the result
+    assert got_c == got_u and len(got_u) == 45
+    # every pair exactly once (no salt duplication)
+    pairs = [(p.doc_a, p.doc_b) for p in capped.collect()]
+    assert len(pairs) == len(set(pairs))
+    # probe-side task bound: replicate the salting and check group sizes
+    sets = (
+        dedup.shingle_rows(df)
+        .withColumn("h", phash.poly_hash(F.col("shingle")))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("block"))
+    )
+    sizes = sets.groupBy("block").agg(F.count(F.lit(1)).alias("m"))
+    max_m = sizes.agg(F.max("m")).collect()[0][0]
+    assert max_m > 3, "heavy-hitter block did not form; salting path untested"
+    salted = sets.join(sizes, "block").withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.ceil(F.col("m") / 3).cast("int"))
+    )
+    grp = salted.groupBy("block", "salt").count().agg(F.max("count")).collect()[0][0]
+    # the mega-block's probe side splits across ceil(m/cap) salts: no task
+    # group anywhere near the uncapped m
+    assert grp < max_m, (grp, max_m)
+
+
+def test_simhash_portable_identical_docs_hamming_zero(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+    )
+    sigs = {r.doc_id: r.sig for r in dedup.simhash_portable_signatures(df).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    assert 0 <= sigs[1] < (1 << dedup.SIMHASH_PORTABLE_BITS)
+    pairs = {
+        (p.doc_a, p.doc_b): p.hamming
+        for p in dedup.simhash_portable_pairs(df, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+
+def test_cosine_arrow_matches_expression(spark):
+    emb = load_table(spark, SF, "embeddings").limit(64)
+    a = emb.select(F.col("vec_id").alias("ia"), as_double(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), as_double(F.col("embedding")).alias("vb"))
+    joined = a.join(b, a.ia % 8 == b.ib % 8)
+    rows = joined.select(
+        cosine_arrow(F.col("va"), F.col("vb")).alias("fast"),
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("spec"),
+    ).collect()
+    assert rows and all(abs(r.fast - r.spec) < 1e-9 for r in rows)
+
+
+def test_embedding_cosine_pairs_matches_expression_join(spark):
+    emb = load_table(spark, SF, "embeddings")
+    gemm = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.3).collect()
+    }
+    v = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), "label", F.col("e").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    ref = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.3)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .collect()
+    }
+    assert gemm == ref
+
+
+def test_srp_lsh_recall_vs_bruteforce(spark):
+    """Multi-probe SRP-LSH must recover >= 0.9 of the exact top-5 sets."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.srp_lsh_topk(queries, emb, k=5, n_probes=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_global_rank_matches_naive_window(spark):
+    """Two-phase global rank == single-partition window for every kind,
+    including ties, on a fact-sized (orders) input."""
+    from pyspark.sql import Window
+
+    from crdb_changefeed_publisher_spark.functions.ranks import global_rank
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", (F.col("o_totalprice") % 1000).cast("int").alias("bucketed")
+    )  # bucketing the price forces plenty of ties
+    order = [F.col("bucketed").desc(), F.col("o_orderkey")]
+    naive_w = Window.orderBy(*order)
+    for kind in ("rank", "dense_rank", "row_number"):
+        got = {
+            r.o_orderkey: r.rnk
+            for r in global_rank(
+                o, order_cols=order, key_cols=["bucketed", "o_orderkey"], kind=kind
+            ).collect()
+        }
+        want = {
+            r.o_orderkey: r.rnk
+            for r in o.withColumn("rnk", getattr(F, kind)().over(naive_w)).collect()
+        }
+        assert got == want, kind
+    # and the two-phase plan has no single-partition data window: its only
+    # unpartitioned window runs over the per-partition stats rows
+    plan = global_rank(
+        o, order_cols=order, key_cols=["bucketed", "o_orderkey"], kind="rank"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_srp_lsh_signatures_carry_no_vectors(spark):
+    """Round-1 regression: the signature explode must not duplicate the
+    embedding payload L times. The bucket-join stage of the plan references
+    only id/table/bucket columns; vectors appear solely in the two rerank
+    joins (neighbor_v / query_v), i.e. exactly twice in the optimized plan."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    df = similarity.srp_lsh_topk(queries, emb, k=3)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the mapInPandas signature schemas are ids-only
+    assert "query_v" in plan and "neighbor_v" in plan  # rerank joins exist
+    assert plan.count("ArrowEvalPython") <= 1  # one vectorized rerank scorer
+    for leaked in ("query_v#", "neighbor_v#"):
+        # each vector column is introduced once (its own scan), not exploded
+        # through the signature/bucket stage
+        first = plan.find(leaked)
+        assert first != -1

@@ -11,6 +11,40 @@ from crdb_changefeed_publisher_spark.functions.skew import salted_agg
 from crdb_changefeed_publisher_spark.tables import load_table
 
 
+def test_registered_query_exchange_free_with_bucketed_tables(spark, sf_dir):
+    """The REGISTERED q3 plan, served from bucketed catalog tables via
+    tables.set_bucketed_overrides, joins lineitem-orders with no exchange on
+    the order key, and returns the identical result."""
+    import shutil
+
+    from crdb_changefeed_publisher_spark import plans, tables
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        # a previous session's managed-table dir may survive without a
+        # metastore entry; clear both so saveAsTable never hits
+        # LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {t}_bkt_test")
+        shutil.rmtree(f"{warehouse}/{t}_bkt_test", ignore_errors=True)
+        tables.load_table(spark, sf_dir, t).write.bucketBy(4, key).sortBy(key).mode(
+            "overwrite"
+        ).saveAsTable(f"{t}_bkt_test")
+    spec = plans.get_spec("q3_shipping_priority")
+    try:
+        plain = spec.fn(spark, sf_dir).collect()
+        tables.set_bucketed_overrides(
+            {"lineitem": "lineitem_bkt_test", "orders": "orders_bkt_test"}
+        )
+        df = spec.fn(spark, sf_dir)
+        bucketed = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        tables.set_bucketed_overrides(None)
+    assert plain == bucketed
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Writing both join sides bucketed on the join key makes the fact-fact
     join exchange-free — the co-location strategy for 100 TB lineitem/orders."""
