@@ -26,7 +26,12 @@ from crdb_changefeed_publisher_spark.tables import load_table
     WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
     """,
     doc="Ranking/frame window functions: ntile, percent_rank, cume_dist, "
-    "first_value, lag, lead-with-default over one deterministic ordering.",
+    "first_value, lag, lead-with-default over one deterministic ordering. "
+    "SCALE CONSTRAINT: the unpartitioned window is intentional and "
+    "DIMENSION-TABLE ONLY (supplier) — percent_rank/cume_dist/ntile need "
+    "the global row count and lag/lead need neighbor rows, so they don't "
+    "two-phase like plain ranks do; for fact-sized global ranking use "
+    "functions/ranks.py::global_rank (see supplier_acctbal_rank).",
 )
 def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
