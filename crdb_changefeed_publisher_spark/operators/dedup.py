@@ -408,6 +408,68 @@ def simhash_signatures(
     return votes.select("doc_id", sig.alias("sig"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: (doc_id, cluster_id) where
+    cluster_id is the minimum id in the document's connected component —
+    the step that turns pairwise dedup output into an actionable keep list.
+
+    Iterative min-label propagation: each round, every node takes the min
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds (near-dup clusters are shallow — single digits).
+    Per round: one shuffle of the (small) edge set joined to labels + a
+    1-row convergence aggregate on the driver (sum of labels is monotone
+    non-increasing; equality => fixed point). This is the idiomatic
+    DataFrame-only connected components when the pair graph is sparse —
+    at 100 TB the edge set is the dedup candidates (tiny vs the corpus),
+    labels carry 16 bytes/doc, and round count stays O(diameter).
+    """
+    edges = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    edges = (
+        edges.union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .cache()  # pairs may be an expensive lineage (e.g. the full MinHash
+        # pipeline); without this every propagation round recomputes it
+    )
+    labels = nodes.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id"))
+    # localCheckpoint (not cache) each round: the labels frame appears twice
+    # per iteration (join input + select), so a lazy plan DOUBLES every
+    # round — Catalyst analysis goes exponential after ~10 rounds.
+    # Checkpointing replaces the logical plan with the materialized RDD,
+    # keeping every round's plan constant-size. At cluster scale use
+    # checkpoint() on reliable storage instead (executor-loss safety).
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy(F.col("d"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.d, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nmin", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
 def embedding_cosine_pairs(
     corpus: DataFrame,
     threshold: float = 0.3,

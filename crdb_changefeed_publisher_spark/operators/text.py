@@ -105,6 +105,31 @@ def fingerprint(text: Column) -> Column:
     return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x) % FINGERPRINT_MOD
 
 
+def bigram_nll(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-proxy quality score: mean negative log-likelihood of the
+    document's word bigrams under the corpus unigram-of-bigrams model,
+    ``nll = avg(-ln(count(bigram)/total_bigrams))``. Boilerplate/templated
+    text scores LOW (predictable), rare/garbled text scores HIGH — the
+    standard cheap stand-in for model-based perplexity filtering.
+
+    Scale shape: explode bigrams (narrow) -> count per bigram (one partial-
+    agg shuffle) -> rejoin counts to occurrences (shuffle on the bigram) ->
+    per-doc aggregate. The corpus-total is a 1-row broadcast (scalar-
+    subquery shape). All arithmetic portable; rounded to 4.
+    """
+    from crdb_changefeed_publisher_spark.operators.dedup import shingle_rows
+
+    bi = shingle_rows(docs, text_col=text_col, id_col=id_col, n=2)
+    counts = bi.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    return (
+        bi.join(counts, "shingle")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("nll"))
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
     n_words = word_count(t)

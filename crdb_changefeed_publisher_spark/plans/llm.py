@@ -111,10 +111,9 @@ _MINHASH_BANDS = ",\n".join(
 _MINHASH_MATCHES = " + ".join(f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(8))
 
 
-@query(
-    "dedup_minhash_portable",
-    oracle=f"""
-    WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+# The full portable MinHash+LSH pipeline as a reusable CTE chain — used by
+# the pairs oracle and, with WITH RECURSIVE extensions, the cluster oracle.
+_MINHASH_CTES = f"""words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
     grams AS (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -148,7 +147,13 @@ _MINHASH_MATCHES = " + ".join(f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(8))
         SELECT a.doc_id, b.doc_id,
                round(({_MINHASH_MATCHES}) / 8.0, 4)
         FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+@query(
+    "dedup_minhash_portable",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
     SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.2
     """,
     doc="MinHash+LSH with a fully engine-portable hash family (polynomial "
@@ -159,6 +164,42 @@ _MINHASH_MATCHES = " + ".join(f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(8))
 )
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_portable_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query(
+    "dedup_cluster_keep_list",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= 0.2),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.doc_id
+    )
+    SELECT doc_id, min(label) AS cluster_id,
+           CAST(doc_id = min(label) AS INT) AS kept
+    FROM walk GROUP BY doc_id
+    """,
+    doc="Near-dup RESOLUTION: portable MinHash+LSH pairs -> connected "
+    "components (iterative min-label propagation, O(diameter) rounds) -> "
+    "one canonical keeper (min id) per cluster. The step that turns "
+    "pairwise dedup output into an actionable keep list; oracle-verified "
+    "end-to-end via a recursive CTE.",
+)
+def dedup_cluster_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_portable_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    cc = dedup.connected_components(pairs, docs.select("doc_id"))
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("kept"),
+    )
 
 
 _SIMHASH_VOTES = ",\n               ".join(
@@ -543,6 +584,31 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "doc_perplexity_proxy",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    bi AS (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+                       i -> w[i] || ' ' || w[i+1])) AS shingle
+        FROM words
+    ),
+    counts AS (SELECT shingle, count(*) AS c FROM bi GROUP BY shingle),
+    total AS (SELECT sum(c) AS t FROM counts)
+    SELECT doc_id, round(avg(-ln(c / t)), 4) AS nll
+    FROM bi JOIN counts USING (shingle) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+    doc="Perplexity-proxy quality score: mean -ln(corpus probability) of the "
+    "document's word bigrams — the cheap portable stand-in for model-based "
+    "perplexity filtering (low = boilerplate/predictable, high = "
+    "rare/garbled). Scalar-subquery broadcast for the corpus total; one "
+    "partial-agg shuffle on the bigram.",
+)
+def doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_nll(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -56,8 +56,10 @@ COST_HINTS: dict[str, float] = {
     "dedup_minhash_lsh": 1.19,
     "dedup_ngram_jaccard": 1.32,
     "dedup_simhash": 1.39,
+    "doc_perplexity_proxy": 1.1,
     "embedding_topk_srp_lsh": 1.76,
     "embedding_topk_ivf": 1.89,
+    "dedup_cluster_keep_list": 2.8,
 }
 
 

@@ -22,6 +22,7 @@ guarantee consumers can actually use — and the one that scales).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -42,6 +43,7 @@ def publish_batch(
     key_col: str = "key",
     envelope_col_name: str = "envelope",
     seq_col: str | None = None,
+    table_col: str | None = None,
 ) -> None:
     """Publish one micro-batch with per-key ordering: repartition on key so
     all messages for a key land in one partition, then each partition opens
@@ -54,7 +56,14 @@ def publish_batch(
 
     When `seq_col` is given, rows are additionally sorted within each
     partition by (key, seq) — a *provable* per-key order (the shuffle alone
-    only preserves arrival order per upstream partition)."""
+    only preserves arrival order per upstream partition).
+
+    `table_col` switches on MULTI-TABLE FAN-OUT (a Spark upgrade over the
+    reference's one-table/one-queue design, src/cli.yml:6-9): each table's
+    envelopes route to their own destination — ``out_dir/<table>/`` for the
+    dir queue, queue ``"<amqp_queue>.<table>"`` for AMQP. The shuffle key
+    becomes (table, key), preserving per-key order within each table; a
+    partition opens one queue per table it sees."""
     if queue_kind == "dir" and out_dir is None:
         raise ValueError("queue_kind='dir' requires out_dir")
     if queue_kind not in ("dir", "rabbitmq"):
@@ -66,24 +75,41 @@ def publish_batch(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        q = make_queue(
-            queue_kind,
-            path=out_dir,
-            partition_id=pid,
-            amqp_addr=amqp_addr,
-            queue=amqp_queue or "rabbitmq",
-        )
+
+        def open_queue(table: str | None):
+            return make_queue(
+                queue_kind,
+                path=os.path.join(out_dir, table) if (table and out_dir) else out_dir,
+                partition_id=pid,
+                amqp_addr=amqp_addr,
+                queue=f"{amqp_queue or 'rabbitmq'}.{table}"
+                if table
+                else (amqp_queue or "rabbitmq"),
+            )
+
+        queues: dict[str | None, MessageQueue] = {}
         n = 0
         for row in rows:
+            t = row[table_col] if table_col else None
+            q = queues.get(t)
+            if q is None:
+                q = queues[t] = open_queue(t)
             q.publish(row[envelope_col_name].encode())
             n += 1
-        q.close()
+        for q in queues.values():
+            q.close()
         yield n
 
     cols = [key_col, envelope_col_name] + ([seq_col] if seq_col else [])
-    shuffled = batch.repartition(F.col(key_col)).select(*cols)
+    if table_col:
+        cols.append(table_col)
+        shuffled = batch.repartition(F.col(table_col), F.col(key_col)).select(*cols)
+        sort_cols = [table_col, key_col] + ([seq_col] if seq_col else [])
+    else:
+        shuffled = batch.repartition(F.col(key_col)).select(*cols)
+        sort_cols = [key_col] + ([seq_col] if seq_col else [])
     if seq_col:
-        shuffled = shuffled.sortWithinPartitions(key_col, seq_col)
+        shuffled = shuffled.sortWithinPartitions(*sort_cols)
     counts = shuffled.rdd.mapPartitions(publish_partition).collect()
     MESSAGES_SENT.inc(sum(counts))
 
@@ -113,6 +139,7 @@ def make_foreach_batch(
     queue_kind: str = "dir",
     amqp_addr: str | None = None,
     amqp_queue: str | None = None,
+    fan_out_tables: bool = False,
 ):
     """foreachBatch function: demux the micro-batch via the shared transform,
     publish change-envelopes (with key for ordering) to the selected queue,
@@ -136,7 +163,10 @@ def make_foreach_batch(
             "_seq", F.monotonically_increasing_id()
         )
         changes, cursors = split_changes(decoded)
-        with_env = changes.select("key", "_seq", envelope_col().alias("envelope"))
+        env_cols = ["key", "_seq", envelope_col().alias("envelope")] + (
+            ["table"] if fan_out_tables else []
+        )
+        with_env = changes.select(*env_cols)
         publish_batch(
             with_env,
             queue_kind=queue_kind,
@@ -144,6 +174,7 @@ def make_foreach_batch(
             amqp_addr=amqp_addr,
             amqp_queue=amqp_queue,
             seq_col="_seq",
+            table_col="table" if fan_out_tables else None,
         )
 
         resolved = [

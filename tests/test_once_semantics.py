@@ -43,6 +43,38 @@ def test_drain_all_consumes_whole_recording_in_one_run(spark, tmp_path):
     assert store.get() == "99.0,0"
 
 
+def test_multi_table_fan_out_routes_per_table(spark, tmp_path):
+    """One stream, N tables -> N queue destinations (Spark upgrade over the
+    reference's one-table design): envelopes land under out_dir/<table>/,
+    per-key order preserved within each table."""
+    import os
+
+    from crdb_changefeed_publisher_spark.streaming.pipeline import make_foreach_batch
+
+    rows = []
+    for i in range(30):
+        t = "orders" if i % 2 == 0 else "lineitem"
+        rows.append((t, f"[{i % 3}]".encode(), json.dumps({"after": {"v": i}}).encode()))
+    batch = spark.createDataFrame(rows, "table string, key binary, value binary")
+    out = str(tmp_path / "fan")
+    run = make_foreach_batch(out, fan_out_tables=True)
+    run(batch, 0)
+
+    assert sorted(os.listdir(out)) == ["lineitem", "orders"]
+    for t, parity in (("orders", 0), ("lineitem", 1)):
+        msgs = [json.loads(m) for m in DirQueue.read_all(os.path.join(out, t))]
+        assert len(msgs) == 15
+        assert all(m["table"] == t for m in msgs)
+        vals = [m["value"]["after"]["v"] for m in msgs]
+        assert all(v % 2 == parity for v in vals)
+        # per-key ascending order within the table (sorted by key, seq)
+        by_key: dict[str, list[int]] = {}
+        for m in msgs:
+            by_key.setdefault(m["key"], []).append(m["value"]["after"]["v"])
+        for seq in by_key.values():
+            assert seq == sorted(seq)
+
+
 def test_idempotent_sink_batch_replay_no_duplicates(spark, tmp_path):
     """foreachBatch retries re-run the SAME batch_id; the batch-keyed dir
     sink truncates on open, so a replay overwrites its previous attempt

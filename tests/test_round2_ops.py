@@ -103,6 +103,33 @@ def test_simhash_portable_identical_docs_hamming_zero(spark):
     assert pairs == {(1, 2): 0}
 
 
+def test_connected_components_toy_graph(spark):
+    """Components {2,3,4}, {5,6}, singleton {1}; labels = min id; keepers
+    are exactly the min ids."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=2, doc_b=3), Row(doc_a=3, doc_b=4), Row(doc_a=5, doc_b=6)]
+    )
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(1, 7)])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 2, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs several propagation rounds; the fixed
+    point must still be the global min."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame([Row(doc_a=i, doc_b=i + 1) for i in range(1, 12)])
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(1, 13)])
+    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs, nodes).collect()}
+    assert got == {i: 1 for i in range(1, 13)}
+
+
 def test_cosine_arrow_matches_expression(spark):
     emb = load_table(spark, SF, "embeddings").limit(64)
     a = emb.select(F.col("vec_id").alias("ia"), as_double(F.col("embedding")).alias("va"))
