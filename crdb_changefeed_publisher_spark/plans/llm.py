@@ -167,6 +167,39 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2)                         AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*)                                          AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Adversarial-skew aggregation: 3 group keys over the whole fact "
+    "table, computed via explicit salting (functions/skew.py::salted_agg — "
+    "partials across (key, salt) tasks, then a tiny merge groupBy) so no "
+    "single task owns a hot key. Result identical to the plain GROUP BY "
+    "oracle; the salting changes only the physical distribution.",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.functions.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = {
+        "sum_qty": F.sum("l_quantity"),
+        "revenue": F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+        "n_rows": F.count(F.lit(1)),
+    }
+    out = salted_agg(li, ["l_returnflag"], aggs)
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("revenue", 2).alias("revenue"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+@query(
     "dedup_cluster_keep_list",
     oracle=f"""
     WITH RECURSIVE {_MINHASH_CTES},

@@ -36,6 +36,39 @@ def test_poly_hash_matches_expression_forms(spark):
     assert rows and all(r.fast == r.spec for r in rows)
 
 
+def test_poly_hash_property_random_unicode():
+    """Hypothesis: the vectorized batch hash equals the per-char Python fold
+    for arbitrary unicode, both truncation lengths, mixed with Nones."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def ref(s, max_len):
+        h = 0
+        for ch in s[:max_len]:
+            h = (h * phash.BASE + ord(ch)) % phash.MOD
+        return h
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.text(max_size=300)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(texts):
+        for max_len in (256, 4096):
+            got = phash._hash_batch(pd.Series(texts, dtype=object), max_len)
+            for s, g in zip(texts, got):
+                if s is None:
+                    assert pd.isna(g)
+                else:
+                    assert g == ref(s, max_len)
+
+    check()
+
+
 def test_jaccard_minhash_block_identical_docs(spark):
     df = docs_df(
         spark,
