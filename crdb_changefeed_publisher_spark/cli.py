@@ -38,6 +38,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--checkpoint", default=None, help="Spark checkpointLocation")
     p.add_argument("--cursor-path", default=None, help="path for --cursor-store file")
     p.add_argument("--once", action="store_true", help="process available data then exit")
+    p.add_argument(
+        "--fan-out-tables",
+        action="store_true",
+        help="route each table's envelopes to its own destination "
+        "(out_dir/<table>/ or '<AMQP_QUEUE>.<table>') — extension over the "
+        "reference's one-table/one-queue design",
+    )
     return p.parse_args(argv)
 
 
@@ -92,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
         amqp_addr=os.environ.get("AMQP_ADDR"),
         # "queue name is required" when publishing to RabbitMQ (main.rs:69)
         amqp_queue=os.environ["AMQP_QUEUE"] if args.queue == "rabbitmq" else None,
+        fan_out_tables=args.fan_out_tables,
     )
     try:
         query.awaitTermination()

@@ -206,6 +206,7 @@ def run_pipeline(
     queue_kind: str = "dir",
     amqp_addr: str | None = None,
     amqp_queue: str | None = None,
+    fan_out_tables: bool = False,
 ):
     """Wire a changefeed-shaped streaming DataFrame to the publish sink.
 
@@ -227,6 +228,7 @@ def run_pipeline(
             queue_kind=queue_kind,
             amqp_addr=amqp_addr,
             amqp_queue=amqp_queue,
+            fan_out_tables=fan_out_tables,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now and not drain_all:
