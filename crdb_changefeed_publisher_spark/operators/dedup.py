@@ -460,7 +460,9 @@ def connected_components(
                     "cluster_id"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence aggregate below is the materializing
+            # action, so each round runs ONE job, not two
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels = new_labels
