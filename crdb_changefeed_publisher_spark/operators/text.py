@@ -130,6 +130,41 @@ def bigram_nll(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-tokenization step of an LLM training pipeline (context packing /
+    long-doc splitting). Output: (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    Pure built-in expressions: tokenize once, generate window starts with
+    ``sequence`` (step = stride), explode, slice the token array per chunk.
+    Zero Python, zero shuffle — 100 TB of documents streams through the
+    scan; chunk fan-out is (n_tokens/stride)x rows of mostly-short strings.
+    A trailing window shorter than `stride` is not emitted separately (the
+    last start is the largest multiple of stride < n_tokens).
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(words)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("_w"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    ).filter(F.col("_start") < F.size("_w"))
+    chunk = F.slice(F.col("_w"), F.col("_start") + 1, window)
+    return df.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
     n_words = word_count(t)

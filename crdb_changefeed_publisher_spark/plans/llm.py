@@ -167,6 +167,29 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunks",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    chunks AS (
+        SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 32)) AS start
+        FROM words
+    )
+    SELECT doc_id,
+           CAST(start // 32 AS INT)                                   AS chunk_idx,
+           array_to_string(list_slice(w, start + 1, least(start + 64, len(w))), ' ')
+                                                                      AS chunk_text,
+           CAST(least(start + 64, len(w)) - start AS INT)             AS n_tokens
+    FROM chunks WHERE start < len(w)
+    """,
+    doc="Document chunking: overlapping 64-token windows with stride 32 "
+    "(context packing / long-doc splitting for LLM training). Pure builtin "
+    "sequence+explode+slice — zero Python, zero shuffle.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(load_table(spark, sf_dir, "documents"), window=64, stride=32)
+
+
+@query(
     "salted_skew_agg",
     oracle="""
     SELECT l_returnflag,

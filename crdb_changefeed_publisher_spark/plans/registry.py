@@ -56,6 +56,7 @@ COST_HINTS: dict[str, float] = {
     "dedup_minhash_lsh": 1.19,
     "dedup_ngram_jaccard": 1.32,
     "dedup_simhash": 1.39,
+    "doc_chunks": 0.6,
     "salted_skew_agg": 0.8,
     "doc_perplexity_proxy": 1.1,
     "embedding_topk_srp_lsh": 1.76,

@@ -212,6 +212,45 @@ def test_srp_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"recall {recall:.3f}"
 
 
+def test_chunk_documents_windows_and_strides(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10)))])
+    got = {
+        r.chunk_idx: (r.chunk_text, r.n_tokens)
+        for r in text.chunk_documents(df, window=4, stride=3).collect()
+    }
+    assert got == {
+        0: ("w0 w1 w2 w3", 4),
+        1: ("w3 w4 w5 w6", 4),
+        2: ("w6 w7 w8 w9", 4),
+        3: ("w9", 1),
+    }
+    # short doc -> single chunk
+    one = text.chunk_documents(
+        spark.createDataFrame([Row(doc_id=2, text="a b")]), window=4, stride=3
+    ).collect()
+    assert [(r.chunk_idx, r.chunk_text, r.n_tokens) for r in one] == [(0, "a b", 2)]
+
+
+def test_word_ngrams_udtf_matches_relational_shingles(spark):
+    from crdb_changefeed_publisher_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, SF, "documents").limit(20)
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = {
+        (r.doc_id, r.gram)
+        for r in spark.sql(
+            "SELECT d.doc_id, g.gram FROM udtf_docs d, LATERAL word_ngrams(d.text, 3) g"
+        ).collect()
+    }
+    via_relational = {
+        (r.doc_id, r.shingle) for r in dedup.shingle_rows(docs, n=3).collect()
+    }
+    assert via_udtf == via_relational and via_udtf
+
+
 def test_global_rank_matches_naive_window(spark):
     """Two-phase global rank == single-partition window for every kind,
     including ties, on a fact-sized (orders) input."""
