@@ -40,6 +40,10 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
+# double variant for oracle-compared paths: float32 quantization of k/997
+# values lands within rounding distance of 4-decimal boundaries often
+# enough to flip value hashes
+FEATURE_SCHEMA_F64 = "media_id long, kind string, n_bytes int, feature array<double>"
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
@@ -73,12 +77,15 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [v / 997.0 for v in acc]
 
 
-def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_size_hint: int = 256, feature_type: str = "float"
+) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     mapInPandas keeps the blobs executor-side in Arrow batches; the returned
     features are small, so everything downstream (similarity joins, dedup)
-    operates on compact vectors.
+    operates on compact vectors. `feature_type="double"` for oracle-compared
+    paths (see FEATURE_SCHEMA_F64).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,7 +99,8 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    schema = FEATURE_SCHEMA_F64 if feature_type == "double" else FEATURE_SCHEMA
+    return media.mapInPandas(run, schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -167,6 +167,48 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_fake_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text' AS kind,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST(j AS INT) AS dim_idx,
+           round(CAST(list_sum(list_transform(range(1, length(text) + 1),
+                     i -> CASE WHEN (i - 1) % 8 = j
+                          THEN ascii(substr(text, i, 1)) ELSE 0 END)) % 997
+                 AS DOUBLE) / 997.0, 4) AS feature_val
+    FROM documents, range(0, 8) t(j)
+    """,
+    doc="Multimodal plumbing under the correctness gate: documents' text is "
+    "treated as an opaque binary payload (media frame), pushed through the "
+    "Arrow-batched mapInPandas feature extractor with the deterministic "
+    "byte-bucket stand-in feature (operators/multimodal.py::_fake_feature; "
+    "real decode is stubbed — no codec libs in this container). The oracle "
+    "reproduces the byte-bucket arithmetic per dimension, so the batch "
+    "plumbing, payload byte handling, and feature layout are all "
+    "value-verified (exploded to scalars: the value-hash compare cannot "
+    "sort array columns). ASCII payloads by fixture construction "
+    "(byte == codepoint).",
+)
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = multimodal.extract_features(media, feature_type="double")
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode(F.col("feature")).alias("dim_idx", "feature_val"),
+    ).withColumn("feature_val", F.round("feature_val", 4))
+
+
+@query(
     "doc_chunks",
     oracle="""
     WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
