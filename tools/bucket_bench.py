@@ -25,19 +25,22 @@ from crdb_changefeed_publisher_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = ["q3_shipping_priority", "q5_region_revenue", "order_ship_latency"]
-BUCKETS = 32
+# Bucket count must scale with data volume: 32 buckets at sf0.1 made q3
+# SLOWER (many small files beat the tiny shuffle saved); 8 buckets won on
+# all three queries. Rule of thumb: target >= 100 MB per bucket file.
+BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "8"))
 
 
 def ensure_bucketed(spark) -> None:
     existing = {t.name for t in spark.catalog.listTables()}
-    if "lineitem_bkt" not in existing:
+    if f"lineitem_bkt{BUCKETS}" not in existing:
         tables.load_table(spark, SF_DIR, "lineitem").write.bucketBy(
             BUCKETS, "l_orderkey"
-        ).sortBy("l_orderkey").mode("overwrite").saveAsTable("lineitem_bkt")
-    if "orders_bkt" not in existing:
+        ).sortBy("l_orderkey").mode("overwrite").saveAsTable(f"lineitem_bkt{BUCKETS}")
+    if f"orders_bkt{BUCKETS}" not in existing:
         tables.load_table(spark, SF_DIR, "orders").write.bucketBy(
             BUCKETS, "o_orderkey"
-        ).sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_bkt")
+        ).sortBy("o_orderkey").mode("overwrite").saveAsTable(f"orders_bkt{BUCKETS}")
 
 
 def time_query(spark, name: str) -> float:
@@ -58,7 +61,7 @@ def main() -> None:
         tables.set_bucketed_overrides(None)
         plain = time_query(spark, name)
         tables.set_bucketed_overrides(
-            {"lineitem": "lineitem_bkt", "orders": "orders_bkt"}
+            {"lineitem": f"lineitem_bkt{BUCKETS}", "orders": f"orders_bkt{BUCKETS}"}
         )
         bucketed = time_query(spark, name)
         tables.set_bucketed_overrides(None)
