@@ -61,6 +61,7 @@ COST_HINTS: dict[str, float] = {
     "doc_perplexity_proxy": 1.1,
     "embedding_topk_srp_lsh": 1.76,
     "embedding_topk_ivf": 1.89,
+    "embedding_topk_pq": 2.0,
     "dedup_cluster_keep_list": 1.8,
 }
 

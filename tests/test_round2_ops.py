@@ -283,6 +283,23 @@ def test_global_rank_matches_naive_window(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_pq_topk_recall_vs_bruteforce(spark):
+    """PQ+ADC with exact top-50 rerank must recover most of the exact top-5
+    (quantization-lossy by design; recall floor documents the trade)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(queries, emb, k=5, n_candidates=200).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
 def test_srp_lsh_signatures_carry_no_vectors(spark):
     """Round-1 regression: the signature explode must not duplicate the
     embedding payload L times. The bucket-join stage of the plan references
