@@ -320,6 +320,126 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    n_subspaces: int = 8,
+    n_candidates: int = 100,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition — IVF cell pruning (each
+    query probes its `n_probe` nearest cells) over the PQ/ADC compressed
+    scan (each corpus vector is 8 subspace codes, scored via per-query
+    lookup tables), then exact cosine rerank of the survivors.
+
+    At 100 TB: the corpus is written partitioned by cell, so the probe
+    prunes partitions at the scan AND the scan reads 8 codes/vector
+    instead of the float vector — pruning x compression compose. Fully
+    deterministic (shared label-mean codebook for cells and PQ, rounded
+    scores, id tiebreaks), so oracle-verified like its two halves.
+    """
+    import numpy as np
+
+    d_sub = dim // n_subspaces
+    cents = label_centroids(corpus, vec_col, label_col)
+    cent_rows = sorted(cents.collect(), key=lambda r: r.cell)  # one row per label
+    labels = [r.cell for r in cent_rows]
+    label_arr = np.array(labels, dtype=np.int64)
+    cent_mat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            ids = pdf["id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            out_id, out_cell, out_s, out_code = [], [], [], []
+            for s in range(n_subspaces):
+                sub = mat[:, s * d_sub : (s + 1) * d_sub]
+                csub = cent_mat[:, s * d_sub : (s + 1) * d_sub]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ csub.T)
+                    + (csub * csub).sum(axis=1)[None, :]
+                )
+                code = np.argmin(np.round(d2, 6), axis=1)
+                out_id.extend(ids)
+                out_cell.extend(cells)
+                out_s.extend([s] * len(ids))
+                out_code.extend(label_arr[code])
+            yield pd.DataFrame(
+                {"neighbor_id": out_id, "cell": out_cell, "s": out_s, "code": out_code}
+            )
+
+    c_src = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("cell"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    codes = c_src.mapInPandas(encode, "neighbor_id long, cell long, s int, code int")
+
+    def lut(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            ids = pdf["id"].to_numpy()
+            out_q, out_s, out_code, out_t = [], [], [], []
+            for s in range(n_subspaces):
+                sub = mat[:, s * d_sub : (s + 1) * d_sub]
+                csub = cent_mat[:, s * d_sub : (s + 1) * d_sub]
+                t = np.round(sub @ csub.T, 6)
+                for li, lab in enumerate(labels):
+                    out_q.extend(ids)
+                    out_s.extend([s] * len(ids))
+                    out_code.extend([lab] * len(ids))
+                    out_t.extend(t[:, li])
+            yield pd.DataFrame(
+                {"query_id": out_q, "s": out_s, "code": out_code, "t": out_t}
+            )
+
+    q_src = queries.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    luts = q_src.mapInPandas(lut, "query_id long, s int, code int, t double")
+
+    # IVF probe: each query's n_probe nearest cells by centroid cosine
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("query_v")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("cell_score").desc(), F.col("cell"))
+    probes = (
+        q_vecs.join(F.broadcast(cents))
+        .withColumn("cell_score", cosine_arrow(F.col("query_v"), F.col("centroid")))
+        .withColumn("cell_rnk", F.row_number().over(probe_w))
+        .filter(F.col("cell_rnk") <= n_probe)
+        .select("query_id", "cell")
+    )
+    adc = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(luts), ["query_id", "s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("t"), 6).alias("adc"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    cand = adc.withColumn("crnk", F.row_number().over(w_c)).filter(
+        F.col("crnk") <= n_candidates
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("neighbor_v")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("score", cosine_arrow(F.col("query_v"), F.col("neighbor_v")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
 def label_centroids(corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """Deterministic IVF cells: mean vector per label.
 

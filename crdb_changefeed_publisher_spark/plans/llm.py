@@ -1,7 +1,10 @@
-"""LLM-training-data pipeline queries: deduplication, similarity search,
-text analysis — each wired to the operators package, with engine-portable
-DuckDB oracles where the semantics are SQL-expressible. MinHash-LSH and
-SimHash use engine-native hashing (xxhash64) so they get rows-only checks.
+"""LLM-training-data pipeline queries: deduplication (incl. cluster
+resolution), similarity search (brute-force / SRP-LSH / IVF / PQ), text
+analysis (stats, quality, perplexity proxy, chunking, fingerprints), and
+multimodal feature plumbing — each wired to the operators package, with
+engine-portable DuckDB oracles. Only `dedup_minhash_lsh` (engine-native
+xxhash64 by design) is rows-only; every other query — including the
+approximate LSH/PQ ops, via seeded+rounded literals — is value-verified.
 """
 
 from __future__ import annotations
@@ -665,6 +668,90 @@ def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return similarity.pq_topk(queries, emb, k=5, n_candidates=200)
+
+
+@query(
+    "embedding_topk_ivfpq",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
+    cent AS (
+        SELECT label AS cell, list(m ORDER BY pos) AS c FROM (
+            SELECT label, pos, avg(e[pos]) AS m
+            FROM v, range(1, 65) t(pos)
+            GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    subs AS (SELECT s FROM range(0, 8) t(s)),
+    codes AS (
+        SELECT vec_id, cell, s, code FROM (
+            SELECT v.vec_id, v.label AS cell, subs.s, cent.cell AS code,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, subs.s
+                       ORDER BY {_PQ_DIST}, cent.cell) AS rn
+            FROM v, subs, cent
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, subs.s, cent.cell AS code,
+               round(list_dot_product(list_slice(q.e, s*8+1, s*8+8),
+                                      list_slice(cent.c, s*8+1, s*8+8)), 6) AS t
+        FROM q, subs, cent
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.e, cent.c)
+                                / (sqrt(list_dot_product(q.e, q.e))
+                                   * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+                                cent.cell) AS rn
+            FROM q, cent
+        ) WHERE rn <= 2
+    ),
+    adc AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id, round(sum(l.t), 6) AS adc
+        FROM codes c
+        JOIN probes p ON p.cell = c.cell
+        JOIN lut l ON l.query_id = p.query_id AND l.s = c.s AND l.code = c.code
+        WHERE c.vec_id <> p.query_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc DESC, neighbor_id) AS crnk
+            FROM adc
+        ) WHERE crnk <= 100
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(q.e, n.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(n.e, n.e))), 6) AS score
+        FROM cand
+        JOIN q ON q.vec_id = cand.query_id
+        JOIN v n ON n.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="IVF-PQ approximate top-5 — the production ANN composition: IVF "
+    "cell pruning (2 probed cells per query) over the PQ/ADC compressed "
+    "scan (8 codes per vector, lookup-table scoring), exact cosine rerank "
+    "of the top-100. At 100 TB the corpus is written partitioned by cell: "
+    "the probe prunes partitions at the scan AND the scan reads codes "
+    "instead of vectors — pruning x compression compose. Deterministic "
+    "shared codebook, so the full composition is oracle-verified.",
+)
+def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_pq_topk(queries, emb, k=5, n_probe=2, n_candidates=100)
 
 
 # --- text analysis ---------------------------------------------------------

@@ -62,6 +62,7 @@ COST_HINTS: dict[str, float] = {
     "embedding_topk_srp_lsh": 1.76,
     "embedding_topk_ivf": 1.89,
     "embedding_topk_pq": 2.0,
+    "embedding_topk_ivfpq": 2.2,
     "dedup_cluster_keep_list": 1.8,
 }
 

@@ -300,6 +300,26 @@ def test_pq_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"recall {recall:.3f}"
 
 
+def test_ivfpq_tracks_ivf(spark):
+    """IVF-PQ probes the same cells as IVF; with exact rerank of the top-100
+    ADC candidates it must recover nearly all of IVF's top-5 — isolating
+    the quantization loss from the pruning loss."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(queries, emb, k=5, n_probe=2).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_pq_topk(
+            queries, emb, k=5, n_probe=2, n_candidates=100
+        ).collect()
+    }
+    recall = len(ivf & ivfpq) / len(ivf)
+    assert recall >= 0.9, f"recall vs IVF {recall:.3f}"
+
+
 def test_srp_lsh_signatures_carry_no_vectors(spark):
     """Round-1 regression: the signature explode must not duplicate the
     embedding payload L times. The bucket-join stage of the plan references
