@@ -9,6 +9,7 @@ from crdb_changefeed_publisher_spark.plans.registry import (  # noqa: F401
     all_specs,
     get_spec,
     query,
+    retired_specs,
 )
 
 # Populate the registry.

@@ -104,6 +104,7 @@ def cdc_resolved_cursors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_envelopes_orders",
+    retired=True,  # second-table fan-out; cdc_envelopes + fan-out stats are registered
     oracle="""
     WITH wire AS (
         SELECT 'orders' AS "table",

@@ -41,33 +41,88 @@ SELECT p_event_id, click_event_id, gap_seconds FROM (
 
 
 @query(
-    "events_hourly_tumbling",
+    "events_time_windows",
     oracle="""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
-           event_type,
+    SELECT 'tumbling_1h' AS kind,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+           event_type           AS grp,
            count(*)             AS n_events,
            round(sum(value), 2) AS total_value
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding_1h_30m' AS kind,
+           strftime(w_start, '%Y-%m-%d %H:%M:00') AS window_start,
+           '' AS grp,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts)                      AS w_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS w_start, value FROM events
+    )
+    GROUP BY 2
+    UNION ALL
+    SELECT 'daily_distinct_users' AS kind,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+           '' AS grp,
+           count(*)                                    AS n_events,
+           CAST(count(DISTINCT user_id) AS DOUBLE)     AS total_value
+    FROM events
+    GROUP BY 2
     """,
-    doc="Tumbling 1-hour event-time window aggregate (batch view of the "
-    "streaming window(ts, '1 hour') + watermark pipeline).",
+    doc="The event-time window family in one tagged union — batch twins of "
+    "the streaming pipelines (tests/test_streaming_eventtime.py): tumbling "
+    "1-hour windows per event_type, sliding 1h/30m windows (each event in "
+    "exactly two), and daily distinct users (total_value carries the "
+    "distinct count for that branch). Each branch is one partial-agg "
+    "shuffle on its window key.",
 )
-def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
+    tumbling = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
-            "event_type",
+            F.lit("tumbling_1h").alias("kind"),
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("window_start"),
+            F.col("event_type").alias("grp"),
             "n_events",
             "total_value",
         )
     )
+    sliding = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.lit("sliding_1h_30m").alias("kind"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:00").alias("window_start"),
+            F.lit("").alias("grp"),
+            "n_events",
+            "total_value",
+        )
+    )
+    daily = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("double").alias("total_value"),
+        )
+        .select(
+            F.lit("daily_distinct_users").alias("kind"),
+            "window_start",
+            F.lit("").alias("grp"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return tumbling.unionByName(sliding).unionByName(daily)
 
 
 @query(
@@ -108,6 +163,7 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "asof_purchase_last_click",
+    retired=True,  # ranked-join variant; the merge_asof scale form is registered
     oracle=ASOF_ORACLE,
     doc="As-of join (declarative form): ranked inequality join; Catalyst "
     "plans it as a shuffled join + per-key top-1 window.",

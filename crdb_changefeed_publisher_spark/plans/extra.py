@@ -106,42 +106,8 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "regexp_part_names",
-    oracle="""
-    SELECT p_partkey,
-           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
-           CAST(regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS INT) AS two_words
-    FROM part
-    WHERE regexp_matches(p_name, '(ring|bolt)')
-    """,
-    doc="Regexp extract/match filters (RE2-compatible patterns on both engines).",
-)
-def regexp_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
-    return p.filter(F.col("p_name").rlike("(ring|bolt)")).select(
-        "p_partkey",
-        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
-        F.col("p_name").rlike("^[a-z]+ [a-z]+$").cast("int").alias("two_words"),
-    )
-
-
-@query(
-    "null_handling_orders",
-    oracle="""
-    SELECT coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
-           count(*)                                      AS n_orders
-    FROM orders GROUP BY 1
-    """,
-    doc="NULL-handling scalar functions: nullif + coalesce relabeling.",
-)
-def null_handling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    label = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open"))
-    return o.groupBy(label.alias("status_label")).agg(F.count(F.lit(1)).alias("n_orders"))
-
-
-@query(
     "grouping_sets_revenue",
+    retired=True,  # grouping-sets surface; ROLLUP/CUBE registered queries cover the family
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_extendedprice), 2) AS revenue,
@@ -238,57 +204,8 @@ def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_sliding_windows",
-    oracle="""
-    WITH starts AS (
-        SELECT time_bucket(INTERVAL 30 MINUTE, ts)                       AS w_start, value FROM events
-        UNION ALL
-        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS w_start, value FROM events
-    )
-    SELECT strftime(w_start, '%Y-%m-%d %H:%M:00') AS window_start,
-           count(*)             AS n_events,
-           round(sum(value), 2) AS total_value
-    FROM starts GROUP BY 1
-    """,
-    doc="Sliding event-time windows (1h size, 30m slide): each event lands "
-    "in exactly two windows; batch twin of the streaming sliding window.",
-)
-def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:00").alias("window_start"),
-            "n_events",
-            "total_value",
-        )
-    )
-
-
-@query(
-    "events_daily_distinct_users",
-    oracle="""
-    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           count(DISTINCT user_id)                     AS n_users,
-           count(*)                                    AS n_events
-    FROM events GROUP BY 1
-    """,
-    doc="Daily distinct users over event time.",
-)
-def events_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")).agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@query(
     "best_order_per_customer",
+    retired=True,  # argmax-via-join variant; window top-k form is registered
     oracle="""
     WITH m AS (SELECT o_custkey, max(o_totalprice) AS best_price FROM orders GROUP BY 1)
     SELECT m.o_custkey, m.best_price, min(o.o_orderkey) AS best_orderkey

@@ -20,28 +20,28 @@ from crdb_changefeed_publisher_spark.tables import load_table
 
 
 @query(
-    "dedup_exact_documents",
+    "dedup_exact_normalized",
     oracle="""
-    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    SELECT 'exact' AS mode, min(doc_id) AS keep_id, count(*) AS n_copies
     FROM documents GROUP BY text
-    """,
-    doc="Exact dedup: hash-groupBy on document text (group on xxhash64(text) at scale).",
-)
-def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "dedup_normalized_documents",
-    oracle="""
-    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    UNION ALL
+    SELECT 'normalized' AS mode, min(doc_id) AS keep_id, count(*) AS n_copies
     FROM documents
     GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
     """,
-    doc="Near-exact dedup on lowercase/whitespace-normalized text.",
+    doc="Exact and near-exact dedup in one tagged union: hash-groupBy on the "
+    "raw text (group on xxhash64(text) at scale) and on the lowercase/"
+    "whitespace-normalized text. Two partial-agg shuffles, no joins.",
 )
-def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.normalized_duplicates(load_table(spark, sf_dir, "documents"))
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.exact_duplicates(docs).select(
+        F.lit("exact").alias("mode"), "keep_id", "n_copies"
+    )
+    norm = dedup.normalized_duplicates(docs).select(
+        F.lit("normalized").alias("mode"), "keep_id", "n_copies"
+    )
+    return exact.unionByName(norm)
 
 
 def _poly_hash_sql(expr: str, max_len: int = 256) -> str:
@@ -90,6 +90,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
+    retired=True,  # rows-only (engine-native xxhash64); portable twin is registered
     oracle=None,  # xxhash64 signatures are engine-native; rows-only check
     doc="MinHash (k=16) + LSH (4 bands) candidate pairs — the 100 TB near-dup "
     "path: shuffles only on band keys, no O(n^2) stage.",
@@ -373,30 +374,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # portable RE2/Java alternation (no lookarounds): words | numbers | single
-# non-space symbol — the BPE-pretokenizer-shaped split
+# non-space symbol — the BPE-pretokenizer-shaped split (counted per document
+# inside `doc_text_stats`)
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-
-
-@query(
-    "doc_bpe_token_counts",
-    oracle=f"""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))      AS n_bpe_tokens,
-           len(string_split(trim(text), ' '))                       AS n_ws_tokens
-    FROM documents
-    """,
-    doc="Token counting, BPE-ish: regex pretokenizer (words/numbers/symbols) "
-    "vs whitespace tokens, per document.",
-)
-def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))).alias(
-            "n_bpe_tokens"
-        ),
-        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_ws_tokens"),
-    )
 
 
 @query(
@@ -601,6 +581,7 @@ _PQ_DIST = (
 
 @query(
     "embedding_topk_pq",
+    retired=True,  # plain-PQ variant; the IVF-PQ composition is registered
     oracle=f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
@@ -758,27 +739,10 @@ def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_token_stats",
-    oracle="""
-    SELECT doc_id,
-           length(text)                              AS n_chars_computed,
-           len(string_split(trim(text), ' '))        AS n_tokens,
-           round(length(replace(trim(text), ' ', ''))
-                 / len(string_split(trim(text), ' ')), 4) AS avg_token_len
-    FROM documents
-    """,
-    doc="Whitespace token counting + per-doc token stats (pure row-local map).",
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = text.token_stats(load_table(spark, sf_dir, "documents"))
-    return df.withColumn("n_tokens", F.col("n_tokens").cast("long"))
-
-
-@query(
-    "text_quality_scores",
+    "doc_text_stats",
     oracle="""
     WITH q AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, lang, text,
                length(text) AS n_chars,
                len(string_split(trim(text), ' ')) AS n_words,
                length(replace(trim(text), ' ', ''))
@@ -788,18 +752,39 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, lang,
+           n_chars                                             AS n_chars_computed,
+           n_words                                             AS n_tokens,
+           round(awl, 4)                                       AS avg_token_len,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                                                               AS n_bpe_tokens,
            round(0.4 * least(n_chars / 500.0, 1.0)
                  + 0.3 * (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.5 END)
                  + 0.3 * greatest(0.0, 1.0 - punct / greatest(n_words, 1)),
                  4) AS quality
     FROM q
     """,
-    doc="Composite quality heuristic (length band, word-length sanity, "
-    "punctuation density) — portable arithmetic, rounded.",
+    doc="Per-document text analysis in one row-local projection: whitespace "
+    "token stats, BPE-ish regex-pretokenizer counts (words/numbers/symbols), "
+    "and the composite quality heuristic (length band, word-length sanity, "
+    "punctuation density). Zero shuffles — pure map over the scan.",
 )
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", text.quality_score(F.col("text")).alias("quality"))
+    t = F.col("text")
+    n_words = text.word_count(t)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length(t).alias("n_chars_computed"),
+        n_words.cast("long").alias("n_tokens"),
+        F.round(
+            (F.length(F.replace(F.trim(t), F.lit(" "), F.lit(""))) / n_words).cast("double"), 4
+        ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        text.quality_score(t).alias("quality"),
+    )
 
 
 def _marker_sql(markers: list[str]) -> str:

@@ -22,11 +22,24 @@ from crdb_changefeed_publisher_spark.tables import load_table
            length(p_name)                      AS name_len,
            replace(p_brand, 'Brand#', 'B')     AS brand_short,
            concat(p_type, '/', p_brand)        AS type_brand,
-           CAST(contains(p_name, 'widget') AS INT) AS is_widget
+           CAST(contains(p_name, 'widget') AS INT) AS is_widget,
+           lpad(p_brand, 12, '*')              AS brand_padded,
+           reverse(p_name)                     AS name_reversed,
+           left(p_name, 4)                     AS name_left,
+           right(p_name, 4)                    AS name_right,
+           repeat(p_type, 2)                   AS type_doubled,
+           split_part(p_name, ' ', 2)          AS second_word,
+           CAST(position(' ' IN p_name) AS INT) AS space_pos,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           CAST(regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS INT) AS two_words,
+           CAST(regexp_matches(p_name, '(ring|bolt)') AS INT)     AS has_ring_bolt
     FROM part
     WHERE p_name LIKE '%e%'
     """,
-    doc="String functions: substr/upper/length/replace/concat/contains/LIKE.",
+    doc="The string-function surface in one row-local projection: substr/"
+    "upper/length/replace/concat/contains/LIKE plus lpad/reverse/left/right/"
+    "repeat/split_part/position plus regexp extract/match — all built-in "
+    "JVM expressions inside one whole-stage-codegen span over the scan.",
 )
 def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
@@ -37,6 +50,16 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
         F.concat(F.col("p_type"), F.lit("/"), F.col("p_brand")).alias("type_brand"),
         F.col("p_name").contains("widget").cast("int").alias("is_widget"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.substring("p_name", 1, 4).alias("name_left"),
+        F.col("p_name").substr(F.length("p_name") - 3, F.lit(4)).alias("name_right"),
+        F.repeat("p_type", 2).alias("type_doubled"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.instr("p_name", " ").alias("space_pos"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+$").cast("int").alias("two_words"),
+        F.col("p_name").rlike("(ring|bolt)").cast("int").alias("has_ring_bolt"),
     )
 
 
@@ -122,49 +145,55 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "map_funcs_events",
+    "semi_structured_events",
     oracle="""
-    SELECT k AS prop_key,
-           count(*)                  AS n_events,
-           round(avg(CAST(v AS INT)), 4) AS avg_value
+    SELECT 'map_props' AS kind, k AS key,
+           count(*)                      AS n_events,
+           round(avg(CAST(v AS INT)), 4) AS avg_val,
+           CAST(NULL AS INT)             AS max_val
     FROM (SELECT unnest(json_keys(props)) AS k,
                  json_extract_string(props, '$.' || unnest(json_keys(props))) AS v
           FROM events)
     GROUP BY k
-    """,
-    doc="Map-typed column surface: parse the JSON props into map<string,int>, "
-    "explode entries, aggregate per key.",
-)
-def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,int>")
-    return (
-        ev.select(F.explode(m).alias("prop_key", "v"))
-        .groupBy("prop_key")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("v"), 4).alias("avg_value"),
-        )
-    )
-
-
-@query(
-    "json_extract_events",
-    oracle="""
-    SELECT event_type,
-           count(*)                                                    AS n_events,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
-           max(CAST(json_extract_string(props, '$.k') AS INT))           AS max_k
+    UNION ALL
+    SELECT 'json_type' AS kind, event_type AS key,
+           count(*)                                                      AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_val,
+           max(CAST(json_extract_string(props, '$.k') AS INT))           AS max_val
     FROM events
     GROUP BY event_type
     """,
-    doc="JSON field extraction from a string column + aggregate.",
+    doc="Semi-structured column surface in one tagged union: (a) parse the "
+    "JSON props into map<string,int>, explode entries, aggregate per key "
+    "(map functions); (b) get_json_object field extraction + aggregate per "
+    "event_type (JSON functions).",
 )
-def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semi_structured_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg(k), 4).alias("avg_k"),
-        F.max(k).alias("max_k"),
+    m = F.from_json("props", "map<string,int>")
+    map_side = (
+        ev.select(F.explode(m).alias("key", "v"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("v"), 4).alias("avg_val"),
+        )
+        .select(
+            F.lit("map_props").alias("kind"),
+            "key",
+            "n_events",
+            "avg_val",
+            F.lit(None).cast("int").alias("max_val"),
+        )
     )
+    k = F.get_json_object("props", "$.k").cast("int")
+    json_side = (
+        ev.groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(k), 4).alias("avg_val"),
+            F.max(k).alias("max_val"),
+        )
+        .select(F.lit("json_type").alias("kind"), "key", "n_events", "avg_val", "max_val")
+    )
+    return map_side.unionByName(json_side)

@@ -191,13 +191,25 @@ def running_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_suppkey, s_nationkey, s_acctbal,
            dense_rank() OVER (ORDER BY s_acctbal DESC)                          AS drnk,
-           rank()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS nation_rnk
+           rank()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS nation_rnk,
+           ntile(4)               OVER w        AS quartile,
+           round(percent_rank()   OVER w, 6)    AS pct_rank,
+           round(cume_dist()      OVER w, 6)    AS cume,
+           first_value(s_suppkey) OVER w        AS richest,
+           lag(s_suppkey)         OVER w        AS prev_supp,
+           lead(s_suppkey, 1, -1) OVER w        AS next_supp
     FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
     """,
-    doc="Global + partitioned ranking windows on raw (exact) values. The "
-    "global dense_rank is computed TWO-PHASE (functions/ranks.py: range "
-    "partition -> local rank -> cumulative distinct-count offsets), so no "
-    "single-partition WindowExec appears even on fact-sized input.",
+    doc="The window-function surface in one query. The global dense_rank is "
+    "computed TWO-PHASE (functions/ranks.py: range partition -> local rank "
+    "-> cumulative distinct-count offsets), so no single-partition "
+    "WindowExec appears even on fact-sized input; nation_rnk is the "
+    "partitioned rank. The frame/zoo columns (ntile, percent_rank, "
+    "cume_dist, first_value, lag, lead-with-default) use an unpartitioned "
+    "window INTENTIONALLY and are DIMENSION-TABLE-ONLY by contract: they "
+    "need the global row count / neighbor rows, so they don't two-phase "
+    "like plain ranks do — for fact-sized global ranking use global_rank.",
 )
 def supplier_acctbal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crdb_changefeed_publisher_spark.functions.ranks import global_rank
@@ -210,6 +222,7 @@ def supplier_acctbal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind="dense_rank",
         out="drnk",
     )
+    zoo = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
     return ranked.select(
         "s_suppkey",
         "s_nationkey",
@@ -218,6 +231,12 @@ def supplier_acctbal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank()
         .over(Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc()))
         .alias("nation_rnk"),
+        F.ntile(4).over(zoo).alias("quartile"),
+        F.round(F.percent_rank().over(zoo), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(zoo), 6).alias("cume"),
+        F.first("s_suppkey").over(zoo).alias("richest"),
+        F.lag("s_suppkey").over(zoo).alias("prev_supp"),
+        F.lead("s_suppkey", 1, -1).over(zoo).alias("next_supp"),
     )
 
 
@@ -281,93 +300,88 @@ def part_type_brand_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "customers_with_orders_semi",
+    "customer_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'has_big_order' AS tag, c_custkey FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-    """,
-    doc="Left-semi join (EXISTS): no row multiplication, fact side pruned early.",
-)
-def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@query(
-    "customers_without_orders_anti",
-    oracle="""
-    SELECT c_custkey, c_mktsegment FROM customer c
+    UNION ALL
+    SELECT 'no_urgent_order' AS tag, c_custkey FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no urgent order.",
+    doc="Left-semi (EXISTS) and left-anti (NOT EXISTS) joins in one tagged "
+    "union: customers with a >300k order / customers with no urgent order. "
+    "Both branches prune the fact side before the join and multiply no rows.",
 )
-def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
-        "c_custkey", "c_mktsegment"
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select(F.lit("has_big_order").alias("tag"), "c_custkey")
     )
+    anti = (
+        c.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select(F.lit("no_urgent_order").alias("tag"), "c_custkey")
+    )
+    return semi.unionByName(anti)
 
 
 @query(
-    "nation_setops_union",
+    "nation_setops",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
-    UNION
-    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    SELECT 'union' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        UNION
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+        SELECT n_nationkey AS nationkey FROM nation
+        EXCEPT
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000)
     """,
-    doc="UNION (distinct) of two filtered scans.",
+    doc="The three set operators in one tagged union: UNION-distinct of "
+    "high-balance customer/supplier nations, INTERSECT of building-segment "
+    "customer nations with supplier nations, EXCEPT of nations minus "
+    "high-balance supplier nations (DataFrame subtract = EXCEPT DISTINCT).",
 )
-def nation_setops_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
-        F.col("c_nationkey").alias("nationkey")
+def nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    u = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .union(
+            supp.filter(F.col("s_acctbal") > 9000).select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        )
+        .distinct()
     )
-    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000).select(
-        F.col("s_nationkey").alias("nationkey")
+    i = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supp.select(F.col("s_nationkey").alias("nationkey")))
     )
-    return c.union(s).distinct()
-
-
-@query(
-    "nation_setops_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-    doc="INTERSECT of customer vs supplier nations.",
-)
-def nation_setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_nationkey").alias("nationkey")
+    e = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("nationkey"))
+        .subtract(
+            supp.filter(F.col("s_acctbal") > 8000).select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        )
     )
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@query(
-    "nation_setops_except",
-    oracle="""
-    SELECT n_nationkey AS nationkey FROM nation
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
-    """,
-    doc="EXCEPT: nations with no high-balance suppliers.",
-)
-def nation_setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 8000)
-        .select(F.col("s_nationkey").alias("nationkey"))
-    )
-    return n.exceptAll(s).distinct()
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nationkey")  # noqa: E731
+    return tag(u, "union").unionByName(tag(i, "intersect")).unionByName(tag(e, "except"))
 
 
 @query(
@@ -391,6 +405,7 @@ def top_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_value_buckets",
+    retired=True,  # CASE-WHEN bucketing also exercised inside registered aggs
     oracle="""
     SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
                 WHEN o_totalprice < 250000 THEN 'medium'

@@ -36,8 +36,9 @@ def test_top_k_uses_take_ordered(spark, sf_dir):
 
 
 def test_semi_anti_join_operators(spark, sf_dir):
-    assert "LeftSemi" in physical_plan(spark, "customers_with_orders_semi", sf_dir)
-    assert "LeftAnti" in physical_plan(spark, "customers_without_orders_anti", sf_dir)
+    plan = physical_plan(spark, "customer_semi_anti", sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
 
 
 def test_cdc_envelopes_no_python_no_shuffle(spark, sf_dir):
@@ -47,7 +48,7 @@ def test_cdc_envelopes_no_python_no_shuffle(spark, sf_dir):
 
 
 def test_text_ops_stay_jvm_side(spark, sf_dir):
-    for name in ["text_quality_scores", "lang_id_confusion"]:
+    for name in ["doc_text_stats", "lang_id_confusion"]:
         assert "EvalPython" not in physical_plan(spark, name, sf_dir), name
     # doc_fingerprints moved to the Arrow-vectorized portable hash in round 2
     # (HOF char-fold was interpreted + 2.5 s); Arrow batches are sanctioned,
