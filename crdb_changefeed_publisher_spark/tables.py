@@ -42,11 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _BUCKETED_OVERRIDES:
         return spark.table(_BUCKETED_OVERRIDES[name])
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as raw int64 nanos (see session.py); expose a
-        # proper microsecond timestamp. Floor-division matches DuckDB's
-        # ns->us truncation, so oracle comparisons on derived times agree.
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+    if name == "events":
+        # Normalize ts to a session-tz (UTC) TIMESTAMP no matter how the
+        # fixture encodes it. Generations have varied: TIMESTAMP(NANOS)
+        # (read as raw int64 via nanosAsLong, see session.py) and plain
+        # timestamp[us] without tz (read as TIMESTAMP_NTZ). Downstream
+        # epoch arithmetic (`cast("double")`) is only legal on TIMESTAMP,
+        # and the DuckDB oracle treats the naive value as UTC, so both
+        # variants funnel into the same LTZ type here.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Floor-division matches DuckDB's ns->us truncation.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
