@@ -94,13 +94,25 @@ class ChangefeedConnection(Protocol):
 class JsonlReplayConnection:
     """Replays changefeed rows from a JSONL file of ``[table, key, value]``
     triples (null table/key => resolved row). The test/bench double for a
-    live changefeed; also how recorded changefeeds can be (re)processed."""
+    live changefeed; also how recorded changefeeds can be (re)processed.
+
+    Byte offsets are cached per line position so the steady-state sequential
+    fetch pattern (pos 0, then 1000, then 2000, ...) seeks straight to the
+    batch start instead of rescanning the file head — O(batch) per
+    micro-batch, O(n) total over a long recorded feed instead of O(n^2).
+    The reader instance lives on the driver across micro-batches
+    (SimpleDataSourceStreamReader), so the cache survives the whole run."""
 
     def __init__(self, path: str, gc_floor: int = 0) -> None:
         self.path = path
         # rows below this position are "garbage collected": fetching from
         # before the floor raises the CRDB GC error (for fallback tests)
         self.gc_floor = gc_floor
+        # line position -> byte offset of that line's start
+        self._pos_bytes: dict[int, int] = {0: 0}
+        # diagnostics: total lines pulled off disk (skips + consumed);
+        # tests assert this stays O(rows), not O(batches * rows)
+        self.lines_scanned = 0
 
     def fetch(self, pos: int, cursor: str | None, limit: int) -> list[WireRow]:
         if pos < self.gc_floor:
@@ -108,12 +120,27 @@ class JsonlReplayConnection:
                 f"batch timestamp {cursor or '0.0'} must be after replica GC threshold 1.0"
             )
         out: list[WireRow] = []
-        with open(self.path, encoding="utf-8") as f:
-            for i, line in enumerate(f):
-                if i < pos:
-                    continue
-                if len(out) >= limit:
+        with open(self.path, "rb") as f:
+            start = self._pos_bytes.get(pos)
+            if start is None:
+                # seek to the nearest known position at or below pos, then
+                # skip forward line-by-line (first fetch at an arbitrary
+                # restart offset; subsequent fetches hit the cache exactly)
+                known = max(p for p in self._pos_bytes if p <= pos)
+                f.seek(self._pos_bytes[known])
+                for i in range(known, pos):
+                    if not f.readline():
+                        break
+                    self.lines_scanned += 1
+                    self._pos_bytes[i + 1] = f.tell()
+            else:
+                f.seek(start)
+            i = pos
+            while len(out) < limit:
+                line = f.readline()
+                if not line:
                     break
+                self.lines_scanned += 1
                 t, k, v = json.loads(line)
                 out.append(
                     WireRow(
@@ -122,6 +149,8 @@ class JsonlReplayConnection:
                         v.encode(),
                     )
                 )
+                i += 1
+                self._pos_bytes[i] = f.tell()
         return out
 
 

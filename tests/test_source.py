@@ -68,6 +68,35 @@ def test_simple_reader_offsets(tmp_path):
     assert [r[0] for r in again] == [r[0] for r in rows]
 
 
+def test_replay_fetch_seeks_not_rescans(tmp_path):
+    """Sequential micro-batches over a long feed must read each line once:
+    the connection seeks to the cached byte offset of the batch start
+    instead of rescanning lines 0..pos every fetch (O(n) total, not O(n^2))."""
+    feed = str(tmp_path / "feed.jsonl")
+    write_feed(feed, 1000, 100)
+    conn = JsonlReplayConnection(feed)
+    total = 0
+    for pos in range(0, 1000, 50):
+        rows = conn.fetch(pos, None, 50)
+        total += len(rows)
+    assert total == 1000
+    # 20 batches x 50 rows: every line pulled off disk exactly once
+    assert conn.lines_scanned == 1000
+
+    # a cold fetch at an uncached position skips forward from the nearest
+    # cached offset, then later fetches at that position hit the cache
+    cold = JsonlReplayConnection(feed)
+    cold.fetch(990, None, 50)
+    assert cold.lines_scanned == 1000  # 990 skipped + 10 consumed
+    cold.fetch(990, None, 50)
+    assert cold.lines_scanned == 1010  # second time: seek straight there
+
+    # appended lines are visible without invalidating cached offsets
+    with open(feed, "a", encoding="utf-8") as f:
+        f.write(json.dumps(["t", "[x]", json.dumps({"after": {"a": -1}})]) + "\n")
+    assert len(conn.fetch(1000, None, 50)) == 1
+
+
 def test_gc_threshold_fallback(tmp_path):
     """A cursor below the GC floor restarts cursor-less from the floor
     (reference: ignore_cursor => skip to now, main.rs:175)."""
