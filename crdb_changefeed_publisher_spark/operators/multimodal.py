@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -69,12 +70,37 @@ def decode_image(payload: bytes) -> "object":  # pragma: no cover - stub
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector: bytes are
-    hashed into `dim` buckets. Replace with real decode+embed when codecs
-    are available."""
+    summed into `dim` buckets mod 997. This scalar form is the semantic
+    reference (and what the DuckDB oracle reproduces); the hot path is the
+    batch-vectorized `_fake_features_batch` below. Replace with real
+    decode+embed when codecs are available."""
     acc = [0] * dim
     for i, b in enumerate(payload or b""):
         acc[i % dim] = (acc[i % dim] + b) % 997
     return [v / 997.0 for v in acc]
+
+
+def _fake_features_batch(payloads: "pd.Series", dim: int = 8) -> "np.ndarray":
+    """Whole-Arrow-batch formulation of `_fake_feature`: concatenate the
+    batch's payload bytes once, then one bincount over composite buckets
+    (row * dim + position % dim). Identical values to the scalar form —
+    (a+b) % m applied per step equals sum % m, and float64 sums of byte
+    values are exact far beyond any realistic payload size. No per-row or
+    per-byte Python."""
+    n = len(payloads)
+    lens = np.fromiter(
+        (len(p) if p is not None else 0 for p in payloads), dtype=np.int64, count=n
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros((n, dim), dtype=np.float64)
+    data = np.frombuffer(b"".join(p for p in payloads if p), dtype=np.uint8)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    buckets = row * dim + (pos % dim)
+    acc = np.bincount(buckets, weights=data, minlength=n * dim)
+    return (acc.reshape(n, dim) % 997) / 997.0
 
 
 def extract_features(
@@ -90,12 +116,13 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            feats = _fake_features_batch(pdf["payload"])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
-                    "feature": pdf["payload"].map(_fake_feature),
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": list(feats),
                 }
             )
 

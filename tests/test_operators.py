@@ -110,6 +110,17 @@ def test_multimodal_feature_plumbing(spark):
     assert {r.media_id: r.feature for r in feats} == {r.media_id: r.feature for r in again}
 
 
+def test_fake_feature_batch_matches_scalar():
+    import pandas as pd
+
+    payloads = pd.Series(
+        [b"", None, b"a", bytes(range(256)) * 5, b"hello world" * 37, b"\x00" * 16]
+    )
+    batch = multimodal._fake_features_batch(payloads)
+    for i, p in enumerate(payloads):
+        assert list(batch[i]) == multimodal._fake_feature(p), f"payload {i}"
+
+
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
