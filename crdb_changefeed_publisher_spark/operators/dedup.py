@@ -572,18 +572,18 @@ def simhash_portable_signatures(
     return votes.select("doc_id", sig.alias("sig"))
 
 
-def simhash_portable_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 8,
-) -> DataFrame:
-    """Near-dup pairs by portable 30-bit SimHash: block on each of the two
-    15-bit chunks (pigeonhole candidate generation), then exact Hamming
-    verify — every value (signature, chunk, hamming) is oracle-checkable.
-    """
-    sig = simhash_portable_signatures(docs, text_col, id_col)
-    chunks = sig.select(
+def _explode_sig_chunks(sig: DataFrame, n_chunks: int, chunk_bits: int) -> DataFrame:
+    """(doc_id, sig) -> one row per chunk: (doc_id, sig, chunk_idx, chunk).
+
+    The banding dial for SimHash blocking. Bucket space = 2^chunk_bits per
+    chunk position; expected docs per bucket ~ n_docs / 2^chunk_bits, and
+    the candidate join is quadratic in that block size — so chunk_bits must
+    GROW with corpus size: chunk_bits >= log2(n_docs / target_block_size).
+    Pigeonhole recall: any pair within Hamming <= n_chunks - 1 is guaranteed
+    to share a chunk; beyond that the blocking is approximate (standard
+    SimHash banding trade-off). See docs/SCALE.md."""
+    mask = (1 << chunk_bits) - 1
+    return sig.select(
         "doc_id",
         "sig",
         F.explode(
@@ -591,13 +591,37 @@ def simhash_portable_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftright("sig", i * 15).bitwiseAND(F.lit(0x7FFF)).alias("chunk"),
+                        F.shiftright("sig", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
                     )
-                    for i in range(2)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
     ).select("doc_id", "sig", "c.chunk_idx", "c.chunk")
+
+
+def simhash_portable_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_chunks: int = 2,
+    chunk_bits: int = 15,
+) -> DataFrame:
+    """Near-dup pairs by portable 30-bit SimHash: block on each of the
+    `n_chunks` `chunk_bits`-bit chunks (pigeonhole candidate generation),
+    then exact Hamming verify — every value (signature, chunk, hamming) is
+    oracle-checkable.
+
+    The (2, 15) default is the sf-fixture setting, NOT the 100 TB setting:
+    32k buckets saturate around millions of docs. Size chunk_bits per the
+    rule in docs/SCALE.md (the two chunkings must tile the 30-bit
+    signature: n_chunks * chunk_bits <= 30 wastes the remainder bits).
+    """
+    sig = simhash_portable_signatures(docs, text_col, id_col)
+    chunks = _explode_sig_chunks(sig, n_chunks, chunk_bits)
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk"
     )
@@ -619,27 +643,17 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 16,
+    n_chunks: int = 4,
+    chunk_bits: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on each of the four 16-bit chunks
-    (pigeonhole: any pair within Hamming<=3-per-chunk shares a chunk when
-    distance is small), then exact Hamming verify.
+    """Near-dup pairs by 64-bit SimHash: block on each of the `n_chunks`
+    `chunk_bits`-bit chunks (pigeonhole: any pair within Hamming <=
+    n_chunks - 1 shares a chunk), then exact Hamming verify. Same banding
+    dial as the portable variant — see docs/SCALE.md for sizing chunk_bits
+    to the corpus.
     """
     sig = simhash_signatures(docs, text_col, id_col)
-    chunks = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "sig", "c.chunk_idx", "c.chunk")
+    chunks = _explode_sig_chunks(sig, n_chunks, chunk_bits)
     a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk")
     b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

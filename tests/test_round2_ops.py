@@ -136,6 +136,31 @@ def test_simhash_portable_identical_docs_hamming_zero(spark):
     assert pairs == {(1, 2): 0}
 
 
+def test_simhash_banding_is_parameterized(spark):
+    """The (n_chunks, chunk_bits) dial (docs/SCALE.md sizing rule): exact
+    duplicates (Hamming 0) share every chunk, so they are found under ANY
+    banding; a coarser 3x10 layout of the same 30-bit signature and the
+    5-bit micro-banding both agree with the default 2x15 on them."""
+    df = docs_df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+            (4, "zeta eta theta iota kappa"),
+        ],
+    )
+    expect = {(1, 2): 0, (3, 4): 0}
+    for n_chunks, chunk_bits in [(2, 15), (3, 10), (6, 5)]:
+        pairs = {
+            (p.doc_a, p.doc_b): p.hamming
+            for p in dedup.simhash_portable_pairs(
+                df, max_hamming=0, n_chunks=n_chunks, chunk_bits=chunk_bits
+            ).collect()
+        }
+        assert pairs == expect, (n_chunks, chunk_bits, pairs)
+
+
 def test_connected_components_toy_graph(spark):
     """Components {2,3,4}, {5,6}, singleton {1}; labels = min id; keepers
     are exactly the min ids."""
