@@ -331,77 +331,160 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    cell_centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition — IVF cell pruning (each
     query probes its `n_probe` nearest cells) over the PQ/ADC compressed
     scan (each corpus vector is 8 subspace codes, scored via per-query
     lookup tables), then exact cosine rerank of the survivors.
 
+    Codebooks: pass `cell_centroids` (C x dim) and `codebooks`
+    (n_subspaces x K x d_sub) — e.g. the frozen Spark-ML-KMeans literals in
+    functions/codebooks.py — for the production LEARNED mode: cells are
+    nearest-centroid assignments and codes index each subspace's own
+    codebook. Without them, the deterministic label-mean fallback is used
+    (cells = fixture labels, one shared codebook sliced per subspace).
+
     At 100 TB: the corpus is written partitioned by cell, so the probe
     prunes partitions at the scan AND the scan reads 8 codes/vector
     instead of the float vector — pruning x compression compose. Fully
-    deterministic (shared label-mean codebook for cells and PQ, rounded
-    scores, id tiebreaks), so oracle-verified like its two halves.
+    deterministic either way (rounded distances/scores, index/label
+    tiebreaks), so the whole composition is oracle-verified.
     """
     import numpy as np
 
     d_sub = dim // n_subspaces
-    cents = label_centroids(corpus, vec_col, label_col)
-    cent_rows = sorted(cents.collect(), key=lambda r: r.cell)  # one row per label
-    labels = [r.cell for r in cent_rows]
-    label_arr = np.array(labels, dtype=np.int64)
-    cent_mat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    spark = corpus.sparkSession
+    if (cell_centroids is None) != (codebooks is None):
+        raise ValueError("pass both cell_centroids and codebooks, or neither")
+    learned = cell_centroids is not None
 
-    def encode(batches):
-        for pdf in batches:
-            mat = np.array(list(pdf["v"]), dtype=np.float64)
-            ids = pdf["id"].to_numpy()
-            cells = pdf["cell"].to_numpy()
-            out_id, out_cell, out_s, out_code = [], [], [], []
-            for s in range(n_subspaces):
-                sub = mat[:, s * d_sub : (s + 1) * d_sub]
-                csub = cent_mat[:, s * d_sub : (s + 1) * d_sub]
-                d2 = (
-                    (sub * sub).sum(axis=1)[:, None]
-                    - 2.0 * (sub @ csub.T)
-                    + (csub * csub).sum(axis=1)[None, :]
+    if learned:
+        cent_mat = np.asarray(cell_centroids, dtype=np.float64)
+        books = np.asarray(codebooks, dtype=np.float64)  # S x K x d_sub
+        if books.shape[0] != n_subspaces or books.shape[2] != d_sub:
+            raise ValueError(f"codebooks shape {books.shape} != ({n_subspaces}, K, {d_sub})")
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cent_mat)],
+            "cell int, centroid array<double>",
+        )
+        cent_sq = (cent_mat * cent_mat).sum(axis=1)
+
+        def encode(batches):
+            # one pass: cell assignment (full-dim GEMM vs cell centroids)
+            # + per-subspace code argmin vs that subspace's codebook
+            for pdf in batches:
+                mat = np.array(list(pdf["v"]), dtype=np.float64)
+                ids = pdf["id"].to_numpy()
+                d2c = (
+                    (mat * mat).sum(axis=1)[:, None]
+                    - 2.0 * (mat @ cent_mat.T)
+                    + cent_sq[None, :]
                 )
-                code = np.argmin(np.round(d2, 6), axis=1)
-                out_id.extend(ids)
-                out_cell.extend(cells)
-                out_s.extend([s] * len(ids))
-                out_code.extend(label_arr[code])
-            yield pd.DataFrame(
-                {"neighbor_id": out_id, "cell": out_cell, "s": out_s, "code": out_code}
-            )
+                cells = np.argmin(np.round(d2c, 6), axis=1)
+                frames = []
+                for s in range(n_subspaces):
+                    sub = mat[:, s * d_sub : (s + 1) * d_sub]
+                    cb = books[s]
+                    d2 = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * (sub @ cb.T)
+                        + (cb * cb).sum(axis=1)[None, :]
+                    )
+                    code = np.argmin(np.round(d2, 6), axis=1)
+                    frames.append(
+                        pd.DataFrame(
+                            {"neighbor_id": ids, "cell": cells, "s": s, "code": code}
+                        )
+                    )
+                yield pd.concat(frames)
 
-    c_src = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(label_col).alias("cell"),
-        as_double(F.col(vec_col)).alias("v"),
-    )
-    codes = c_src.mapInPandas(encode, "neighbor_id long, cell long, s int, code int")
+        c_src = corpus.select(
+            F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        )
+        codes = c_src.mapInPandas(encode, "neighbor_id long, cell int, s int, code int")
 
-    def lut(batches):
-        for pdf in batches:
-            mat = np.array(list(pdf["v"]), dtype=np.float64)
-            ids = pdf["id"].to_numpy()
-            out_q, out_s, out_code, out_t = [], [], [], []
-            for s in range(n_subspaces):
-                sub = mat[:, s * d_sub : (s + 1) * d_sub]
-                csub = cent_mat[:, s * d_sub : (s + 1) * d_sub]
-                t = np.round(sub @ csub.T, 6)
-                for li, lab in enumerate(labels):
-                    out_q.extend(ids)
+        def lut(batches):
+            for pdf in batches:
+                mat = np.array(list(pdf["v"]), dtype=np.float64)
+                ids = pdf["id"].to_numpy()
+                frames = []
+                for s in range(n_subspaces):
+                    sub = mat[:, s * d_sub : (s + 1) * d_sub]
+                    t = np.round(sub @ books[s].T, 6)  # nq x K
+                    nq, n_codes = t.shape
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.repeat(ids, n_codes),
+                                "s": s,
+                                "code": np.tile(np.arange(n_codes), nq),
+                                "t": t.ravel(),
+                            }
+                        )
+                    )
+                yield pd.concat(frames)
+
+        q_src = queries.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        luts = q_src.mapInPandas(lut, "query_id long, s int, code int, t double")
+    else:
+        cents = label_centroids(corpus, vec_col, label_col)
+        cent_rows = sorted(cents.collect(), key=lambda r: r.cell)  # one row per label
+        labels = [r.cell for r in cent_rows]
+        label_arr = np.array(labels, dtype=np.int64)
+        cent_mat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+
+        def encode(batches):
+            for pdf in batches:
+                mat = np.array(list(pdf["v"]), dtype=np.float64)
+                ids = pdf["id"].to_numpy()
+                cells = pdf["cell"].to_numpy()
+                out_id, out_cell, out_s, out_code = [], [], [], []
+                for s in range(n_subspaces):
+                    sub = mat[:, s * d_sub : (s + 1) * d_sub]
+                    csub = cent_mat[:, s * d_sub : (s + 1) * d_sub]
+                    d2 = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * (sub @ csub.T)
+                        + (csub * csub).sum(axis=1)[None, :]
+                    )
+                    code = np.argmin(np.round(d2, 6), axis=1)
+                    out_id.extend(ids)
+                    out_cell.extend(cells)
                     out_s.extend([s] * len(ids))
-                    out_code.extend([lab] * len(ids))
-                    out_t.extend(t[:, li])
-            yield pd.DataFrame(
-                {"query_id": out_q, "s": out_s, "code": out_code, "t": out_t}
-            )
+                    out_code.extend(label_arr[code])
+                yield pd.DataFrame(
+                    {"neighbor_id": out_id, "cell": out_cell, "s": out_s, "code": out_code}
+                )
 
-    q_src = queries.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    luts = q_src.mapInPandas(lut, "query_id long, s int, code int, t double")
+        c_src = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("cell"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        codes = c_src.mapInPandas(encode, "neighbor_id long, cell long, s int, code int")
+
+        def lut(batches):
+            for pdf in batches:
+                mat = np.array(list(pdf["v"]), dtype=np.float64)
+                ids = pdf["id"].to_numpy()
+                out_q, out_s, out_code, out_t = [], [], [], []
+                for s in range(n_subspaces):
+                    sub = mat[:, s * d_sub : (s + 1) * d_sub]
+                    csub = cent_mat[:, s * d_sub : (s + 1) * d_sub]
+                    t = np.round(sub @ csub.T, 6)
+                    for li, lab in enumerate(labels):
+                        out_q.extend(ids)
+                        out_s.extend([s] * len(ids))
+                        out_code.extend([lab] * len(ids))
+                        out_t.extend(t[:, li])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "s": out_s, "code": out_code, "t": out_t}
+                )
+
+        q_src = queries.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        luts = q_src.mapInPandas(lut, "query_id long, s int, code int, t double")
 
     # IVF probe: each query's n_probe nearest cells by centroid cosine
     q_vecs = queries.select(
@@ -462,6 +545,33 @@ def label_centroids(corpus: DataFrame, vec_col: str = "embedding", label_col: st
     )
 
 
+def assign_cells(
+    corpus: DataFrame,
+    cell_centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) -> (id, cell): nearest centroid by rounded L2, smallest-
+    index tiebreak. One numpy GEMM per Arrow batch; the centroid matrix
+    rides the task closure (it is broadcast-sized by construction). This is
+    the partitioning step for a cell-partitioned 100 TB corpus layout."""
+    import numpy as np
+
+    cent = np.asarray(cell_centroids, dtype=np.float64)
+    cent_sq = (cent * cent).sum(axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            d2 = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ cent.T) + cent_sq[None, :]
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cell": np.argmin(np.round(d2, 6), axis=1)}
+            )
+
+    src = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    return src.mapInPandas(run, "id long, cell int")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -470,12 +580,32 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    cell_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: each query probes its `n_probe` nearest cells and
-    ranks only vectors in those cells. Cells here are the fixture's label
-    partitions with mean-vector centroids.
+    ranks only vectors in those cells. With `cell_centroids` (e.g. the
+    frozen Spark-ML-KMeans literals in functions/codebooks.py) cells are
+    nearest-centroid assignments — the production mode; without, cells fall
+    back to the fixture's label partitions with mean-vector centroids.
     """
-    cents = label_centroids(corpus, vec_col, label_col)
+    if cell_centroids is not None:
+        cents = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cell_centroids)],
+            "cell int, centroid array<double>",
+        )
+        assigned = assign_cells(corpus, cell_centroids, id_col, vec_col).withColumnRenamed(
+            "id", "neighbor_id"
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        ).join(assigned, "neighbor_id")
+    else:
+        cents = label_centroids(corpus, vec_col, label_col)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+            F.col(label_col).alias("cell"),
+        )
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     probe_w = Window.partitionBy("query_id").orderBy(F.col("cell_score").desc(), F.col("cell"))
     probes = (
@@ -484,11 +614,6 @@ def ivf_topk(
         .withColumn("cell_rnk", F.row_number().over(probe_w))
         .filter(F.col("cell_rnk") <= n_probe)
         .select("query_id", "qv", "cell")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-        F.col(label_col).alias("cell"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (

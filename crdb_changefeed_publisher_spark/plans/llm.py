@@ -522,18 +522,46 @@ def embedding_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_lsh_topk(queries, emb, k=5, n_probes=2)
 
 
-@query(
-    "embedding_topk_ivf",
-    oracle="""
-    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
-    cent AS (
-        SELECT label AS cell, list(m ORDER BY pos) AS c FROM (
-            SELECT label, pos, avg(e[pos]) AS m
-            FROM v, range(1, 65) t(pos)  -- fixture dim = 64; DuckDB range() cannot be lateral
-            GROUP BY label, pos
-        ) GROUP BY label
-    ),
+# --- learned (Spark ML KMeans) codebooks, frozen as literals -----------------
+# Trained once by tools/train_codebooks.py; the SAME constants parameterize
+# the Spark plans and the DuckDB oracles (the srp_planes pattern), so the
+# learned-ANN queries stay value-verifiable at any scale factor.
+from crdb_changefeed_publisher_spark.functions import codebooks as _cb
+
+
+def _duck_rows_2(items) -> str:
+    return ",\n".join(f"({i}, {list(c)})" for i, c in enumerate(items))
+
+
+_CENT_CTE = (
+    "cent AS (SELECT cell, c::DOUBLE[] AS c FROM (VALUES\n"
+    + _duck_rows_2(_cb.CELL_CENTROIDS)
+    + ") t(cell, c))"
+)
+_BOOK_CTE = (
+    "book AS (SELECT s, code, bc::DOUBLE[] AS bc FROM (VALUES\n"
+    + ",\n".join(
+        f"({s}, {code}, {list(c)})"
+        for s, book in enumerate(_cb.PQ_CODEBOOKS)
+        for code, c in enumerate(book)
+    )
+    + ") t(s, code, bc))"
+)
+# nearest learned centroid per corpus vector: rounded L2, smallest-cell tiebreak
+_ASSIGN_CTE = """
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cent.cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_dot_product(v.e, v.e)
+                                - 2 * list_dot_product(v.e, cent.c)
+                                + list_dot_product(cent.c, cent.c), 6),
+                                cent.cell) AS rn
+            FROM v, cent
+        ) WHERE rn = 1
+    )"""
+_PROBES_CTE = """
     probes AS (
         SELECT query_id, cell FROM (
             SELECT q.vec_id AS query_id, cent.cell,
@@ -544,8 +572,18 @@ def embedding_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
                                 cent.cell) AS rn
             FROM q, cent
-        ) WHERE rn <= 2
-    ),
+        ) WHERE rn <= 4
+    )"""
+
+
+@query(
+    "embedding_topk_ivf",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
+    {_CENT_CTE},
+    {_ASSIGN_CTE},
+    {_PROBES_CTE},
     scored AS (
         SELECT p.query_id, c.vec_id AS neighbor_id,
                round(list_dot_product(q.e, c.e)
@@ -553,7 +591,8 @@ def embedding_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * sqrt(list_dot_product(c.e, c.e))), 6) AS score
         FROM probes p
         JOIN q ON q.vec_id = p.query_id
-        JOIN v c ON c.label = p.cell AND c.vec_id <> p.query_id
+        JOIN assign a ON a.cell = p.cell
+        JOIN v c ON c.vec_id = a.vec_id AND c.vec_id <> p.query_id
     )
     SELECT query_id, neighbor_id, score, rnk FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
@@ -561,15 +600,18 @@ def embedding_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     ) WHERE rnk <= 5
     """,
-    doc="IVF approximate top-5: per-label mean-vector centroids, queries probe "
-    "2 nearest cells — the partition-pruning ANN path for 100 TB corpora. "
-    "Deterministic (rounded scores, id tiebreaks), so even the approximation "
-    "is oracle-verified.",
+    doc="IVF approximate top-5 with LEARNED cells: 16 Spark-ML-KMeans "
+    "centroids (tools/train_codebooks.py, frozen in functions/codebooks.py "
+    "so the oracle shares them as literals), corpus vectors assigned to "
+    "nearest centroid, queries probe 2 nearest cells — the "
+    "partition-pruning ANN path for 100 TB corpora. Deterministic (rounded "
+    "distances/scores, id tiebreaks), so even the learned approximation is "
+    "oracle-verified.",
 )
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.ivf_topk(queries, emb, k=5, n_probe=2)
+    return similarity.ivf_topk(queries, emb, k=5, n_probe=4, cell_centroids=_cb.CELL_CENTROIDS)
 
 
 _PQ_DIST = (
@@ -656,40 +698,27 @@ def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
-    cent AS (
-        SELECT label AS cell, list(m ORDER BY pos) AS c FROM (
-            SELECT label, pos, avg(e[pos]) AS m
-            FROM v, range(1, 65) t(pos)
-            GROUP BY label, pos
-        ) GROUP BY label
-    ),
-    subs AS (SELECT s FROM range(0, 8) t(s)),
+    {_CENT_CTE},
+    {_BOOK_CTE},
+    {_ASSIGN_CTE},
+    {_PROBES_CTE},
     codes AS (
         SELECT vec_id, cell, s, code FROM (
-            SELECT v.vec_id, v.label AS cell, subs.s, cent.cell AS code,
+            SELECT v.vec_id, a.cell, b.s, b.code,
                    row_number() OVER (
-                       PARTITION BY v.vec_id, subs.s
-                       ORDER BY {_PQ_DIST}, cent.cell) AS rn
-            FROM v, subs, cent
+                       PARTITION BY v.vec_id, b.s
+                       ORDER BY round(
+                           list_dot_product(list_slice(v.e, b.s*8+1, b.s*8+8),
+                                            list_slice(v.e, b.s*8+1, b.s*8+8))
+                           - 2 * list_dot_product(list_slice(v.e, b.s*8+1, b.s*8+8), b.bc)
+                           + list_dot_product(b.bc, b.bc), 6), b.code) AS rn
+            FROM v JOIN assign a ON a.vec_id = v.vec_id, book b
         ) WHERE rn = 1
     ),
     lut AS (
-        SELECT q.vec_id AS query_id, subs.s, cent.cell AS code,
-               round(list_dot_product(list_slice(q.e, s*8+1, s*8+8),
-                                      list_slice(cent.c, s*8+1, s*8+8)), 6) AS t
-        FROM q, subs, cent
-    ),
-    probes AS (
-        SELECT query_id, cell FROM (
-            SELECT q.vec_id AS query_id, cent.cell,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY round(list_dot_product(q.e, cent.c)
-                                / (sqrt(list_dot_product(q.e, q.e))
-                                   * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
-                                cent.cell) AS rn
-            FROM q, cent
-        ) WHERE rn <= 2
+        SELECT q.vec_id AS query_id, b.s, b.code,
+               round(list_dot_product(list_slice(q.e, b.s*8+1, b.s*8+8), b.bc), 6) AS t
+        FROM q, book b
     ),
     adc AS (
         SELECT p.query_id, c.vec_id AS neighbor_id, round(sum(l.t), 6) AS adc
@@ -721,18 +750,29 @@ def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     ) WHERE rnk <= 5
     """,
-    doc="IVF-PQ approximate top-5 — the production ANN composition: IVF "
-    "cell pruning (2 probed cells per query) over the PQ/ADC compressed "
-    "scan (8 codes per vector, lookup-table scoring), exact cosine rerank "
-    "of the top-100. At 100 TB the corpus is written partitioned by cell: "
-    "the probe prunes partitions at the scan AND the scan reads codes "
-    "instead of vectors — pruning x compression compose. Deterministic "
-    "shared codebook, so the full composition is oracle-verified.",
+    doc="IVF-PQ approximate top-5 with LEARNED codebooks — the production "
+    "ANN composition: 16 Spark-ML-KMeans cells prune the scan (2 probes "
+    "per query) over a PQ/ADC compressed scan with 64-entry per-subspace "
+    "KMeans codebooks (8 codes per vector, lookup-table scoring), then "
+    "exact cosine rerank of the top-100. Codebooks are trained once "
+    "(tools/train_codebooks.py) and frozen as literals shared by plan and "
+    "oracle. At 100 TB the corpus is written partitioned by cell: the "
+    "probe prunes partitions at the scan AND the scan reads codes instead "
+    "of vectors — pruning x compression compose. Production sizing is 256 "
+    "codes/subspace; 64 matches the 500-vector training fixture.",
 )
 def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.ivf_pq_topk(queries, emb, k=5, n_probe=2, n_candidates=100)
+    return similarity.ivf_pq_topk(
+        queries,
+        emb,
+        k=5,
+        n_probe=4,
+        n_candidates=100,
+        cell_centroids=_cb.CELL_CENTROIDS,
+        codebooks=_cb.PQ_CODEBOOKS,
+    )
 
 
 # --- text analysis ---------------------------------------------------------

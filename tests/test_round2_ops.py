@@ -345,6 +345,45 @@ def test_ivfpq_tracks_ivf(spark):
     assert recall >= 0.9, f"recall vs IVF {recall:.3f}"
 
 
+def test_ivf_learned_codebooks_full_probe_is_exact(spark):
+    """Learned-codebook mode (Spark ML KMeans literals): probing ALL cells
+    degenerates to an exact scan, so the result must equal brute-force
+    top-5 — verifies assignment + probe + rank end-to-end with zero
+    approximation slack. Also pins the measured fixture recalls (near-
+    uniform embeddings: recall tracks scan fraction; see docs/SCALE.md)."""
+    from crdb_changefeed_publisher_spark.functions import codebooks as cb
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in similarity.brute_force_topk(queries, emb, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in similarity.ivf_topk(
+            queries, emb, k=5, n_probe=len(cb.CELL_CENTROIDS), cell_centroids=cb.CELL_CENTROIDS
+        ).collect()
+    }
+    assert full == exact
+
+    assigned = similarity.assign_cells(emb, cb.CELL_CENTROIDS).collect()
+    assert len(assigned) == emb.count()
+    assert all(0 <= r.cell < len(cb.CELL_CENTROIDS) for r in assigned)
+
+    # registered setting (4/16 probes): recall beats label cells (0.36 at
+    # 2/10 probes) — keep a floor well under the measured 0.56 for noise
+    part = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            queries, emb, k=5, n_probe=4, cell_centroids=cb.CELL_CENTROIDS
+        ).collect()
+    }
+    exact5 = {(q, n) for q, n, _ in exact}
+    recall = len(exact5 & part) / len(exact5)
+    assert recall >= 0.45, f"recall {recall:.3f}"
+
+
 def test_srp_lsh_signatures_carry_no_vectors(spark):
     """Round-1 regression: the signature explode must not duplicate the
     embedding payload L times. The bucket-join stage of the plan references
