@@ -71,8 +71,14 @@ def publish_batch(
             f"queue_kind {queue_kind!r} is not publishable from executors; use 'dir' or 'rabbitmq'"
         )
 
-    def publish_partition(rows):
+    def publish_partition(pdfs):
+        # Arrow path: each partition arrives as pandas batches (no per-row
+        # JVM->Python pickling); messages bulk-write per batch via
+        # publish_many, order preserved (mapInPandas iterates a partition's
+        # batches in order, rows in order within each).
         from pyspark import TaskContext
+
+        import pandas as pd
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
 
@@ -89,16 +95,20 @@ def publish_batch(
 
         queues: dict[str | None, MessageQueue] = {}
         n = 0
-        for row in rows:
-            t = row[table_col] if table_col else None
-            q = queues.get(t)
-            if q is None:
-                q = queues[t] = open_queue(t)
-            q.publish(row[envelope_col_name].encode())
-            n += 1
+        for pdf in pdfs:
+            if table_col:
+                groups = pdf.groupby(table_col, sort=False)
+            else:
+                groups = [(None, pdf)]
+            for t, grp in groups:
+                q = queues.get(t)
+                if q is None:
+                    q = queues[t] = open_queue(t)
+                q.publish_many([s.encode() for s in grp[envelope_col_name]])
+                n += len(grp)
         for q in queues.values():
             q.close()
-        yield n
+        yield pd.DataFrame({"n": [n]})
 
     cols = [key_col, envelope_col_name] + ([seq_col] if seq_col else [])
     if table_col:
@@ -110,8 +120,8 @@ def publish_batch(
         sort_cols = [key_col] + ([seq_col] if seq_col else [])
     if seq_col:
         shuffled = shuffled.sortWithinPartitions(*sort_cols)
-    counts = shuffled.rdd.mapPartitions(publish_partition).collect()
-    MESSAGES_SENT.inc(sum(counts))
+    counts = shuffled.mapInPandas(publish_partition, "n long").collect()
+    MESSAGES_SENT.inc(sum(r.n for r in counts))
 
 
 def publish_batch_to_dir(

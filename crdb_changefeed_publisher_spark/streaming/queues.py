@@ -23,9 +23,12 @@ from typing import Iterable, Protocol
 
 
 class MessageQueue(Protocol):
-    """Parity with reference src/queues.rs:13-15."""
+    """Parity with reference src/queues.rs:13-15 (publish_many is the
+    Arrow-batch bulk form — semantically a loop of publishes)."""
 
     def publish(self, message: bytes) -> None: ...
+
+    def publish_many(self, messages: "list[bytes]") -> None: ...
 
     def close(self) -> None: ...
 
@@ -39,14 +42,23 @@ class InMemoryQueue:
     def publish(self, message: bytes) -> None:
         self.messages.append(message)
 
+    def publish_many(self, messages: list[bytes]) -> None:
+        self.messages.extend(messages)
+
     def close(self) -> None:
         pass
 
 
 class DirQueue:
-    """Append-to-file queue: each partition opens its own file, writes are
-    sequential and flushed per message (the publisher-confirm analog —
-    a message is 'confirmed' once fsync'd).
+    """Append-to-file queue with GROUP COMMIT: each partition opens its own
+    file, writes are sequential, and close() flushes + fsyncs ONCE — the
+    publisher-confirm analog at micro-batch granularity. close() runs
+    before foreachBatch returns, so durability is established before Spark
+    commits the batch's offsets; a crash before the fsync replays the whole
+    batch. That is the same at-least-once window as the reference's
+    confirm-then-checkpoint ordering (src/main.rs:226-234) — per-message
+    fsync (how round 1-3 did it) costs ~10x wall time for a stronger
+    guarantee Spark's batch-commit protocol cannot observe anyway.
 
     `batch_id` switches on the IDEMPOTENT layout: the file is keyed by
     (batch_id, partition) and TRUNCATED on open, so a foreachBatch retry of
@@ -68,10 +80,15 @@ class DirQueue:
 
     def publish(self, message: bytes) -> None:
         self._f.write(message + b"\n")
-        self._f.flush()
-        os.fsync(self._f.fileno())
+
+    def publish_many(self, messages: list[bytes]) -> None:
+        # one buffered write per Arrow batch; group-commit fsync in close()
+        if messages:
+            self._f.write(b"\n".join(messages) + b"\n")
 
     def close(self) -> None:
+        self._f.flush()
+        os.fsync(self._f.fileno())
         self._f.close()
 
     @staticmethod
@@ -104,6 +121,11 @@ class RabbitMQQueue:
 
     def publish(self, message: bytes) -> None:
         self._chan.basic_publish(exchange="", routing_key=self._queue, body=message)
+
+    def publish_many(self, messages: list[bytes]) -> None:
+        # AMQP has no batch publish; the confirm channel acks each in turn
+        for m in messages:
+            self.publish(m)
 
     def close(self) -> None:
         self._conn.close()
