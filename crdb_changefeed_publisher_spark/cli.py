@@ -39,6 +39,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--cursor-path", default=None, help="path for --cursor-store file")
     p.add_argument("--once", action="store_true", help="process available data then exit")
     p.add_argument(
+        "--idempotent",
+        action="store_true",
+        help="exactly-once-ish publish: batch-keyed truncating files for "
+        "--queue dir, (x-batch-id, x-partition-id, x-seq) dedup headers "
+        "for --queue rabbitmq — extension over the reference's "
+        "at-least-once delivery",
+    )
+    p.add_argument(
         "--fan-out-tables",
         action="store_true",
         help="route each table's envelopes to its own destination "
@@ -100,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
         # "queue name is required" when publishing to RabbitMQ (main.rs:69)
         amqp_queue=os.environ["AMQP_QUEUE"] if args.queue == "rabbitmq" else None,
         fan_out_tables=args.fan_out_tables,
+        idempotent=args.idempotent,
     )
     try:
         query.awaitTermination()

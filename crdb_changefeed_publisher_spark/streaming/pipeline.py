@@ -44,6 +44,7 @@ def publish_batch(
     envelope_col_name: str = "envelope",
     seq_col: str | None = None,
     table_col: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """Publish one micro-batch with per-key ordering: repartition on key so
     all messages for a key land in one partition, then each partition opens
@@ -58,6 +59,13 @@ def publish_batch(
     partition by (key, seq) — a *provable* per-key order (the shuffle alone
     only preserves arrival order per upstream partition).
 
+    `batch_id` opts into the idempotent/exactly-once-ish layouts: DirQueue
+    truncates its (batch, partition)-keyed file on a replay; RabbitMQQueue
+    stamps (x-batch-id, x-partition-id, x-seq) dedup headers. Requires
+    `seq_col` so the per-partition sequence is deterministic across
+    replays (Spark re-runs a failed batch under the same batch_id with the
+    same content and partitioning).
+
     `table_col` switches on MULTI-TABLE FAN-OUT (a Spark upgrade over the
     reference's one-table/one-queue design, src/cli.yml:6-9): each table's
     envelopes route to their own destination — ``out_dir/<table>/`` for the
@@ -66,6 +74,8 @@ def publish_batch(
     partition opens one queue per table it sees."""
     if queue_kind == "dir" and out_dir is None:
         raise ValueError("queue_kind='dir' requires out_dir")
+    if batch_id is not None and seq_col is None:
+        raise ValueError("batch_id (idempotent publish) requires seq_col for a deterministic replay order")
     if queue_kind not in ("dir", "rabbitmq"):
         raise ValueError(
             f"queue_kind {queue_kind!r} is not publishable from executors; use 'dir' or 'rabbitmq'"
@@ -91,6 +101,7 @@ def publish_batch(
                 queue=f"{amqp_queue or 'rabbitmq'}.{table}"
                 if table
                 else (amqp_queue or "rabbitmq"),
+                batch_id=batch_id,
             )
 
         queues: dict[str | None, MessageQueue] = {}
@@ -150,6 +161,7 @@ def make_foreach_batch(
     amqp_addr: str | None = None,
     amqp_queue: str | None = None,
     fan_out_tables: bool = False,
+    idempotent: bool = False,
 ):
     """foreachBatch function: demux the micro-batch via the shared transform,
     publish change-envelopes (with key for ordering) to the selected queue,
@@ -185,6 +197,7 @@ def make_foreach_batch(
             amqp_queue=amqp_queue,
             seq_col="_seq",
             table_col="table" if fan_out_tables else None,
+            batch_id=batch_id if idempotent else None,
         )
 
         resolved = [
@@ -217,6 +230,7 @@ def run_pipeline(
     amqp_addr: str | None = None,
     amqp_queue: str | None = None,
     fan_out_tables: bool = False,
+    idempotent: bool = False,
 ):
     """Wire a changefeed-shaped streaming DataFrame to the publish sink.
 
@@ -239,6 +253,7 @@ def run_pipeline(
             amqp_addr=amqp_addr,
             amqp_queue=amqp_queue,
             fan_out_tables=fan_out_tables,
+            idempotent=idempotent,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now and not drain_all:

@@ -104,23 +104,54 @@ class RabbitMQQueue:
     """AMQP publisher with confirms (reference src/queues.rs:17-65):
     declares the queue (durable=False to match queue_declare defaults there),
     publishes to the default exchange with routing_key = queue name, and
-    enables confirm_delivery so each publish waits for the broker ack."""
+    enables confirm_delivery so each publish waits for the broker ack.
 
-    def __init__(self, amqp_addr: str, queue: str) -> None:
+    `batch_id` switches on the EXACTLY-ONCE-ISH recipe (the AMQP analog of
+    DirQueue's batch-keyed truncation, which a broker cannot do): every
+    message carries headers (x-batch-id, x-partition-id, x-seq). Spark
+    replays a failed batch under the same batch_id with deterministic
+    content and partitioning, and the publish path sorts by (key, seq), so
+    a replayed message carries the SAME header triple — consumers (or a
+    dedup proxy) discard duplicates on it. Without batch_id:
+    reference-parity at-least-once."""
+
+    def __init__(
+        self,
+        amqp_addr: str,
+        queue: str,
+        partition_id: int = 0,
+        batch_id: int | None = None,
+    ) -> None:
         try:
             import pika  # type: ignore[import-not-found]
         except ImportError as e:  # pragma: no cover - pika not bundled
             raise RuntimeError(
                 "pika is not installed; use DirQueue/InMemoryQueue or install pika"
             ) from e
+        self._pika = pika
         self._conn = pika.BlockingConnection(pika.URLParameters(amqp_addr))
         self._chan = self._conn.channel()
         self._chan.queue_declare(queue=queue)
         self._chan.confirm_delivery()  # publisher confirms, queues.rs:55-56
         self._queue = queue
+        self._partition_id = partition_id
+        self._batch_id = batch_id
+        self._seq = 0
 
     def publish(self, message: bytes) -> None:
-        self._chan.basic_publish(exchange="", routing_key=self._queue, body=message)
+        kwargs = {}
+        if self._batch_id is not None:
+            kwargs["properties"] = self._pika.BasicProperties(
+                headers={
+                    "x-batch-id": self._batch_id,
+                    "x-partition-id": self._partition_id,
+                    "x-seq": self._seq,
+                }
+            )
+            self._seq += 1
+        self._chan.basic_publish(
+            exchange="", routing_key=self._queue, body=message, **kwargs
+        )
 
     def publish_many(self, messages: list[bytes]) -> None:
         # AMQP has no batch publish; the confirm channel acks each in turn
@@ -136,7 +167,12 @@ def make_queue(kind: str, *, path: str | None = None, partition_id: int = 0,
                batch_id: int | None = None) -> MessageQueue:
     """QueueType registry (reference src/model.rs:6-16 has only 'rabbitmq')."""
     if kind == "rabbitmq":
-        return RabbitMQQueue(amqp_addr or os.environ.get("AMQP_ADDR", "amqp://127.0.0.1:5672"), queue)
+        return RabbitMQQueue(
+            amqp_addr or os.environ.get("AMQP_ADDR", "amqp://127.0.0.1:5672"),
+            queue,
+            partition_id=partition_id,
+            batch_id=batch_id,
+        )
     if kind == "dir":
         assert path is not None
         return DirQueue(path, partition_id, batch_id=batch_id)

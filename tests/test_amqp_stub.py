@@ -25,7 +25,7 @@ class FakeChannel:
     def confirm_delivery(self):
         self.confirms_enabled = True
 
-    def basic_publish(self, exchange, routing_key, body, **kwargs):
+    def basic_publish(self, exchange, routing_key, body, properties=None, **kwargs):
         if routing_key not in self.broker.queues:
             raise RuntimeError("publish to undeclared queue")
         if self.broker.fail_next:
@@ -33,7 +33,12 @@ class FakeChannel:
             # pika raises on nack/timeout when confirms are enabled
             raise self.broker.pika.exceptions.UnroutableError([])
         self.broker.queues[routing_key].append(
-            {"exchange": exchange, "body": body, "confirmed": self.confirms_enabled}
+            {
+                "exchange": exchange,
+                "body": body,
+                "confirmed": self.confirms_enabled,
+                "headers": getattr(properties, "headers", None),
+            }
         )
 
 
@@ -76,7 +81,12 @@ def fake_pika(monkeypatch):
         def __init__(self, url):
             self.url = url
 
+    class BasicProperties:
+        def __init__(self, headers=None, **kwargs):
+            self.headers = headers
+
     mod.URLParameters = URLParameters
+    mod.BasicProperties = BasicProperties
     mod.BlockingConnection = lambda params: FakeConnection(params, broker)
     broker.pika = mod
     monkeypatch.setitem(sys.modules, "pika", mod)
@@ -125,3 +135,33 @@ def test_make_queue_rabbitmq_uses_amqp_env(fake_pika, monkeypatch):
     q = make_queue("rabbitmq", queue="cdc")
     assert q._conn.params.url == "amqp://10.0.0.9:5672"
     assert "cdc" in fake_pika.queues
+
+
+def test_rabbitmq_batch_keyed_headers_are_replay_stable(fake_pika):
+    """Exactly-once-ish AMQP (the broker-side analog of DirQueue's batch-
+    keyed truncation): with batch_id set, every message carries
+    (x-batch-id, x-partition-id, x-seq) headers, and a REPLAY of the same
+    deterministic batch emits byte-identical header triples — a consumer
+    deduping on the triple gets exactly-once delivery."""
+    from crdb_changefeed_publisher_spark.streaming.queues import RabbitMQQueue
+
+    def run_batch():
+        q = RabbitMQQueue("amqp://localhost", "xo", partition_id=3, batch_id=7)
+        q.publish_many([b"m0", b"m1"])
+        q.publish(b"m2")
+        q.close()
+
+    run_batch()
+    first = [(m["body"], tuple(sorted(m["headers"].items()))) for m in fake_pika.queues["xo"]]
+    assert [h for _, h in first] == [
+        (("x-batch-id", 7), ("x-partition-id", 3), ("x-seq", s)) for s in range(3)
+    ]
+    run_batch()  # foreachBatch retry of the same batch
+    again = [(m["body"], tuple(sorted(m["headers"].items()))) for m in fake_pika.queues["xo"][3:]]
+    assert again == first  # identical dedup keys => consumer drops them
+
+    # without batch_id: reference-parity at-least-once, no headers
+    q = RabbitMQQueue("amqp://localhost", "alo")
+    q.publish(b"m")
+    q.close()
+    assert fake_pika.queues["alo"][0]["headers"] is None

@@ -75,6 +75,28 @@ def test_multi_table_fan_out_routes_per_table(spark, tmp_path):
             assert seq == sorted(seq)
 
 
+def test_idempotent_foreach_batch_replay_end_to_end(spark, tmp_path):
+    """The wiring, not just the queue: make_foreach_batch(idempotent=True)
+    threads Spark's batch_id into the batch-keyed sink, so re-running the
+    SAME batch (a foreachBatch retry) leaves zero duplicates end to end."""
+    import os
+
+    from crdb_changefeed_publisher_spark.streaming.pipeline import make_foreach_batch
+
+    rows = [
+        ("t", f"[{i % 3}]".encode(), json.dumps({"after": {"v": i}}).encode())
+        for i in range(12)
+    ]
+    batch = spark.createDataFrame(rows, "table string, key binary, value binary")
+    out = str(tmp_path / "xo")
+    run = make_foreach_batch(out, idempotent=True)
+    run(batch, 5)
+    run(batch, 5)  # retry of the same micro-batch
+    msgs = [json.loads(m) for m in DirQueue.read_all(out)]
+    assert sorted(m["value"]["after"]["v"] for m in msgs) == list(range(12))
+    assert all(name.startswith("batch-00000005-") for name in os.listdir(out))
+
+
 def test_idempotent_sink_batch_replay_no_duplicates(spark, tmp_path):
     """foreachBatch retries re-run the SAME batch_id; the batch-keyed dir
     sink truncates on open, so a replay overwrites its previous attempt
