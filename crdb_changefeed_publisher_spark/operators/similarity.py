@@ -589,16 +589,38 @@ def ivf_topk(
     back to the fixture's label partitions with mean-vector centroids.
     """
     if cell_centroids is not None:
+        import numpy as np
+
         cents = corpus.sparkSession.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cell_centroids)],
             "cell int, centroid array<double>",
         )
-        assigned = assign_cells(corpus, cell_centroids, id_col, vec_col).withColumnRenamed(
-            "id", "neighbor_id"
-        )
+        # single Arrow pass emits (id, cell, vector) — no join back onto the
+        # corpus (an extra shuffle measured ~7x on this query). At 100 TB
+        # the assignment happens once at write time (cell-partitioned
+        # layout) and this pass disappears entirely.
+        cent = np.asarray(cell_centroids, dtype=np.float64)
+        cent_sq = (cent * cent).sum(axis=1)
+
+        def assign_with_vec(batches):
+            for pdf in batches:
+                mat = np.array(list(pdf["cv"]), dtype=np.float64)
+                d2 = (
+                    (mat * mat).sum(axis=1)[:, None]
+                    - 2.0 * (mat @ cent.T)
+                    + cent_sq[None, :]
+                )
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": pdf["neighbor_id"],
+                        "cv": pdf["cv"],
+                        "cell": np.argmin(np.round(d2, 6), axis=1),
+                    }
+                )
+
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-        ).join(assigned, "neighbor_id")
+        ).mapInPandas(assign_with_vec, "neighbor_id long, cv array<double>, cell int")
     else:
         cents = label_centroids(corpus, vec_col, label_col)
         c = corpus.select(
