@@ -176,3 +176,53 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             (F.length(F.replace(F.trim(t), F.lit(" "), F.lit(""))) / n_words).cast("double"), 4
         ).alias("avg_token_len"),
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    n: int = 8,
+    bench_mod: int = 97,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION check: per-document overlap of distinct
+    word-`n`-grams with the n-gram set of a benchmark corpus (here a
+    deterministic subset, doc_id % `bench_mod` == 0 — in production, the
+    held-out eval sets).
+
+    Shape at 100 TB: the benchmark n-gram set is tiny by contract (eval
+    suites are MBs, the corpus is TBs), so it BROADCASTS; the corpus side
+    explodes to distinct per-doc grams and left-joins the broadcast set —
+    per-doc partial aggregation, no corpus-side shuffle beyond the per-doc
+    groupBy. Output: one row per document with >= 1 n-gram: gram counts,
+    contaminated-gram count, contamination ratio, and a `clean` flag.
+
+    Gram construction (mirrored exactly by the SQL oracle): split on single
+    spaces after trim; documents shorter than `n` words produce no grams
+    and are excluded (they cannot be contaminated at this n)."""
+    w = F.split(F.trim(F.col(text_col)), " ")
+    idxs = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(idxs, lambda i: F.array_join(F.slice(w, i, n), " "))).alias("g"),
+    ).distinct()
+    bench = grams.filter(F.col("doc_id") % bench_mod == 0).select("g").distinct()
+    joined = grams.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias("contamination"),
+            (F.col("n_contaminated") == 0).alias("clean"),
+        )
+    )

@@ -920,3 +920,42 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", poly_hash(F.col("text"), max_len=4096).alias("fp"))
+
+
+@query(
+    "doc_decontamination",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+                                     i -> array_to_string(w[i:i+7], ' '))) AS g
+        FROM words
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    stats AS (
+        SELECT grams.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS n_contaminated
+        FROM grams LEFT JOIN bench b ON b.g = grams.g
+        GROUP BY 1
+    )
+    SELECT doc_id, n_grams,
+           CAST(n_contaminated AS BIGINT) AS n_contaminated,
+           round(n_contaminated / n_grams, 4) AS contamination,
+           (n_contaminated = 0) AS clean
+    FROM stats
+    """,
+    doc="Benchmark decontamination: per-document overlap of distinct word-"
+    "8-grams against a benchmark corpus's n-gram set (deterministic subset "
+    "doc_id % 97 == 0 standing in for held-out eval suites). The benchmark "
+    "set is tiny by contract, so it broadcasts; the corpus side explodes "
+    "to distinct per-doc grams and left-joins the broadcast set — per-doc "
+    "partial agg, no corpus-side pair shuffle. The standard hygiene gate "
+    "before training-data release (operators/text.py::benchmark_"
+    "contamination).",
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.benchmark_contamination(load_table(spark, sf_dir, "documents"))

@@ -59,6 +59,7 @@ COST_HINTS: dict[str, float] = {
     "dedup_ngram_jaccard": 1.32,
     "dedup_simhash": 1.39,
     "doc_chunks": 0.6,
+    "doc_decontamination": 1.0,
     "salted_skew_agg": 0.8,
     "doc_perplexity_proxy": 1.1,
     "embedding_topk_srp_lsh": 1.76,

@@ -132,3 +132,24 @@ def test_frame_sample_plan(spark):
     rows = plan.groupBy("media_id").count().collect()
     # only kind == video rows appear, with ceil(duration/100) frames each
     assert all(r["count"] >= 1 for r in rows)
+
+
+def test_benchmark_contamination_toy(spark):
+    """doc 0 (doc_id % 97 == 0) IS the benchmark; doc 1 copies its first 8
+    words (1 contaminated gram of 3); doc 2 shares nothing; doc 3 is too
+    short for any 8-gram and is excluded."""
+    docs = spark.createDataFrame(
+        [
+            (0, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2"),
+            (2, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.benchmark_contamination(docs).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0].n_grams, got[0].n_contaminated, got[0].clean) == (3, 3, False)
+    assert (got[1].n_grams, got[1].n_contaminated, got[1].clean) == (3, 1, False)
+    assert got[1].contamination == 0.3333
+    assert (got[2].n_contaminated, got[2].clean) == (0, True)
