@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crdb_changefeed_publisher_spark import plans
+from crdb_changefeed_publisher_spark import plans, tables
 from crdb_changefeed_publisher_spark.session import DEFAULT_SF_DIR, get_spark
 
 
@@ -29,6 +29,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+
+    # SPARK_GRAFT_BUCKETED=1 A/Bs the whole suite against bucketed
+    # lineitem/orders catalog tables (same query definitions, switched via
+    # tables.set_bucketed_overrides) — the co-located fact-fact join layout
+    # that transfers to 100 TB. SPARK_GRAFT_BUCKETS tunes the count.
+    bucketed = os.environ.get("SPARK_GRAFT_BUCKETED") == "1"
+    if bucketed:
+        overrides = tables.ensure_bucketed_tables(
+            spark, sf_dir, int(os.environ.get("SPARK_GRAFT_BUCKETS", "8"))
+        )
+        tables.set_bucketed_overrides(overrides)
 
     # Warm the JVM/codegen once so per-query numbers measure the queries,
     # not first-task startup.
@@ -77,6 +88,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"bucketed": True} if bucketed else {}),
             },
             separators=(",", ":"),
         )

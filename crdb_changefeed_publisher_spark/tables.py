@@ -61,6 +61,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> dict[str, str]:
+    """Write lineitem/orders as catalog tables bucketed+sorted on the order
+    key (idempotent), returning the overrides mapping for
+    set_bucketed_overrides. Bucketing is the write-once amortization of the
+    fact-fact join shuffle: with both sides bucketed on the join key, the
+    registered q3/q5 plans run exchange-free (plan-asserted in
+    tests/test_scale_mechanics.py). Bucket count must scale with volume —
+    target >= 100 MB per bucket file; 8 beats 32 at sf0.1 (docs/RESULTS.md)."""
+    existing = {t.name for t in spark.catalog.listTables()}
+    if f"lineitem_bkt{buckets}" not in existing:
+        load_table(spark, sf_dir, "lineitem").write.bucketBy(
+            buckets, "l_orderkey"
+        ).sortBy("l_orderkey").mode("overwrite").saveAsTable(f"lineitem_bkt{buckets}")
+    if f"orders_bkt{buckets}" not in existing:
+        load_table(spark, sf_dir, "orders").write.bucketBy(
+            buckets, "o_orderkey"
+        ).sortBy("o_orderkey").mode("overwrite").saveAsTable(f"orders_bkt{buckets}")
+    return {"lineitem": f"lineitem_bkt{buckets}", "orders": f"orders_bkt{buckets}"}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

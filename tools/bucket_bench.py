@@ -31,16 +31,8 @@ QUERIES = ["q3_shipping_priority", "q5_region_revenue", "order_ship_latency"]
 BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "8"))
 
 
-def ensure_bucketed(spark) -> None:
-    existing = {t.name for t in spark.catalog.listTables()}
-    if f"lineitem_bkt{BUCKETS}" not in existing:
-        tables.load_table(spark, SF_DIR, "lineitem").write.bucketBy(
-            BUCKETS, "l_orderkey"
-        ).sortBy("l_orderkey").mode("overwrite").saveAsTable(f"lineitem_bkt{BUCKETS}")
-    if f"orders_bkt{BUCKETS}" not in existing:
-        tables.load_table(spark, SF_DIR, "orders").write.bucketBy(
-            BUCKETS, "o_orderkey"
-        ).sortBy("o_orderkey").mode("overwrite").saveAsTable(f"orders_bkt{BUCKETS}")
+def ensure_bucketed(spark) -> dict[str, str]:
+    return tables.ensure_bucketed_tables(spark, SF_DIR, BUCKETS)
 
 
 def time_query(spark, name: str) -> float:
@@ -60,9 +52,7 @@ def main() -> None:
     for name in QUERIES:
         tables.set_bucketed_overrides(None)
         plain = time_query(spark, name)
-        tables.set_bucketed_overrides(
-            {"lineitem": f"lineitem_bkt{BUCKETS}", "orders": f"orders_bkt{BUCKETS}"}
-        )
+        tables.set_bucketed_overrides(ensure_bucketed(spark))
         bucketed = time_query(spark, name)
         tables.set_bucketed_overrides(None)
         rows.append((name, plain, bucketed))
