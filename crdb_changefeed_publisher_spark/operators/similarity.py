@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from crdb_changefeed_publisher_spark.functions.vectors import as_double, cosine_arrow
+from crdb_changefeed_publisher_spark.functions.vectors import as_double, cosine, cosine_arrow
 
 
 def brute_force_topk(
@@ -493,7 +493,7 @@ def ivf_pq_topk(
     probe_w = Window.partitionBy("query_id").orderBy(F.col("cell_score").desc(), F.col("cell"))
     probes = (
         q_vecs.join(F.broadcast(cents))
-        .withColumn("cell_score", cosine_arrow(F.col("query_v"), F.col("centroid")))
+        .withColumn("cell_score", F.round(cosine(F.col("query_v"), F.col("centroid")), 6))
         .withColumn("cell_rnk", F.row_number().over(probe_w))
         .filter(F.col("cell_rnk") <= n_probe)
         .select("query_id", "cell")
@@ -632,7 +632,7 @@ def ivf_topk(
     probe_w = Window.partitionBy("query_id").orderBy(F.col("cell_score").desc(), F.col("cell"))
     probes = (
         q.join(F.broadcast(cents))
-        .withColumn("cell_score", cosine_arrow(F.col("qv"), F.col("centroid")))
+        .withColumn("cell_score", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
         .withColumn("cell_rnk", F.row_number().over(probe_w))
         .filter(F.col("cell_rnk") <= n_probe)
         .select("query_id", "qv", "cell")
