@@ -97,6 +97,37 @@ def test_replay_fetch_seeks_not_rescans(tmp_path):
     assert len(conn.fetch(1000, None, 50)) == 1
 
 
+def test_replay_fetch_random_access_matches_naive(tmp_path):
+    """Property: any sequence of (pos, limit) fetches returns exactly what a
+    naive full-file read would — the byte-offset cache must never skew a
+    read, including backward seeks, repeats, and past-EOF positions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    feed = str(tmp_path / "feed.jsonl")
+    write_feed(feed, 60, 7)
+    with open(feed, encoding="utf-8") as f:
+        naive = [json.loads(line) for line in f]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=0, max_value=70), st.integers(min_value=1, max_value=20)),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(accesses):
+        conn = JsonlReplayConnection(feed)
+        for pos, limit in accesses:
+            got = conn.fetch(pos, None, limit)
+            want = naive[pos : pos + limit]
+            assert [r.table for r in got] == [w[0] for w in want]
+            assert [r.value.decode() for r in got] == [w[2] for w in want]
+
+    check()
+
+
 def test_gc_threshold_fallback(tmp_path):
     """A cursor below the GC floor restarts cursor-less from the floor
     (reference: ignore_cursor => skip to now, main.rs:175)."""
