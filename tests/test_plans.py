@@ -67,3 +67,11 @@ def test_minhash_has_partial_aggregation(spark, sf_dir):
 def test_similarity_uses_arrow_batches(spark, sf_dir):
     plan = physical_plan(spark, "embedding_topk_bruteforce", sf_dir)
     assert "MapInPandas" in plan
+
+
+def test_decontamination_broadcasts_benchmark_set(spark, sf_dir):
+    plan = physical_plan(spark, "doc_decontamination", sf_dir)
+    # the benchmark n-gram set (tiny by contract) must be the build side of
+    # a broadcast join — the corpus side never shuffles against it
+    assert "BroadcastHashJoin" in plan
+    assert "BuildRight" in plan

@@ -76,12 +76,19 @@ def compare(name: str, spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame) -> list[
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="query names (default: all)")
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--sf",
+        default="/root/testdata/sf0.01",
+        help="fixture dir, or a bare scale factor like '0.1' "
+        "(expanded to /root/testdata/sf<sf>)",
+    )
     args = ap.parse_args()
 
     specs = plans.all_specs()
     names = args.names or sorted(specs)
     spark = get_spark("check_oracle")
+    if "/" not in args.sf:
+        args.sf = f"/root/testdata/sf{args.sf}"
     con = duckdb_conn(args.sf)
 
     n_pass = n_fail = n_rowsonly = 0
