@@ -75,3 +75,19 @@ def test_decontamination_broadcasts_benchmark_set(spark, sf_dir):
     # a broadcast join — the corpus side never shuffles against it
     assert "BroadcastHashJoin" in plan
     assert "BuildRight" in plan
+
+
+def test_no_plan_smells_across_entire_registry(spark, sf_dir):
+    """Registry-wide invariant: no query's physical plan may contain a
+    CartesianProduct (the only nested-loop joins allowed are broadcast
+    1-row/tiny-side ones, which plan as BroadcastNestedLoopJoin) or a
+    row-at-a-time Python eval (BatchEvalPython — every Python stage must be
+    Arrow-batched: ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas).
+    These are the two plan shapes that do not survive a 100x scale-up."""
+    offenders = {}
+    for name, spec in sorted(plans.all_specs().items()):
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        hits = [s for s in ("CartesianProduct", "BatchEvalPython") if s in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
