@@ -7,6 +7,8 @@ full predicate pushdown + column pruning into the scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,17 +70,30 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -
     fact-fact join shuffle: with both sides bucketed on the join key, the
     registered q3/q5 plans run exchange-free (plan-asserted in
     tests/test_scale_mechanics.py). Bucket count must scale with volume —
-    target >= 100 MB per bucket file; 8 beats 32 at sf0.1 (docs/RESULTS.md)."""
+    target >= 100 MB per bucket file; 8 beats 32 at sf0.1 (docs/RESULTS.md).
+
+    Table names encode the scale factor: a leftover sf0.01 table must never
+    silently serve an sf0.1 run. A fresh session's in-memory catalog does
+    not know about a previous run's warehouse directory, so a stale
+    location is removed before the (re)write."""
+    import shutil
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     existing = {t.name for t in spark.catalog.listTables()}
-    if f"lineitem_bkt{buckets}" not in existing:
-        load_table(spark, sf_dir, "lineitem").write.bucketBy(
-            buckets, "l_orderkey"
-        ).sortBy("l_orderkey").mode("overwrite").saveAsTable(f"lineitem_bkt{buckets}")
-    if f"orders_bkt{buckets}" not in existing:
-        load_table(spark, sf_dir, "orders").write.bucketBy(
-            buckets, "o_orderkey"
-        ).sortBy("o_orderkey").mode("overwrite").saveAsTable(f"orders_bkt{buckets}")
-    return {"lineitem": f"lineitem_bkt{buckets}", "orders": f"orders_bkt{buckets}"}
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    out = {}
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        table = f"{name}_bkt{buckets}_{sf_tag}"
+        out[name] = table
+        if table in existing:
+            continue
+        loc = os.path.join(warehouse, table)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)  # orphaned location from a previous session
+        load_table(spark, sf_dir, name).write.bucketBy(buckets, key).sortBy(key).mode(
+            "overwrite"
+        ).saveAsTable(table)
+    return out
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
