@@ -1,0 +1,105 @@
+"""End-to-end corpus curation: the composition a training-data pipeline
+actually runs over the documents table, built entirely from the registered
+operator families:
+
+    exact-dedup -> benchmark decontamination -> quality gate -> stratified
+    language rebalancing
+
+Each stage is a registered, oracle-verified operator (or the exact same
+column expressions); this module wires them into one DataFrame plan so the
+whole sweep runs as a single Spark job — Catalyst sees every filter at
+once, and the (big) text column is scanned exactly once.
+
+Scale shape: one partial-agg shuffle for the dedup keep-list, one broadcast
+join for the benchmark n-gram set, everything else per-row — the same
+per-stage postures documented in docs/SCALE.md. Every gate is DETERMINISTIC
+(hash/mod arithmetic, no rand()), so a re-run over the same snapshot
+produces the same corpus — the property that makes 100 TB curation runs
+resumable and auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.operators.text import (
+    benchmark_contamination,
+    quality_score,
+    word_count,
+)
+
+# Deterministic per-language sampling quotas out of 10 (language REBALANCING:
+# the fixture corpus is ~44% English; downsampling the dominant language is
+# the standard curation move). doc_id % 10 < quota keeps the decision
+# portable, reproducible, and joinable — no rand() seeds to track.
+DEFAULT_LANG_QUOTAS: dict[str, int] = {"en": 5}
+DEFAULT_QUOTA = 10  # non-listed languages keep everything
+
+
+def curate_corpus(
+    docs: DataFrame,
+    contamination_max: float = 0.05,
+    quality_min: float = 0.2,
+    lang_quotas: dict[str, int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Return the curated corpus: one row per KEPT document plus the gate
+    columns (is_canonical, contamination, quality, sampled) so an audit can
+    reconstruct every decision. Drop reasons compose independently — a doc
+    must pass ALL gates."""
+    quotas = DEFAULT_LANG_QUOTAS if lang_quotas is None else lang_quotas
+
+    # gate 1: exact dedup — canonical copy = min doc_id per exact text
+    canon = docs.groupBy(text_col).agg(F.min(id_col).alias("_canon_id"))
+    with_canon = docs.join(canon, text_col).withColumn(
+        "is_canonical", F.col(id_col) == F.col("_canon_id")
+    )
+
+    # gate 2: benchmark decontamination (broadcast n-gram set; docs too
+    # short for any 8-gram cannot be contaminated -> contamination 0)
+    contam = benchmark_contamination(docs, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias(id_col), "contamination"
+    )
+    with_contam = with_canon.join(contam, id_col, "left").withColumn(
+        "contamination", F.coalesce(F.col("contamination"), F.lit(0.0))
+    )
+
+    # gate 3: quality score (portable arithmetic, per-row)
+    with_quality = with_contam.withColumn("quality", F.round(quality_score(F.col(text_col)), 4))
+
+    # gate 4: deterministic stratified sampling by language
+    quota_expr = F.lit(DEFAULT_QUOTA)
+    for lang, q in sorted(quotas.items()):
+        quota_expr = F.when(F.col(lang_col) == lang, F.lit(q)).otherwise(quota_expr)
+    sampled = with_quality.withColumn("sampled", (F.col(id_col) % 10) < quota_expr)
+
+    return (
+        sampled.filter(
+            F.col("is_canonical")
+            & (F.col("contamination") <= contamination_max)
+            & (F.col("quality") >= quality_min)
+            & F.col("sampled")
+        )
+        .drop("_canon_id")
+        .withColumn("n_tokens", word_count(F.col(text_col)))
+    )
+
+
+def curation_report(docs: DataFrame, curated: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Per-language before/after counts + kept token mass — the summary a
+    curation run publishes alongside the output dataset."""
+    before = docs.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs_in"))
+    after = curated.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    return (
+        before.join(after, lang_col, "left")
+        .na.fill({"n_docs_kept": 0, "tokens_kept": 0})
+        .withColumn(
+            "keep_rate", F.round(F.col("n_docs_kept") / F.col("n_docs_in"), 4)
+        )
+    )

@@ -1,0 +1,66 @@
+"""curate_corpus: each gate (dedup canonical, decontamination, quality,
+stratified sampling) drops exactly the docs it should, independently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.operators import curate
+from crdb_changefeed_publisher_spark.tables import load_table
+
+LONG = " ".join(f"w{i}" for i in range(30))  # passes the quality gate
+
+
+def test_each_gate_drops_independently(spark):
+    bench_text = " ".join(f"b{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            # doc 0: doc_id % 97 == 0 -> IS the benchmark -> contamination 1.0
+            (0, bench_text, "fr"),
+            # 1 kept; 11 is an exact duplicate (non-canonical)
+            (1, LONG, "fr"),
+            (11, LONG, "fr"),
+            # 3: quality fail vs the 0.5 gate (short, low-diversity text
+            # scores 0.4524; the long docs score >= 0.53)
+            (3, "x x", "fr"),
+            # 5: sampled out for en (quota 5/10 keeps doc_id%10 < 5)
+            (15, LONG + " en extra words here", "en"),
+            # 4: en inside quota
+            (4, LONG + " more en words here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    kept = curate.curate_corpus(docs, lang_quotas={"en": 5}, quality_min=0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {1, 4}
+
+    rows = {r.doc_id: r for r in kept.collect()}
+    assert rows[1].is_canonical and rows[1].contamination == 0.0 and rows[1].sampled
+    assert rows[1].n_tokens == 30
+
+
+def test_curation_report_accounts_for_every_language(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = curate.curate_corpus(docs)
+    report = {r.lang: r for r in curate.curation_report(docs, kept).collect()}
+    n_in = docs.count()
+    assert sum(r.n_docs_in for r in report.values()) == n_in
+    assert all(0 <= r.n_docs_kept <= r.n_docs_in for r in report.values())
+    # English is downsampled by the default quota; others keep everything
+    # that passes the content gates, so en's keep rate must be the lowest
+    en = report["en"].keep_rate
+    assert en <= min(r.keep_rate for r in report.values())
+    # determinism: a re-run selects the identical corpus
+    again = curate.curate_corpus(docs)
+    assert kept.select("doc_id").subtract(again.select("doc_id")).count() == 0
+    assert again.select("doc_id").subtract(kept.select("doc_id")).count() == 0
+
+
+def test_curated_plan_is_one_job_no_smells(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        curate.curate_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # the benchmark n-gram set
