@@ -156,3 +156,40 @@ def changefeed_pipeline(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     decoded = decode_changefeed(df)
     changes, cursors = split_changes(decoded)
     return to_envelopes(changes), extract_resolved(cursors)
+
+
+def typed_changes(
+    changes: DataFrame,
+    schema: str | None = None,
+    sample_size: int = 100,
+) -> DataFrame:
+    """Typed view of the opaque change payload — the idiomatic Spark upgrade
+    of the reference's untyped model (SURVEY.md §1.2): the reference never
+    inspects `value` beyond the single `resolved` key; here the CRDB
+    envelope ``{"after": {col: val, ...}}`` is parsed with `from_json` into
+    real columns.
+
+    `schema` is a DDL string for the ``after`` struct (e.g. ``"a INT,
+    b STRING"``). When omitted it is INFERRED from a bounded driver-side
+    sample of `sample_size` payloads — a one-time setup cost, not a per-row
+    path; pass the schema explicitly in production so a malformed payload
+    cannot silently widen a column to string.
+
+    Rows whose value does not parse (or lacks ``after``) yield NULL columns
+    rather than erroring — the streaming-safe posture: a poison message
+    must not kill the pipeline; filter ``after IS NULL`` to a dead-letter
+    sink if needed.
+    """
+    if schema is None:
+        sample = [r.value for r in changes.select("value").limit(sample_size).collect()]
+        if not sample:
+            raise ValueError("typed_changes: cannot infer a schema from zero change rows")
+        spark = changes.sparkSession
+        inferred = spark.read.json(spark.sparkContext.parallelize(sample)).schema
+        after_type = next((f.dataType for f in inferred.fields if f.name == "after"), None)
+        if after_type is None:
+            raise ValueError("typed_changes: sampled payloads have no 'after' field")
+        parsed = F.from_json(F.col("value"), T.StructType([T.StructField("after", after_type)]))
+    else:
+        parsed = F.from_json(F.col("value"), f"after STRUCT<{schema}>")
+    return changes.select("table", "key", parsed.getField("after").alias("after"))

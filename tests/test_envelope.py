@@ -130,3 +130,37 @@ def test_envelope_plan_is_codegen_only(spark):
     plan = envelopes._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_typed_changes_inferred_and_explicit(spark):
+    from crdb_changefeed_publisher_spark.operators.changefeed import typed_changes
+
+    rows = [
+        ("foo", "[54]", '{"after": {"a": 54, "b": null}}'),
+        ("foo", "[55]", '{"after": {"a": 55, "b": "x"}}'),
+        ("foo", "[56]", "not json at all"),
+    ]
+    changes = spark.createDataFrame(rows, "table string, key string, value string")
+
+    explicit = typed_changes(changes, schema="a INT, b STRING").collect()
+    by_key = {r.key: r for r in explicit}
+    assert (by_key["[54]"].after.a, by_key["[54]"].after.b) == (54, None)
+    assert by_key["[55]"].after.b == "x"
+    assert by_key["[56]"].after is None  # poison row -> NULL, not an error
+
+    inferred = typed_changes(changes)  # schema from the sampled payloads
+    assert dict(inferred.select("after.*").dtypes)["a"] == "bigint"
+    got = {r.key: r.after for r in inferred.collect()}
+    assert got["[55]"].a == 55 and got["[56]"] is None
+
+
+def test_typed_changes_requires_after_field(spark):
+    import pytest
+
+    from crdb_changefeed_publisher_spark.operators.changefeed import typed_changes
+
+    changes = spark.createDataFrame(
+        [("t", "[1]", '{"something_else": 1}')], "table string, key string, value string"
+    )
+    with pytest.raises(ValueError):
+        typed_changes(changes)
