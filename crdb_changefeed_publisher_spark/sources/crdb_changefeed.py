@@ -32,7 +32,12 @@ from dataclasses import dataclass
 from enum import Enum
 from typing import Iterator, Protocol
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
 WIRE_SCHEMA = StructType(
@@ -259,11 +264,116 @@ class ChangefeedSimpleStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+@dataclass
+class FeedRangePartition(InputPartition):
+    """A contiguous line range of the recorded feed, with the byte offset of
+    its first line so the executor seeks straight there. Picklable (ships
+    driver -> executor)."""
+
+    path: str
+    start_line: int
+    end_line: int
+    start_byte: int
+
+
+class ChangefeedPartitionedStreamReader(DataSourceStreamReader):
+    """Executor-parallel replay reader — the SCALE path for recorded feeds.
+
+    The simple reader (`ChangefeedSimpleStreamReader`) routes every row
+    through the driver (that is the simple API's contract) and mirrors the
+    reference's one-connection serial scan (src/main.rs:211-213). This
+    reader instead plans each micro-batch as `read_partitions` line ranges;
+    the driver maintains only a byte-offset line index, and EXECUTORS open
+    the feed and read their ranges directly — rows never touch the driver.
+    Feed order is recoverable downstream because partitions are planned in
+    feed order (Spark's input-partition index is the list position, so the
+    publish path's (key, _seq) sort reproduces per-key order exactly as in
+    the simple-reader path).
+
+    GC-threshold parity: a batch start below `gc_floor` is clamped to the
+    floor — the pre-floor rows are lost, loudly, exactly like the
+    reference's ignore_cursor fallback (src/main.rs:175).
+
+    Offsets are {"pos": <line count>}; `batch_limit` bounds how many lines
+    a single micro-batch may claim (latestOffset advances at most that far
+    past the last planned batch).
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("replay")
+        if not path:
+            raise ValueError(
+                "partitioned mode requires a recorded feed: .option('replay', ...)"
+            )
+        self.path = path
+        self.gc_floor = int(options.get("gc_floor", "0") or 0)
+        self.n_parts = max(1, int(options.get("read_partitions", "4") or 4))
+        self.batch_limit = int(options.get("batch_limit", "100000") or 100000)
+        # _line_bytes[i] = byte offset of line i's start; driver-side only
+        self._line_bytes: list[int] = [0]
+        self._planned = 0  # highest end offset handed out by latestOffset
+
+    def _extend_index(self) -> None:
+        with open(self.path, "rb") as f:
+            f.seek(self._line_bytes[-1])
+            while f.readline():
+                self._line_bytes.append(f.tell())
+        # a trailing partial line (no newline yet) still counts: readline
+        # returned it; nothing to correct because replay feeds are
+        # line-complete by construction (each record is written with \n)
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._extend_index()
+        available = len(self._line_bytes) - 1
+        self._planned = min(available, self._planned + self.batch_limit)
+        return {"pos": self._planned}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["pos"], end["pos"]
+        if s < self.gc_floor:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "changefeed cursor %s below GC floor %s; skipping to floor "
+                "(data loss, reference parity)",
+                s,
+                self.gc_floor,
+            )
+            s = min(self.gc_floor, e)
+        self._extend_index()
+        self._planned = max(self._planned, e)
+        total = max(e - s, 0)
+        n = max(min(self.n_parts, total), 1)
+        bounds = [s + (total * i) // n for i in range(n + 1)]
+        return [
+            FeedRangePartition(self.path, bounds[i], bounds[i + 1], self._line_bytes[bounds[i]])
+            for i in range(n)
+        ]
+
+    def read(self, partition: FeedRangePartition) -> Iterator[tuple]:
+        with open(partition.path, "rb") as f:
+            f.seek(partition.start_byte)
+            for _ in range(partition.end_line - partition.start_line):
+                line = f.readline()
+                if not line:
+                    break
+                t, k, v = json.loads(line)
+                yield (t, k.encode() if k is not None else None, v.encode())
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class CrdbChangefeedDataSource(DataSource):
     """spark.readStream.format("crdb_changefeed")
          .option("table", "foo")            # live mode (needs DATABASE_URL)
          .option("cursor_frequency", "10s")
          .option("replay", "/path/feed.jsonl")  # replay mode (tests/bench)
+         .option("partitioned", "true")     # executor-parallel replay reads
+         .option("read_partitions", "8")
     """
 
     @classmethod
@@ -272,6 +382,17 @@ class CrdbChangefeedDataSource(DataSource):
 
     def schema(self) -> StructType:
         return WIRE_SCHEMA
+
+    def streamReader(self, schema: StructType) -> ChangefeedPartitionedStreamReader:
+        # only the opt-in partitioned replay mode uses the full API; raising
+        # NOT_IMPLEMENTED makes Spark fall back to simpleStreamReader()
+        if str(self.options.get("partitioned", "")).lower() in ("true", "1"):
+            return ChangefeedPartitionedStreamReader(dict(self.options))
+        from pyspark.errors import PySparkNotImplementedError
+
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+        )
 
     def simpleStreamReader(self, schema: StructType) -> ChangefeedSimpleStreamReader:
         return ChangefeedSimpleStreamReader(dict(self.options))

@@ -215,3 +215,71 @@ def test_streaming_end_to_end(spark, tmp_path):
     got = [r.envelope for r in spark.sql("select envelope from cf_env").collect()]
     assert len(got) == 16  # 20 - 4 resolved
     assert json.loads(got[0])["table"] == "t"
+
+
+def test_partitioned_reader_plans_ordered_ranges(tmp_path):
+    from crdb_changefeed_publisher_spark.sources.crdb_changefeed import (
+        ChangefeedPartitionedStreamReader,
+    )
+
+    feed = str(tmp_path / "feed.jsonl")
+    write_feed(feed, 100, 10)
+    r = ChangefeedPartitionedStreamReader({"replay": feed, "read_partitions": "4"})
+    assert r.initialOffset() == {"pos": 0}
+    end = r.latestOffset()
+    assert end == {"pos": 100}
+    parts = r.partitions({"pos": 0}, end)
+    # contiguous, ordered, covering ranges
+    assert [(p.start_line, p.end_line) for p in parts] == [
+        (0, 25), (25, 50), (50, 75), (75, 100)
+    ]
+    rows = [row for p in parts for row in r.read(p)]
+    assert len(rows) == 100
+    # executor read equals a naive full read, in order
+    with open(feed, encoding="utf-8") as f:
+        naive = [json.loads(line) for line in f]
+    assert [x[0] for x in rows] == [w[0] for w in naive]
+
+    # batch_limit bounds how far latestOffset advances per planned batch
+    r2 = ChangefeedPartitionedStreamReader(
+        {"replay": feed, "read_partitions": "4", "batch_limit": "30"}
+    )
+    assert r2.latestOffset() == {"pos": 30}
+    assert r2.latestOffset() == {"pos": 60}
+
+    # GC floor clamps the batch start (reference ignore_cursor parity)
+    r3 = ChangefeedPartitionedStreamReader(
+        {"replay": feed, "read_partitions": "2", "gc_floor": "40"}
+    )
+    r3.latestOffset()
+    parts = r3.partitions({"pos": 0}, {"pos": 100})
+    assert parts[0].start_line == 40
+    assert sum(p.end_line - p.start_line for p in parts) == 60
+
+
+def test_partitioned_stream_matches_simple_reader(spark, tmp_path):
+    """Same feed through both readers => identical published envelope sets
+    (the partitioned path may interleave ranges across executors; the
+    publish path's (key, seq) sort restores per-key order either way)."""
+    import glob as _glob
+
+    from crdb_changefeed_publisher_spark.streaming.pipeline import run_pipeline
+    from crdb_changefeed_publisher_spark.streaming.queues import DirQueue
+
+    feed = str(tmp_path / "feed.jsonl")
+    write_feed(feed, 200, 25)
+    register(spark)
+    outs = {}
+    for mode in ("simple", "partitioned"):
+        reader = (
+            spark.readStream.format("crdb_changefeed")
+            .option("replay", feed)
+            .option("batch_limit", "60")
+        )
+        if mode == "partitioned":
+            reader = reader.option("partitioned", "true").option("read_partitions", "3")
+        out = str(tmp_path / f"out_{mode}")
+        run_pipeline(reader.load(), out, str(tmp_path / f"ckpt_{mode}"), drain_all=True)
+        outs[mode] = sorted(DirQueue.read_all(out))
+    assert outs["simple"] == outs["partitioned"]
+    assert len(outs["simple"]) == 192  # 200 - 8 resolved rows (every 25th)

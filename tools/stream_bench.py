@@ -56,6 +56,13 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=50_000)
     ap.add_argument("--batch-limit", type=int, default=10_000)
     ap.add_argument("--resolved-every", type=int, default=1_000)
+    ap.add_argument(
+        "--partitioned",
+        action="store_true",
+        help="use the executor-parallel partitioned reader instead of the "
+        "driver-hop simple reader",
+    )
+    ap.add_argument("--read-partitions", type=int, default=8)
     args = ap.parse_args()
 
     from crdb_changefeed_publisher_spark.session import get_spark
@@ -70,12 +77,16 @@ def main() -> None:
 
         spark = get_spark("stream-bench")
         register(spark)
-        stream = (
+        reader = (
             spark.readStream.format("crdb_changefeed")
             .option("replay", feed)
             .option("batch_limit", str(args.batch_limit))
-            .load()
         )
+        if args.partitioned:
+            reader = reader.option("partitioned", "true").option(
+                "read_partitions", str(args.read_partitions)
+            )
+        stream = reader.load()
         out_dir = os.path.join(work, "out")
         t0 = time.time()
         run_pipeline(stream, out_dir, os.path.join(work, "ckpt"), drain_all=True)
@@ -92,6 +103,7 @@ def main() -> None:
                     "rows": args.rows,
                     "published": published,
                     "batch_limit": args.batch_limit,
+                    "partitioned": args.partitioned,
                     "wall_sec": round(wall, 2),
                 }
             )
