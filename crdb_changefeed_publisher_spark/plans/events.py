@@ -24,11 +24,17 @@ from crdb_changefeed_publisher_spark.tables import load_table
 
 # Shared oracle: for each purchase event, the most recent earlier click by the
 # same user (deterministic tiebreak on event id).
+# gap_seconds: millisecond precision via INTEGER microsecond arithmetic on
+# both sides. round(epoch(p)-epoch(c), 3) subtracts two ~1.7e9-second
+# float64s (eps ~2.4e-7 s), so gaps landing on an exact half-millisecond
+# rounded differently from the engine's exact integer-us path (13 flips at
+# sf0.1). (us + 500) // 1000 is exact on any engine.
 ASOF_ORACLE = """
 SELECT p_event_id, click_event_id, gap_seconds FROM (
     SELECT p.event_id  AS p_event_id,
            c.event_id  AS click_event_id,
-           round(epoch(p.ts) - epoch(c.ts), 3) AS gap_seconds,
+           CAST((epoch_us(p.ts) - epoch_us(c.ts) + 500) // 1000 AS DOUBLE) / 1000
+               AS gap_seconds,
            row_number() OVER (PARTITION BY p.event_id
                               ORDER BY c.ts DESC, c.event_id DESC) AS rn
     FROM events p
@@ -188,9 +194,12 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_event_id",
             "click_event_id",
-            F.round(F.col("p_ts").cast("double") - F.col("c_ts").cast("double"), 3).alias(
-                "gap_seconds"
-            ),
+            (
+                F.floor(
+                    (F.unix_micros("p_ts") - F.unix_micros("c_ts") + F.lit(500)) / 1000
+                )
+                / F.lit(1000.0)
+            ).alias("gap_seconds"),
         )
     )
 
@@ -244,9 +253,13 @@ def asof_purchase_last_click_merge(spark: SparkSession, sf_dir: str) -> DataFram
             merged = merged.dropna(subset=["click_event_id"])
             if not merged.empty:
                 merged["click_event_id"] = merged["click_event_id"].astype("int64")
-                gap = (merged["ts"] - merged["c_ts"]).dt.total_seconds()
-                # SQL ROUND is half-away-from-zero; Python round() is banker's.
-                merged["gap_seconds"] = np.floor(gap * 1000 + 0.5) / 1000
+                # exact integer-microsecond arithmetic (see ASOF_ORACLE note):
+                # half-up to milliseconds, then scale — no float boundary flips
+                gap_us = (
+                    merged["ts"].values.astype("datetime64[us]").astype("int64")
+                    - merged["c_ts"].values.astype("datetime64[us]").astype("int64")
+                )
+                merged["gap_seconds"] = ((gap_us + 500) // 1000) / 1000.0
                 yield merged[["p_event_id", "click_event_id", "gap_seconds"]]
 
     return both.repartition("user_id").mapInPandas(
