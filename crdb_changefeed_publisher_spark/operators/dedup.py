@@ -415,20 +415,29 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    driver_edge_cap: int = 2_000_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: (doc_id, cluster_id) where
     cluster_id is the minimum id in the document's connected component —
     the step that turns pairwise dedup output into an actionable keep list.
 
-    Iterative min-label propagation: each round, every node takes the min
-    label among itself and its neighbors; converges in O(component
-    diameter) rounds (near-dup clusters are shallow — single digits).
-    Per round: one shuffle of the (small) edge set joined to labels + a
-    1-row convergence aggregate on the driver (sum of labels is monotone
-    non-increasing; equality => fixed point). This is the idiomatic
-    DataFrame-only connected components when the pair graph is sparse —
-    at 100 TB the edge set is the dedup candidates (tiny vs the corpus),
-    labels carry 16 bytes/doc, and round count stays O(diameter).
+    Two paths, same result:
+
+    - **Small-graph fast path**: when the distinct edge set fits under
+      `driver_edge_cap` (bounded collect — 2M edges ~ 32 MB), run
+      union-find on the driver and broadcast-join the labels back onto the
+      nodes. Near-dup edge sets are tiny relative to the corpus by
+      construction (they are the candidates that SURVIVED blocking +
+      verify), so this path usually wins: 2 Spark jobs instead of
+      O(diameter) rounds of join + aggregate scheduling.
+    - **Distributed fallback**: iterative min-label propagation — each
+      round every node takes the min label among itself and its neighbors;
+      converges in O(component diameter) rounds. Per round: one shuffle of
+      the edge set joined to labels + a 1-row convergence aggregate (sum
+      of labels is monotone non-increasing; equality => fixed point).
+      Labels carry 16 bytes/doc; localCheckpoint per round keeps the plan
+      constant-size. This is the path for a pathological edge set that
+      outgrows the driver.
     """
     edges = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
     edges = (
@@ -437,6 +446,33 @@ def connected_components(
         .cache()  # pairs may be an expensive lineage (e.g. the full MinHash
         # pipeline); without this every propagation round recomputes it
     )
+
+    edge_sample = edges.limit(driver_edge_cap + 1).collect()
+    if len(edge_sample) <= driver_edge_cap:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edge_sample:
+            ra, rb = find(r.s), find(r.d)
+            if ra != rb:
+                # union by MIN id so the root IS the cluster label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        label_df = spark.createDataFrame(labels or [(None, None)], "doc_id long, cluster_id long")
+        if not labels:
+            label_df = label_df.filter(F.col("doc_id").isNotNull())
+        return nodes.select(F.col(id_col).alias("doc_id")).join(
+            F.broadcast(label_df.withColumnRenamed("cluster_id", "_cc")), "doc_id", "left"
+        ).select("doc_id", F.coalesce("_cc", "doc_id").alias("cluster_id"))
     labels = nodes.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id"))
     # localCheckpoint (not cache) each round: the labels frame appears twice
     # per iteration (join input + select), so a lazy plan DOUBLES every

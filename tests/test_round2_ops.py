@@ -176,6 +176,30 @@ def test_connected_components_toy_graph(spark):
     }
     assert got == {1: 1, 2: 2, 3: 2, 4: 2, 5: 5, 6: 5}
 
+    # distributed min-label-propagation fallback (driver_edge_cap=0 forces
+    # it) must produce the identical clustering
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, nodes, driver_edge_cap=0).collect()
+    }
+    assert dist == got
+
+    # a longer chain (diameter > 2) through both paths
+    chain = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(10, 17)]
+    )
+    chain_nodes = spark.createDataFrame([Row(doc_id=i) for i in range(10, 19)])
+    fast = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(chain, chain_nodes).collect()
+    }
+    slow = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(chain, chain_nodes, driver_edge_cap=0).collect()
+    }
+    expect = {i: (10 if i <= 17 else i) for i in range(10, 19)}
+    assert fast == slow == expect
+
 
 def test_connected_components_long_chain_converges(spark):
     """A 12-node path graph needs several propagation rounds; the fixed
