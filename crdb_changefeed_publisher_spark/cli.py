@@ -39,6 +39,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--cursor-path", default=None, help="path for --cursor-store file")
     p.add_argument("--once", action="store_true", help="process available data then exit")
     p.add_argument(
+        "--partitioned",
+        action="store_true",
+        help="executor-parallel replay reads (requires --replay): micro-"
+        "batches are planned as line ranges read directly by executors",
+    )
+    p.add_argument("--read-partitions", type=int, default=4)
+    p.add_argument(
         "--idempotent",
         action="store_true",
         help="exactly-once-ish publish: batch-keyed truncating files for "
@@ -84,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.replay:
         reader = reader.option("replay", args.replay)
+        if args.partitioned:
+            reader = reader.option("partitioned", "true").option(
+                "read_partitions", str(args.read_partitions)
+            )
+    elif args.partitioned:
+        print("--partitioned requires --replay (live changefeeds are one serial cursor)", file=sys.stderr)
+        return 2
     else:
         reader = reader.option("database_url", os.environ.get("DATABASE_URL", ""))
 
