@@ -294,9 +294,13 @@ class ChangefeedPartitionedStreamReader(DataSourceStreamReader):
     floor — the pre-floor rows are lost, loudly, exactly like the
     reference's ignore_cursor fallback (src/main.rs:175).
 
-    Offsets are {"pos": <line count>}; `batch_limit` bounds how many lines
-    a single micro-batch may claim (latestOffset advances at most that far
-    past the last planned batch).
+    Offsets are {"pos": <line count>}; each micro-batch claims ALL lines
+    available at planning time (the Python stream API exposes no ReadLimit,
+    and any driver-side cap would need the committed offset to be safe
+    across checkpoint restarts — a stateful latestOffset that forgets the
+    committed position on restart can hand Spark an offset BEHIND the
+    checkpoint). `batch_limit` is a simple-reader option; it is ignored
+    here.
     """
 
     def __init__(self, options: dict) -> None:
@@ -308,10 +312,8 @@ class ChangefeedPartitionedStreamReader(DataSourceStreamReader):
         self.path = path
         self.gc_floor = int(options.get("gc_floor", "0") or 0)
         self.n_parts = max(1, int(options.get("read_partitions", "4") or 4))
-        self.batch_limit = int(options.get("batch_limit", "100000") or 100000)
         # _line_bytes[i] = byte offset of line i's start; driver-side only
         self._line_bytes: list[int] = [0]
-        self._planned = 0  # highest end offset handed out by latestOffset
 
     def _extend_index(self) -> None:
         with open(self.path, "rb") as f:
@@ -327,9 +329,7 @@ class ChangefeedPartitionedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         self._extend_index()
-        available = len(self._line_bytes) - 1
-        self._planned = min(available, self._planned + self.batch_limit)
-        return {"pos": self._planned}
+        return {"pos": len(self._line_bytes) - 1}
 
     def partitions(self, start: dict, end: dict):
         s, e = start["pos"], end["pos"]
@@ -344,7 +344,6 @@ class ChangefeedPartitionedStreamReader(DataSourceStreamReader):
             )
             s = min(self.gc_floor, e)
         self._extend_index()
-        self._planned = max(self._planned, e)
         total = max(e - s, 0)
         n = max(min(self.n_parts, total), 1)
         bounds = [s + (total * i) // n for i in range(n + 1)]

@@ -240,12 +240,15 @@ def test_partitioned_reader_plans_ordered_ranges(tmp_path):
         naive = [json.loads(line) for line in f]
     assert [x[0] for x in rows] == [w[0] for w in naive]
 
-    # batch_limit bounds how far latestOffset advances per planned batch
+    # latestOffset always reports ALL available lines: a stateful cap
+    # would forget the committed position across checkpoint restarts and
+    # could hand Spark an offset behind the checkpoint (batch_limit is a
+    # simple-reader option, ignored here)
     r2 = ChangefeedPartitionedStreamReader(
         {"replay": feed, "read_partitions": "4", "batch_limit": "30"}
     )
-    assert r2.latestOffset() == {"pos": 30}
-    assert r2.latestOffset() == {"pos": 60}
+    assert r2.latestOffset() == {"pos": 100}
+    assert r2.latestOffset() == {"pos": 100}
 
     # GC floor clamps the batch start (reference ignore_cursor parity)
     r3 = ChangefeedPartitionedStreamReader(
@@ -283,3 +286,41 @@ def test_partitioned_stream_matches_simple_reader(spark, tmp_path):
         outs[mode] = sorted(DirQueue.read_all(out))
     assert outs["simple"] == outs["partitioned"]
     assert len(outs["simple"]) == 192  # 200 - 8 resolved rows (every 25th)
+
+
+def test_partitioned_reader_checkpoint_resume(spark, tmp_path):
+    """Restart with the same checkpoint after the feed grows: the
+    partitioned reader must resume from the committed offset — no replay
+    of published rows, no offset regression (the bug class this guards:
+    a latestOffset that forgets the committed position on restart)."""
+    from crdb_changefeed_publisher_spark.streaming.pipeline import run_pipeline
+    from crdb_changefeed_publisher_spark.streaming.queues import DirQueue
+
+    feed = str(tmp_path / "feed.jsonl")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    write_feed(feed, 50, 10)
+    register(spark)
+
+    def start():
+        sdf = (
+            spark.readStream.format("crdb_changefeed")
+            .option("replay", feed)
+            .option("partitioned", "true")
+            .option("read_partitions", "3")
+            .load()
+        )
+        return run_pipeline(sdf, out, ckpt)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(DirQueue.read_all(out)) == 45  # 50 - 5 resolved
+
+    write_feed(feed, 100, 10)  # extend the recording
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    msgs = DirQueue.read_all(out)
+    assert len(msgs) == 90  # 45 new, zero replayed
+    ids = sorted(int(json.loads(m)["key"][1:-1]) for m in msgs)
+    assert ids == [i for i in range(100) if i % 10 != 0]
