@@ -68,7 +68,9 @@ def main() -> None:
             continue
         pair = runs[name]
         best = min(pair)
-        if best > 10.0 and (max(pair) > 3 * best or best > 30.0):
+        # stall victims: slow AND unstable at any scale — a steal window can
+        # inflate a 0.2 s query to 2.5 s just as easily as a 10 s one
+        if (max(pair) > 2.5 * best and best > 0.3) or best > 30.0:
             try:
                 best = min(best, run_once(spec))
             except Exception:  # noqa: BLE001
