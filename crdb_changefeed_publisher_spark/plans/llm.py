@@ -528,6 +528,24 @@ def embedding_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # learned-ANN queries stay value-verifiable at any scale factor.
 from crdb_changefeed_publisher_spark.functions import codebooks as _cb
 
+# Shared ANN index (VERDICT r4 #2): ivf and ivfpq both consume ONE persisted
+# encode_learned pass per (session, sf_dir) — cell assignment + PQ codes +
+# vector in a single Arrow sweep, computed on first use, reused by every
+# later run of either query in the same session. This is the local miniature
+# of the production layout, where encoding happens once at write time (the
+# corpus is stored cell-partitioned with codes) and queries never re-encode.
+_ENCODED_INDEX: dict[tuple[str, str], DataFrame] = {}
+
+
+def _encoded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _ENCODED_INDEX.get(key)
+    if df is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        df = similarity.encode_learned(emb, _cb.CELL_CENTROIDS, _cb.PQ_CODEBOOKS).persist()
+        _ENCODED_INDEX[key] = df
+    return df
+
 
 def _duck_rows_2(items) -> str:
     return ",\n".join(f"({i}, {list(c)})" for i, c in enumerate(items))
@@ -603,15 +621,23 @@ _PROBES_CTE = """
     doc="IVF approximate top-5 with LEARNED cells: 16 Spark-ML-KMeans "
     "centroids (tools/train_codebooks.py, frozen in functions/codebooks.py "
     "so the oracle shares them as literals), corpus vectors assigned to "
-    "nearest centroid, queries probe 2 nearest cells — the "
-    "partition-pruning ANN path for 100 TB corpora. Deterministic (rounded "
-    "distances/scores, id tiebreaks), so even the learned approximation is "
-    "oracle-verified.",
+    "nearest centroid, queries probe 4 nearest cells — the "
+    "partition-pruning ANN path for 100 TB corpora. Cell assignment comes "
+    "from the session-cached shared index (one encode pass feeds ivf AND "
+    "ivfpq). Deterministic (rounded distances/scores, id tiebreaks), so "
+    "even the learned approximation is oracle-verified.",
 )
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.ivf_topk(queries, emb, k=5, n_probe=4, cell_centroids=_cb.CELL_CENTROIDS)
+    return similarity.ivf_topk(
+        queries,
+        emb,
+        k=5,
+        n_probe=4,
+        cell_centroids=_cb.CELL_CENTROIDS,
+        encoded=_encoded_index(spark, sf_dir),
+    )
 
 
 _PQ_DIST = (
@@ -751,14 +777,16 @@ def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rnk <= 5
     """,
     doc="IVF-PQ approximate top-5 with LEARNED codebooks — the production "
-    "ANN composition: 16 Spark-ML-KMeans cells prune the scan (2 probes "
+    "ANN composition: 16 Spark-ML-KMeans cells prune the scan (4 probes "
     "per query) over a PQ/ADC compressed scan with 64-entry per-subspace "
     "KMeans codebooks (8 codes per vector, lookup-table scoring), then "
     "exact cosine rerank of the top-100. Codebooks are trained once "
     "(tools/train_codebooks.py) and frozen as literals shared by plan and "
-    "oracle. At 100 TB the corpus is written partitioned by cell: the "
-    "probe prunes partitions at the scan AND the scan reads codes instead "
-    "of vectors — pruning x compression compose. Production sizing is 256 "
+    "oracle; codes come from the session-cached shared index (one encode "
+    "pass feeds ivf AND ivfpq) and the corpus side runs zero Python. At "
+    "100 TB the corpus is written partitioned by cell: the probe prunes "
+    "partitions at the scan AND the scan reads codes instead of vectors — "
+    "pruning x compression compose. Production sizing is 256 "
     "codes/subspace; 64 matches the 500-vector training fixture.",
 )
 def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,6 +800,7 @@ def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_candidates=100,
         cell_centroids=_cb.CELL_CENTROIDS,
         codebooks=_cb.PQ_CODEBOOKS,
+        encoded=_encoded_index(spark, sf_dir),
     )
 
 
