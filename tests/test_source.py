@@ -83,13 +83,17 @@ def test_replay_fetch_seeks_not_rescans(tmp_path):
     # 20 batches x 50 rows: every line pulled off disk exactly once
     assert conn.lines_scanned == 1000
 
-    # a cold fetch at an uncached position skips forward from the nearest
-    # cached offset, then later fetches at that position hit the cache
-    cold = JsonlReplayConnection(feed)
+    # a cold fetch at an unindexed position skips forward from the start,
+    # indexing every `index_stride`-th line; later fetches behind the
+    # frontier hop to the nearest stride point and skip < stride lines —
+    # bounded work per fetch with O(lines/stride) index memory
+    cold = JsonlReplayConnection(feed, index_stride=100)
     cold.fetch(990, None, 50)
     assert cold.lines_scanned == 1000  # 990 skipped + 10 consumed
     cold.fetch(990, None, 50)
-    assert cold.lines_scanned == 1010  # second time: seek straight there
+    # second time: hop to indexed line 900, skip 90, consume 10
+    assert cold.lines_scanned == 1100
+    assert len(cold._stride_bytes) == 11  # lines 0, 100, ..., 1000 only
 
     # appended lines are visible without invalidating cached offsets
     with open(feed, "a", encoding="utf-8") as f:
@@ -229,10 +233,14 @@ def test_partitioned_reader_plans_ordered_ranges(tmp_path):
     end = r.latestOffset()
     assert end == {"pos": 100}
     parts = r.partitions({"pos": 0}, end)
-    # contiguous, ordered, covering ranges
-    assert [(p.start_line, p.end_line) for p in parts] == [
-        (0, 25), (25, 50), (50, 75), (75, 100)
-    ]
+    # contiguous, ordered, covering ranges (split points are byte-balanced,
+    # so exact line bounds may drift one line from equal quarters)
+    assert len(parts) == 4
+    assert parts[0].start_line == 0 and parts[-1].end_line == 100
+    for a, b in zip(parts, parts[1:]):
+        assert a.end_line == b.start_line
+    sizes = [p.end_line - p.start_line for p in parts]
+    assert all(20 <= s <= 30 for s in sizes)
     rows = [row for p in parts for row in r.read(p)]
     assert len(rows) == 100
     # executor read equals a naive full read, in order
@@ -258,6 +266,70 @@ def test_partitioned_reader_plans_ordered_ranges(tmp_path):
     parts = r3.partitions({"pos": 0}, {"pos": 100})
     assert parts[0].start_line == 40
     assert sum(p.end_line - p.start_line for p in parts) == 60
+
+
+def test_partitioned_range_planner_balances_bytes_under_skew(tmp_path):
+    """A feed with 100x line-length skew (fat JSON values up front) must
+    still produce byte-balanced ranges: equal LINE counts would give the
+    first executor ~100x the I/O of the last (the straggler a uniform-line
+    assumption creates at scale). Covers both planner paths: the exact
+    bounded walk (small batches) and the stride-granular split."""
+    from crdb_changefeed_publisher_spark.sources.crdb_changefeed import (
+        ChangefeedPartitionedStreamReader,
+    )
+
+    feed = str(tmp_path / "skew.jsonl")
+    with open(feed, "w", encoding="utf-8") as f:
+        for i in range(400):
+            fat = "x" * (2000 if i < 100 else 20)  # first quarter is ~100x fatter
+            f.write(json.dumps(["t", f"[{i}]", json.dumps({"after": {"v": fat}})]) + "\n")
+
+    for stride in ("256", "4"):  # exact-walk path, then stride-split path
+        r = ChangefeedPartitionedStreamReader(
+            {"replay": feed, "read_partitions": "4", "index_stride": stride}
+        )
+        end = r.latestOffset()
+        parts = r.partitions({"pos": 0}, end)
+        assert parts[0].start_line == 0 and parts[-1].end_line == 400
+        for a, b in zip(parts, parts[1:]):
+            assert a.end_line == b.start_line
+        # measure actual byte span per range
+        with open(feed, "rb") as f:
+            offs = [0]
+            while f.readline():
+                offs.append(f.tell())
+        spans = [offs[p.end_line] - offs[p.start_line] for p in parts]
+        # equal-line split would give spans ~[203k, 9k, 9k, 9k]; byte-aware
+        # split keeps every range within ~2x of the mean
+        mean = sum(spans) / len(spans)
+        assert max(spans) <= 2.0 * mean, (stride, spans)
+        # rows still read exactly once, in order
+        rows = [row for p in parts for row in r.read(p)]
+        assert len(rows) == 400
+        # index memory is strided, not per-line
+        assert len(r._stride_bytes) <= 400 // int(stride) + 1
+
+
+def test_partitioned_is_default_for_recorded_feeds():
+    """VERDICT r4 #3: a file-backed feed defaults to the executor-parallel
+    reader; batch_limit (a simple-reader knob) or partitioned=false selects
+    the serial reader; live mode is always serial (one changefeed cursor)."""
+    from crdb_changefeed_publisher_spark.sources.crdb_changefeed import (
+        CrdbChangefeedDataSource,
+    )
+
+    def src(opts):
+        return CrdbChangefeedDataSource(opts)
+
+    assert src({"replay": "/tmp/f.jsonl"})._use_partitioned()
+    assert src({"replay": "/tmp/f.jsonl", "partitioned": "true"})._use_partitioned()
+    assert not src({"replay": "/tmp/f.jsonl", "partitioned": "false"})._use_partitioned()
+    assert not src({"replay": "/tmp/f.jsonl", "batch_limit": "100"})._use_partitioned()
+    # explicit partitioned=true wins over batch_limit (which is then ignored)
+    assert src(
+        {"replay": "/tmp/f.jsonl", "partitioned": "true", "batch_limit": "100"}
+    )._use_partitioned()
+    assert not src({"table": "foo"})._use_partitioned()  # live: serial cursor
 
 
 def test_partitioned_stream_matches_simple_reader(spark, tmp_path):
