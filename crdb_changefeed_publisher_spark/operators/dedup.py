@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def shingle_rows(
@@ -415,7 +416,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
-    driver_edge_cap: int = 2_000_000,
+    driver_edge_cap: int = 500_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: (doc_id, cluster_id) where
     cluster_id is the minimum id in the document's connected component —
@@ -424,12 +425,15 @@ def connected_components(
     Two paths, same result:
 
     - **Small-graph fast path**: when the distinct edge set fits under
-      `driver_edge_cap` (bounded collect — 2M edges ~ 32 MB), run
-      union-find on the driver and broadcast-join the labels back onto the
-      nodes. Near-dup edge sets are tiny relative to the corpus by
-      construction (they are the candidates that SURVIVED blocking +
-      verify), so this path usually wins: 2 Spark jobs instead of
-      O(diameter) rounds of join + aggregate scheduling.
+      `driver_edge_cap` (bounded collect — 500k edge Rows cost on the
+      order of 100-200 MB of driver heap; Row objects carry far more than
+      their 16 payload bytes), run union-find on the driver and
+      broadcast-join the labels back onto the nodes. Near-dup edge sets
+      are tiny relative to the corpus by construction (they are the
+      candidates that SURVIVED blocking + verify), so this path usually
+      wins: 2 Spark jobs instead of O(diameter) rounds of join +
+      aggregate scheduling. Labels keep the id column's own type (derived
+      from `nodes`), so string/UUID doc ids work on both paths.
     - **Distributed fallback**: iterative min-label propagation — each
       round every node takes the min label among itself and its neighbors;
       converges in O(component diameter) rounds. Per round: one shuffle of
@@ -467,9 +471,11 @@ def connected_components(
                 parent[hi] = lo
         labels = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
-        label_df = spark.createDataFrame(labels or [(None, None)], "doc_id long, cluster_id long")
-        if not labels:
-            label_df = label_df.filter(F.col("doc_id").isNotNull())
+        id_type = nodes.schema[id_col].dataType
+        label_schema = StructType(
+            [StructField("doc_id", id_type), StructField("cluster_id", id_type)]
+        )
+        label_df = spark.createDataFrame(labels, label_schema)
         return nodes.select(F.col(id_col).alias("doc_id")).join(
             F.broadcast(label_df.withColumnRenamed("cluster_id", "_cc")), "doc_id", "left"
         ).select("doc_id", F.coalesce("_cc", "doc_id").alias("cluster_id"))
@@ -481,30 +487,36 @@ def connected_components(
     # keeping every round's plan constant-size. At cluster scale use
     # checkpoint() on reliable storage instead (executor-loss safety).
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.s == labels.doc_id)
             .groupBy(F.col("d"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.d, "left")
             .select(
                 "doc_id",
                 F.least(F.col("cluster_id"), F.coalesce("nmin", "cluster_id")).alias(
-                    "cluster_id"
+                    "new_cluster"
                 ),
+                F.col("cluster_id").alias("old_cluster"),
             )
             # lazy: the convergence aggregate below is the materializing
             # action, so each round runs ONE job, not two
             .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
+        # fixed point = zero labels changed this round; a direct change
+        # count (not a numeric label sum) so any id type works
+        n_changed = (
+            stepped.agg(
+                F.sum((F.col("new_cluster") != F.col("old_cluster")).cast("long"))
+            ).collect()[0][0]
+            or 0
+        )
+        labels = stepped.select("doc_id", F.col("new_cluster").alias("cluster_id"))
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     return labels
 
 

@@ -75,20 +75,29 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -
     Table names encode the scale factor: a leftover sf0.01 table must never
     silently serve an sf0.1 run. A fresh session's in-memory catalog does
     not know about a previous run's warehouse directory, so a stale
-    location is removed before the (re)write."""
+    location is removed before the (re)write — but ONLY under an in-memory
+    catalog, where an on-disk path the catalog doesn't list is by
+    definition an orphan. With a persistent metastore (or a warehouse
+    shared by concurrent sessions) "not in this session's listTables" does
+    not mean unowned, so the path is left alone and DROP TABLE IF EXISTS +
+    mode("overwrite") do the replacement through the catalog."""
     import shutil
 
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     existing = {t.name for t in spark.catalog.listTables()}
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    in_memory_catalog = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "in-memory"
+    )
     out = {}
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         table = f"{name}_bkt{buckets}_{sf_tag}"
         out[name] = table
         if table in existing:
             continue
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
         loc = os.path.join(warehouse, table)
-        if os.path.exists(loc):
+        if in_memory_catalog and os.path.exists(loc):
             shutil.rmtree(loc)  # orphaned location from a previous session
         load_table(spark, sf_dir, name).write.bucketBy(buckets, key).sortBy(key).mode(
             "overwrite"

@@ -201,6 +201,29 @@ def test_connected_components_toy_graph(spark):
     assert fast == slow == expect
 
 
+def test_connected_components_string_ids_both_paths(spark):
+    """Non-integer doc ids (string/UUID corpora) must work on BOTH paths:
+    the fast path derives its label schema from the nodes' id type instead
+    of assuming long (r4 ADVICE), and min-label semantics are the id
+    type's own ordering."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    nodes = spark.createDataFrame(
+        [(s,) for s in "abcdxy"], "doc_id string"
+    )
+    expect = {"a": "a", "b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+    fast = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    slow = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, nodes, driver_edge_cap=0).collect()
+    }
+    assert fast == slow == expect
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 12-node path graph needs several propagation rounds; the fixed
     point must still be the global min."""
