@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns
 with typed metadata, processed through Arrow-batched mapInPandas.
 
-The Spark-side machinery (schemas, batch iteration, partition sizing) is
-real and tested; the actual media decoding is STUBBED — the codec libraries
-(Pillow/ffmpeg/torchaudio) are not available in this container. Each stub
-either raises NotImplementedError (real-decode path) or produces a
-deterministic fake (test path), clearly marked.
+Decoding tiers:
+
+- **Real decoders, no codec library needed**: uncompressed formats are a
+  header parse + ``np.frombuffer`` — ``decode_image`` reads binary PPM
+  (P6, RGB) and PGM (P5, grayscale), ``decode_audio`` reads RIFF/WAVE PCM
+  (8/16-bit, any channel count). ``encode_image``/``encode_audio`` are the
+  exact inverses (fixture payloads are generated through them, so the
+  decode path is exercised on real container bytes end to end).
+- **Compressed formats** (JPEG/PNG/MP3/H.264 ...) require codec libraries
+  (Pillow/ffmpeg) that are not available in this container;
+  ``decode_compressed`` documents that boundary and raises.
 
 Scale notes (100 TB of media):
 - binary payloads ride the parquet scan; metadata columns are pruned
@@ -61,11 +67,138 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":  # pragma: no cover - stub
-    """REAL decode path — requires an image codec library, not available in
-    this container. The Spark plumbing calls extract_features below, which
-    routes around this stub deterministically."""
-    raise NotImplementedError("image decoding requires a codec library (e.g. Pillow)")
+def _read_pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a binary PNM header: magic, then 3 ASCII integers (width,
+    height, maxval) separated by whitespace, with ``#`` comment lines
+    allowed anywhere between tokens, then ONE whitespace byte before the
+    raster. Returns (magic, width, height, maxval, raster_offset)."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM payload (magic {magic!r})")
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("unterminated PNM comment")
+            i = nl + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        toks.append(int(payload[i:j]))
+        i = j
+    # exactly one whitespace byte separates maxval from the raster
+    if i >= len(payload) or not payload[i : i + 1].isspace():
+        raise ValueError("missing raster separator")
+    width, height, maxval = toks
+    return magic, width, height, maxval, i + 1
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode for uncompressed formats — a pure-numpy header
+    parse, no codec library: binary PPM (P6) returns uint8 (H, W, 3),
+    binary PGM (P5) returns uint8 (H, W). 16-bit (maxval > 255) and ASCII
+    (P1-P3) variants are out of scope; compressed formats go through
+    `decode_compressed` (unavailable here)."""
+    magic, width, height, maxval, off = _read_pnm_header(payload)
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    n = width * height * (3 if magic == b"P6" else 1)
+    if len(payload) - off < n:
+        raise ValueError("PNM raster shorter than header promises")
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
+    return data.reshape((height, width, 3)) if magic == b"P6" else data.reshape((height, width))
+
+
+def encode_image(arr: np.ndarray) -> bytes:
+    """Inverse of `decode_image`: uint8 (H, W) -> binary PGM (P5); uint8
+    (H, W, 3) -> binary PPM (P6)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic = b"P5"
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"expected (H, W) or (H, W, 3) uint8, got shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for RIFF/WAVE PCM — a pure-numpy chunk walk, no
+    codec library: returns (int16 samples shaped (frames, channels),
+    sample_rate). Accepts 16-bit and 8-bit PCM (8-bit is unsigned in WAV;
+    recentred to signed int16), walks past extra chunks (LIST, fact, ...)
+    honoring word alignment. Compressed codecs (MP3/AAC/...) are the
+    `decode_compressed` boundary."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt: bytes | None = None
+    data: bytes | None = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"only PCM supported (audio format {audio_format})")
+    if channels < 1:
+        raise ValueError("WAVE payload declares zero channels")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    frames = len(samples) // channels
+    return samples[: frames * channels].reshape(frames, channels), rate
+
+
+def encode_audio(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Inverse of `decode_audio`: int16 (frames,) or (frames, channels) ->
+    16-bit PCM RIFF/WAVE bytes."""
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a.reshape(-1, 1)
+    frames, channels = a.shape
+    data = a.tobytes()
+    byte_rate = rate * channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def decode_compressed(payload: bytes, mime: str) -> "object":  # pragma: no cover
+    """Compressed-media boundary — JPEG/PNG/MP3/H.264 decode requires codec
+    libraries (Pillow/ffmpeg) that are not available in this container."""
+    raise NotImplementedError(f"no codec library available for {mime}")
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -128,6 +261,104 @@ def extract_features(
 
     schema = FEATURE_SCHEMA_F64 if feature_type == "double" else FEATURE_SCHEMA
     return media.mapInPandas(run, schema)
+
+
+# Deterministic real-media fixture parameters — shared by media_payloads,
+# real_feature_stats, AND the SQL oracle of `multimodal_real_features`
+# (plans/llm.py), which re-derives every pixel/sample from the same closed
+# forms: the payload side proves the codecs on real container bytes, the
+# oracle side proves the decoded values are the generated values.
+IMG_W, IMG_H = 16, 12
+WAV_FRAMES = 480
+WAV_RATE = 16000
+
+
+def _gen_payload(m: int) -> tuple[str, str, bytes]:
+    """media_id -> (kind, fmt, REAL encoded bytes). Pixel/sample closed
+    forms (all int64 then cast): PPM (m%4==0, RGB interleaved):
+    v_i = (m*7 + i*13) % 256; PGM (m%4==2): v_i = (m*5 + i*3) % 256;
+    WAV 16-bit mono (m odd): s_t = ((m*11 + t*17) % 65536) - 32768."""
+    if m % 2 == 1:
+        t = np.arange(WAV_FRAMES, dtype=np.int64)
+        s = ((m * 11 + t * 17) % 65536 - 32768).astype(np.int16)
+        return "audio", "wav", encode_audio(s, WAV_RATE)
+    if m % 4 == 0:
+        i = np.arange(IMG_W * IMG_H * 3, dtype=np.int64)
+        v = ((m * 7 + i * 13) % 256).astype(np.uint8).reshape(IMG_H, IMG_W, 3)
+        return "image", "ppm", encode_image(v)
+    i = np.arange(IMG_W * IMG_H, dtype=np.int64)
+    v = ((m * 5 + i * 3) % 256).astype(np.uint8).reshape(IMG_H, IMG_W)
+    return "image", "pgm", encode_image(v)
+
+
+def media_payloads(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) -> (media_id, kind, fmt, payload): a REAL media table whose
+    binary payloads are produced by the actual encoders (PPM/PGM headers,
+    RIFF chunk layout) — the container format round-trips through
+    `decode_image`/`decode_audio` byte-for-byte. Arrow-batched; per-row
+    work is numpy vector generation + a header append."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [(int(m), *_gen_payload(int(m))) for m in pdf[id_col]]
+            yield pd.DataFrame(
+                recs, columns=["media_id", "kind", "fmt", "payload"]
+            )
+
+    return ids.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "media_id long, kind string, fmt string, payload binary"
+    )
+
+
+def real_feature_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """ACTUAL decode -> per-channel statistics: every payload goes through
+    the real container parsers (`decode_image` / `decode_audio`) and the
+    features (count, mean, population std per channel) are computed from
+    the decoded pixels/samples. Output: one row per (media, channel).
+
+    Arithmetic contract (what makes this oracle-verifiable): sums of
+    integer pixel/sample values are exact in float64, mean = sum/n,
+    std = sqrt(sumsq/n - mean^2) — the same expression shapes DuckDB's
+    avg()/sqrt() produce, so values agree bit-for-bit before the round-6.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "kind": [], "fmt": [], "channel": [],
+                "n_values": [], "mean_v": [], "std_v": [],
+            }
+            for mid, kind, fmt, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["fmt"], pdf[payload_col]
+            ):
+                payload = bytes(payload)
+                if kind == "audio":
+                    arr, _rate = decode_audio(payload)
+                    chans = [arr[:, c].astype(np.float64) for c in range(arr.shape[1])]
+                else:
+                    img = decode_image(payload)
+                    if img.ndim == 3:
+                        chans = [img[:, :, c].ravel().astype(np.float64) for c in range(3)]
+                    else:
+                        chans = [img.ravel().astype(np.float64)]
+                for c, vals in enumerate(chans):
+                    n = int(vals.size)
+                    mean = float(vals.sum() / n)
+                    msq = float((vals * vals).sum() / n)
+                    out["media_id"].append(int(mid))
+                    out["kind"].append(kind)
+                    out["fmt"].append(fmt)
+                    out["channel"].append(c)
+                    out["n_values"].append(n)
+                    out["mean_v"].append(mean)
+                    out["std_v"].append(float(np.sqrt(msq - mean * mean)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "media_id long, kind string, fmt string, channel int, "
+        "n_values long, mean_v double, std_v double",
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

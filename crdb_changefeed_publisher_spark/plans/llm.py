@@ -172,6 +172,8 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_fake_features",
+    retired=True,  # superseded by multimodal_real_features (actual decode);
+    # the Arrow plumbing + byte-bucket arithmetic stay pytest-oracle-tested
     oracle="""
     SELECT doc_id AS media_id,
            'text' AS kind,
@@ -210,6 +212,69 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.posexplode(F.col("feature")).alias("dim_idx", "feature_val"),
     ).withColumn("feature_val", F.round("feature_val", 4))
+
+
+@query(
+    "multimodal_real_features",
+    oracle=f"""
+    WITH ids AS (SELECT doc_id AS media_id FROM documents),
+    ppm AS (
+        SELECT media_id, 'image' AS kind, 'ppm' AS fmt,
+               CAST(i % 3 AS INT) AS channel,
+               CAST((media_id * 7 + i * 13) % 256 AS DOUBLE) AS v
+        FROM ids, range(0, {16 * 12 * 3}) t(i) WHERE media_id % 4 = 0
+    ),
+    pgm AS (
+        SELECT media_id, 'image' AS kind, 'pgm' AS fmt,
+               0 AS channel,
+               CAST((media_id * 5 + i * 3) % 256 AS DOUBLE) AS v
+        FROM ids, range(0, {16 * 12}) t(i) WHERE media_id % 4 = 2
+    ),
+    wav AS (
+        SELECT media_id, 'audio' AS kind, 'wav' AS fmt,
+               0 AS channel,
+               CAST(((media_id * 11 + t * 17) % 65536) - 32768 AS DOUBLE) AS v
+        FROM ids, range(0, 480) r(t) WHERE media_id % 2 = 1
+    ),
+    u AS (
+        SELECT * FROM ppm UNION ALL SELECT * FROM pgm UNION ALL SELECT * FROM wav
+    )
+    SELECT media_id, kind, fmt, channel,
+           count(*) AS n_values,
+           round(avg(v), 6) AS mean_v,
+           round(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS std_v
+    FROM u GROUP BY media_id, kind, fmt, channel
+    """,
+    doc="Multimodal REAL-decode gate (r4 verdict #4, replacing the fake-"
+    "feature stand-in): deterministic pixel/sample formulas are encoded "
+    "into actual container bytes (binary PPM/PGM headers, RIFF/WAVE PCM "
+    "chunks) by operators/multimodal.py::media_payloads, then DECODED BACK "
+    "by the pure-numpy header parsers (decode_image / decode_audio — no "
+    "codec library needed for uncompressed formats) and reduced to "
+    "per-channel count/mean/population-std. The oracle re-derives every "
+    "pixel and sample from the same closed forms and reproduces the "
+    "mean/std arithmetic, so the codecs, the Arrow plumbing, and the "
+    "statistics are all value-verified end to end. Compressed formats "
+    "remain the declared decode_compressed boundary (no codec libs in "
+    "this container).",
+)
+def multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import multimodal
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.media_payloads(ids)
+    stats = multimodal.real_feature_stats(media)
+    return stats.select(
+        "media_id",
+        "kind",
+        "fmt",
+        "channel",
+        "n_values",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("std_v", 6).alias("std_v"),
+    )
 
 
 @query(

@@ -52,6 +52,7 @@ def test_retired_set_is_the_expected_one():
         "dedup_minhash_lsh",
         "embedding_topk_pq",
         "grouping_sets_revenue",
+        "multimodal_fake_features",
         "order_value_buckets",
     ]
 
