@@ -86,6 +86,9 @@ def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_above_avg",
+    retired=True,  # registry cap: its scalar-subquery/broadcast-cross-join
+    # pattern is also exercised inside doc_perplexity_proxy's corpus total;
+    # slot goes to corpus_curation_report (r4 verdict #5)
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders

@@ -1053,3 +1053,85 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.benchmark_contamination(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_curation_report",
+    oracle="""
+    WITH canon AS (SELECT text, min(doc_id) AS canon_id FROM documents GROUP BY text),
+    words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+                                     i -> array_to_string(w[i:i+7], ' '))) AS g
+        FROM words
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    contam AS (
+        SELECT grams.doc_id,
+               round(sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) / count(*), 4)
+                   AS contamination
+        FROM grams LEFT JOIN bench b ON b.g = grams.g
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_words,
+               round(0.4 * least(n_chars / 500.0, 1.0)
+                     + 0.3 * (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * greatest(0.0, 1.0 - punct / greatest(n_words, 1)),
+                     4) AS quality
+        FROM (
+            SELECT doc_id, lang, length(text) AS n_chars,
+                   len(string_split(trim(text), ' ')) AS n_words,
+                   length(replace(trim(text), ' ', ''))
+                       / len(string_split(trim(text), ' ')) AS awl,
+                   (length(text) - length(replace(text, '.', ''))) / 1.0
+                     + (length(text) - length(replace(text, ',', ''))) / 1.0 AS punct
+            FROM documents
+        )
+    ),
+    kept AS (
+        SELECT d.doc_id, d.lang, s.n_words
+        FROM documents d
+        JOIN canon c ON c.text = d.text AND c.canon_id = d.doc_id
+        JOIN scored s ON s.doc_id = d.doc_id
+        LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+        WHERE coalesce(ct.contamination, 0.0) <= 0.05
+          AND s.quality >= 0.2
+          AND (d.doc_id % 10) < (CASE WHEN d.lang = 'en' THEN 5 ELSE 10 END)
+    ),
+    before AS (SELECT lang, count(*) AS n_docs_in FROM documents GROUP BY lang),
+    after AS (
+        SELECT lang, count(*) AS n_docs_kept,
+               CAST(sum(n_words) AS BIGINT) AS tokens_kept
+        FROM kept GROUP BY lang
+    )
+    SELECT b.lang, b.n_docs_in,
+           coalesce(a.n_docs_kept, 0) AS n_docs_kept,
+           coalesce(a.tokens_kept, 0) AS tokens_kept,
+           round(coalesce(a.n_docs_kept, 0) / b.n_docs_in, 4) AS keep_rate
+    FROM before b LEFT JOIN after a ON a.lang = b.lang
+    """,
+    doc="The flagship end-to-end curation composition (r4 verdict #5, now "
+    "driver-verified): exact-dedup (min-id canonical per text) -> benchmark "
+    "decontamination (word-8-gram overlap vs the broadcast benchmark set, "
+    "gate at 5%) -> composite quality gate (>= 0.2) -> deterministic "
+    "stratified language rebalancing (en keeps 5/10 by doc_id mod — no "
+    "rand(), so 100 TB runs are resumable/auditable), reduced to the "
+    "per-language before/after report a curation run publishes. ONE Spark "
+    "plan: the text column is scanned once, gates compose as filters "
+    "(operators/curate.py). The oracle replays every gate and the report "
+    "arithmetic in SQL.",
+)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate.curate_corpus(docs)
+    return curate.curation_report(docs, curated).select(
+        "lang",
+        "n_docs_in",
+        "n_docs_kept",
+        F.col("tokens_kept").cast("long").alias("tokens_kept"),
+        "keep_rate",
+    )

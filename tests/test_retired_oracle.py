@@ -54,6 +54,7 @@ def test_retired_set_is_the_expected_one():
         "grouping_sets_revenue",
         "multimodal_fake_features",
         "order_value_buckets",
+        "orders_above_avg",
     ]
 
 
