@@ -231,6 +231,7 @@ def run_pipeline(
     amqp_queue: str | None = None,
     fan_out_tables: bool = False,
     idempotent: bool = False,
+    on_batch: Callable[[int, int, list[str]], None] | None = None,
 ):
     """Wire a changefeed-shaped streaming DataFrame to the publish sink.
 
@@ -244,11 +245,19 @@ def run_pipeline(
     micro-batches, block until every row available at (and during) the run
     is processed (`processAllAvailable`), then stop — the `--once` drain
     semantics, with the final resolved cursor mirrored as usual.
+
+    `on_batch(batch_id, messages_sent_total, resolved_list)` runs at the
+    END of each foreachBatch (after the publish, before Spark commits the
+    epoch) — used by tests and the soak harness for progress accounting
+    and crash injection: raising inside it fails the query with that epoch
+    uncommitted, so a restart replays exactly that batch (the at-least-once
+    window the reference also has between publish and cursor persist).
     """
     writer = stream_df.writeStream.foreachBatch(
         make_foreach_batch(
             out_dir,
             cursor_store,
+            on_batch=on_batch,
             queue_kind=queue_kind,
             amqp_addr=amqp_addr,
             amqp_queue=amqp_queue,

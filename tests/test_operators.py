@@ -121,9 +121,14 @@ def test_fake_feature_batch_matches_scalar():
         assert list(batch[i]) == multimodal._fake_feature(p), f"payload {i}"
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_boundaries():
+    # uncompressed formats decode for real (pure-numpy parsers, see
+    # tests/test_multimodal_codecs.py); a compressed payload is rejected
+    # by the PNM parser, and the codec-library boundary is explicit
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_compressed(b"\x89PNG\r\n\x1a\n", "image/png")
 
 
 def test_frame_sample_plan(spark):

@@ -115,6 +115,70 @@ def test_per_key_publish_order(spark, tmp_path):
         assert versions == sorted(versions), f"key {key} out of order: {versions}"
 
 
+def test_midrun_kill_resume_at_least_once(spark, tmp_path):
+    """Crash injected AFTER an epoch publishes but BEFORE Spark commits it
+    (the reference's at-least-once window between MQ publish and cursor
+    persist, src/main.rs:226-235): on resume, exactly that epoch replays —
+    every change delivered at least once, the crashed epoch delivered
+    twice, nothing else duplicated. Both reader modes."""
+    from crdb_changefeed_publisher_spark.sources.crdb_changefeed import register
+    from crdb_changefeed_publisher_spark.streaming.metrics import MESSAGES_SENT
+
+    register(spark)
+    for mode in ("simple", "partitioned"):
+        feed = str(tmp_path / f"feed_{mode}.jsonl")
+        out, ckpt = str(tmp_path / f"out_{mode}"), str(tmp_path / f"ckpt_{mode}")
+
+        def write(n):
+            with open(feed, "w", encoding="utf-8") as f:
+                for i in range(n):
+                    if i % 50 == 0:
+                        f.write(json.dumps([None, None, json.dumps({"resolved": f"{i}.0,0"})]) + "\n")
+                    else:
+                        f.write(json.dumps(["t", f"[{i}]", json.dumps({"after": {"a": i}})]) + "\n")
+            return n - (n + 49) // 50  # change rows
+
+        def reader():
+            r = spark.readStream.format("crdb_changefeed").option("replay", feed)
+            if mode == "simple":
+                r = r.option("batch_limit", "300")
+            else:
+                r = r.option("partitioned", "true").option("read_partitions", "3")
+            return r.load()
+
+        write(1000)
+        run_pipeline(reader(), out, ckpt, drain_all=True)
+        published_clean = len(DirQueue.read_all(out))
+
+        n_changes = write(2000)
+        baseline = MESSAGES_SENT.value
+
+        def crash_once(batch_id, sent_total, resolved):
+            if sent_total > baseline:
+                raise RuntimeError("injected mid-run kill")
+
+        q = run_pipeline(reader(), out, ckpt, on_batch=crash_once)
+        crashed = False
+        try:
+            q.processAllAvailable()
+        except Exception:  # noqa: BLE001
+            crashed = True
+        finally:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        assert crashed, f"{mode}: fault injection did not fire"
+        dup_window = len(DirQueue.read_all(out)) - published_clean
+        assert dup_window > 0, f"{mode}: crashed epoch published nothing"
+
+        run_pipeline(reader(), out, ckpt, drain_all=True)
+        msgs = DirQueue.read_all(out)
+        keys = [json.loads(m)["key"] for m in msgs]
+        assert len(set(keys)) == n_changes, mode  # everything delivered
+        assert len(msgs) - len(set(keys)) == dup_window, mode  # only the crashed epoch twice
+
+
 def test_metrics_endpoint(tmp_path):
     import urllib.request
 

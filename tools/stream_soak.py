@@ -1,0 +1,164 @@
+"""Long-feed streaming soak (VERDICT r4 #6): record a large changefeed,
+drain it through the full CDC pipeline in BOTH reader modes with a mid-run
+crash and checkpoint resume, and report rows/s + at-least-once accounting.
+
+Per mode the soak runs three phases against one checkpoint:
+
+1. **warm drain** — first half of the feed, clean `--once` drain.
+2. **crash** — the second half is appended, the query restarts, and a
+   fault is injected at the end of the first micro-batch that publishes
+   rows: the epoch has PUBLISHED but not COMMITTED when the query dies —
+   exactly the reference's at-least-once window between MQ publish and
+   cursor persist (src/main.rs:226-235).
+3. **resume** — restart from the same checkpoint, drain to the end.
+
+Accounting asserted (not just printed): every change row is published at
+least once (distinct keys == change rows), the crashed epoch's rows are
+published AGAIN after resume (duplicates > 0 — proof the kill landed in
+the uncommitted window), and nothing beyond that epoch duplicates.
+
+Prints one JSON line per mode:
+{"metric": "cdc_soak_rows_per_sec", "mode": ..., "rows": ..., ...}
+
+Usage: python tools/stream_soak.py [--rows 1000000] [--batch-limit 100000]
+       [--read-partitions 8] [--modes simple,partitioned]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stream_bench import write_feed  # noqa: E402  (tools/ sibling)
+
+
+class SoakKill(RuntimeError):
+    """Injected mid-run fault."""
+
+
+def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int,
+             read_partitions: int, resolved_every: int) -> dict:
+    from crdb_changefeed_publisher_spark.streaming.pipeline import run_pipeline
+    from crdb_changefeed_publisher_spark.streaming.queues import DirQueue
+
+    half = rows // 2
+    n_changes_first = write_feed(feed, half, resolved_every)
+    out_dir = os.path.join(work, f"out_{mode}")
+    ckpt = os.path.join(work, f"ckpt_{mode}")
+
+    def reader():
+        r = (
+            spark.readStream.format("crdb_changefeed")
+            .option("replay", feed)
+        )
+        if mode == "simple":
+            r = r.option("batch_limit", str(batch_limit))  # selects simple reader
+        else:
+            r = r.option("partitioned", "true").option(
+                "read_partitions", str(read_partitions)
+            )
+        return r.load()
+
+    t0 = time.time()
+    # phase 1: clean drain of the first half
+    run_pipeline(reader(), out_dir, ckpt, drain_all=True)
+    published_phase1 = len(DirQueue.read_all(out_dir))
+    assert published_phase1 == n_changes_first, (published_phase1, n_changes_first)
+
+    # phase 2: append the rest, crash after the first publishing epoch.
+    # MESSAGES_SENT is cumulative across the whole session (all modes), so
+    # the crash trigger is a delta from the value captured right here.
+    from crdb_changefeed_publisher_spark.streaming.metrics import MESSAGES_SENT
+
+    n_changes_total = write_feed(feed, rows, resolved_every)
+    sent_before = MESSAGES_SENT.value
+
+    def crash_once(batch_id: int, sent_total: int, resolved: list[str]) -> None:
+        if sent_total > sent_before:
+            raise SoakKill(f"injected kill after batch {batch_id}")
+
+    q = run_pipeline(reader(), out_dir, ckpt, on_batch=crash_once)
+    crashed = False
+    try:
+        q.processAllAvailable()
+    except Exception:  # noqa: BLE001 — StreamingQueryException wraps SoakKill
+        crashed = True
+    finally:
+        try:
+            q.stop()
+        except Exception:  # noqa: BLE001
+            pass
+    assert crashed, "fault injection did not fire"
+    published_at_crash = len(DirQueue.read_all(out_dir))
+    dup_window = published_at_crash - published_phase1
+    assert dup_window > 0, "crashed epoch published nothing"
+
+    # phase 3: resume from the same checkpoint, drain to the end
+    run_pipeline(reader(), out_dir, ckpt, drain_all=True)
+    wall = time.time() - t0
+
+    msgs = DirQueue.read_all(out_dir)
+    keys = [json.loads(m)["key"] for m in msgs]
+    distinct = len(set(keys))
+    dups = len(msgs) - distinct
+    # at-least-once: everything delivered; exactly the crashed (published,
+    # uncommitted) epoch delivered twice
+    assert distinct == n_changes_total, (distinct, n_changes_total)
+    assert dups == dup_window, (dups, dup_window)
+    return {
+        "metric": "cdc_soak_rows_per_sec",
+        "value": round(rows / wall, 1),
+        "unit": "rows/sec",
+        "mode": mode,
+        "rows": rows,
+        "published": len(msgs),
+        "distinct": distinct,
+        "replayed_after_crash": dups,
+        "wall_sec": round(wall, 2),
+        **({"batch_limit": batch_limit} if mode == "simple" else
+           {"read_partitions": read_partitions}),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--batch-limit", type=int, default=100_000)
+    ap.add_argument("--read-partitions", type=int, default=8)
+    ap.add_argument("--resolved-every", type=int, default=1_000)
+    ap.add_argument("--modes", default="simple,partitioned")
+    args = ap.parse_args()
+
+    from crdb_changefeed_publisher_spark.session import get_spark
+    from crdb_changefeed_publisher_spark.sources.crdb_changefeed import register
+
+    work = tempfile.mkdtemp(prefix="stream_soak_")
+    try:
+        spark = get_spark("stream-soak")
+        register(spark)
+        for mode in args.modes.split(","):
+            feed = os.path.join(work, f"feed_{mode}.jsonl")
+            print(
+                json.dumps(
+                    run_soak(
+                        spark, feed, work, mode.strip(), args.rows,
+                        args.batch_limit, args.read_partitions,
+                        args.resolved_every,
+                    )
+                )
+            )
+        spark.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
