@@ -45,11 +45,19 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    contamination: DataFrame | None = None,
 ) -> DataFrame:
     """Return the curated corpus: one row per KEPT document plus the gate
     columns (is_canonical, contamination, quality, sampled) so an audit can
     reconstruct every decision. Drop reasons compose independently — a doc
-    must pass ALL gates."""
+    must pass ALL gates.
+
+    `contamination`: optionally a precomputed `benchmark_contamination`
+    output for these docs (must carry doc_id + contamination) — the
+    corpus-wide 8-gram pass is the expensive stage, and a production run
+    computes it once per corpus snapshot and feeds every consumer
+    (plans/llm.py persists one per session/sf_dir, shared with the
+    standalone doc_decontamination query)."""
     quotas = DEFAULT_LANG_QUOTAS if lang_quotas is None else lang_quotas
 
     # gate 1: exact dedup — canonical copy = min doc_id per exact text
@@ -60,9 +68,9 @@ def curate_corpus(
 
     # gate 2: benchmark decontamination (broadcast n-gram set; docs too
     # short for any 8-gram cannot be contaminated -> contamination 0)
-    contam = benchmark_contamination(docs, text_col=text_col, id_col=id_col).select(
-        F.col("doc_id").alias(id_col), "contamination"
-    )
+    if contamination is None:
+        contamination = benchmark_contamination(docs, text_col=text_col, id_col=id_col)
+    contam = contamination.select(F.col("doc_id").alias(id_col), "contamination")
     with_contam = with_canon.join(contam, id_col, "left").withColumn(
         "contamination", F.coalesce(F.col("contamination"), F.lit(0.0))
     )
