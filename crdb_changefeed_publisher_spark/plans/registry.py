@@ -63,9 +63,15 @@ COST_HINTS: dict[str, float] = {
     "salted_skew_agg": 0.8,
     "doc_perplexity_proxy": 1.1,
     "embedding_topk_srp_lsh": 1.76,
-    "embedding_topk_ivf": 1.89,
-    "embedding_topk_ivfpq": 2.2,
+    # r5: shared persisted encode pass + ADC/masked-GEMM scans — warm cost
+    # is ~0.9/1.2 s, first run pays the one-time index build
+    "embedding_topk_ivf": 1.0,
+    "embedding_topk_ivfpq": 1.3,
     "dedup_cluster_keep_list": 1.8,
+    # r5 additions: curation pays the one-time contamination pass that
+    # doc_decontamination then reuses (session-persisted)
+    "corpus_curation_report": 2.5,
+    "multimodal_real_features": 0.6,
 }
 
 

@@ -179,6 +179,69 @@ def test_midrun_kill_resume_at_least_once(spark, tmp_path):
         assert len(msgs) - len(set(keys)) == dup_window, mode  # only the crashed epoch twice
 
 
+def test_midrun_kill_resume_idempotent_sink_no_duplicates(spark, tmp_path):
+    """Same crash window as above, but with the batch-keyed idempotent
+    sink: Spark replays the crashed epoch under the SAME batch id, the
+    sink truncates-and-rewrites that batch's files, and the end state has
+    ZERO duplicates — the exactly-once-ish recipe verified under an actual
+    mid-run failure."""
+    from crdb_changefeed_publisher_spark.sources.crdb_changefeed import register
+    from crdb_changefeed_publisher_spark.streaming.metrics import MESSAGES_SENT
+
+    register(spark)
+    feed = str(tmp_path / "feed.jsonl")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write(n):
+        with open(feed, "w", encoding="utf-8") as f:
+            for i in range(n):
+                if i % 50 == 0:
+                    f.write(json.dumps([None, None, json.dumps({"resolved": f"{i}.0,0"})]) + "\n")
+                else:
+                    f.write(json.dumps(["t", f"[{i}]", json.dumps({"after": {"a": i}})]) + "\n")
+        return n - (n + 49) // 50
+
+    def reader():
+        return (
+            spark.readStream.format("crdb_changefeed")
+            .option("replay", feed)
+            .option("partitioned", "true")
+            .option("read_partitions", "3")
+            .load()
+        )
+
+    write(1000)
+    run_pipeline(reader(), out, ckpt, drain_all=True, idempotent=True)
+    published_clean = len(DirQueue.read_all(out))
+
+    n_changes = write(2000)
+    baseline = MESSAGES_SENT.value
+
+    def crash_once(batch_id, sent_total, resolved):
+        if sent_total > baseline:
+            raise RuntimeError("injected mid-run kill")
+
+    q = run_pipeline(reader(), out, ckpt, on_batch=crash_once, idempotent=True)
+    crashed = False
+    try:
+        q.processAllAvailable()
+    except Exception:  # noqa: BLE001
+        crashed = True
+    finally:
+        try:
+            q.stop()
+        except Exception:  # noqa: BLE001
+            pass
+    assert crashed
+    assert len(DirQueue.read_all(out)) > published_clean  # epoch published pre-crash
+
+    run_pipeline(reader(), out, ckpt, drain_all=True, idempotent=True)
+    msgs = DirQueue.read_all(out)
+    keys = [json.loads(m)["key"] for m in msgs]
+    assert len(set(keys)) == n_changes
+    assert len(msgs) == n_changes  # replay overwrote, not appended
+
+
 def test_metrics_endpoint(tmp_path):
     import urllib.request
 

@@ -22,6 +22,12 @@ Prints one JSON line per mode:
 
 Usage: python tools/stream_soak.py [--rows 1000000] [--batch-limit 100000]
        [--read-partitions 8] [--modes simple,partitioned]
+
+Mode suffix `-idem` (e.g. --modes partitioned-idem) runs the batch-keyed
+IDEMPOTENT sink instead: the crashed epoch's replay overwrites its own
+previous attempt, and the harness asserts ZERO duplicates in the end
+state — the exactly-once-ish recipe verified under an actual mid-run
+failure.
 """
 
 from __future__ import annotations
@@ -45,14 +51,15 @@ class SoakKill(RuntimeError):
 
 
 def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int,
-             read_partitions: int, resolved_every: int) -> dict:
+             read_partitions: int, resolved_every: int, idempotent: bool = False) -> dict:
     from crdb_changefeed_publisher_spark.streaming.pipeline import run_pipeline
     from crdb_changefeed_publisher_spark.streaming.queues import DirQueue
 
+    label = f"{mode}{'-idem' if idempotent else ''}"
     half = rows // 2
     n_changes_first = write_feed(feed, half, resolved_every)
-    out_dir = os.path.join(work, f"out_{mode}")
-    ckpt = os.path.join(work, f"ckpt_{mode}")
+    out_dir = os.path.join(work, f"out_{label}")
+    ckpt = os.path.join(work, f"ckpt_{label}")
 
     def reader():
         r = (
@@ -69,7 +76,7 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
 
     t0 = time.time()
     # phase 1: clean drain of the first half
-    run_pipeline(reader(), out_dir, ckpt, drain_all=True)
+    run_pipeline(reader(), out_dir, ckpt, drain_all=True, idempotent=idempotent)
     published_phase1 = len(DirQueue.read_all(out_dir))
     assert published_phase1 == n_changes_first, (published_phase1, n_changes_first)
 
@@ -85,7 +92,7 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
         if sent_total > sent_before:
             raise SoakKill(f"injected kill after batch {batch_id}")
 
-    q = run_pipeline(reader(), out_dir, ckpt, on_batch=crash_once)
+    q = run_pipeline(reader(), out_dir, ckpt, on_batch=crash_once, idempotent=idempotent)
     crashed = False
     try:
         q.processAllAvailable()
@@ -102,26 +109,33 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
     assert dup_window > 0, "crashed epoch published nothing"
 
     # phase 3: resume from the same checkpoint, drain to the end
-    run_pipeline(reader(), out_dir, ckpt, drain_all=True)
+    run_pipeline(reader(), out_dir, ckpt, drain_all=True, idempotent=idempotent)
     wall = time.time() - t0
 
     msgs = DirQueue.read_all(out_dir)
     keys = [json.loads(m)["key"] for m in msgs]
     distinct = len(set(keys))
     dups = len(msgs) - distinct
-    # at-least-once: everything delivered; exactly the crashed (published,
-    # uncommitted) epoch delivered twice
     assert distinct == n_changes_total, (distinct, n_changes_total)
-    assert dups == dup_window, (dups, dup_window)
+    if idempotent:
+        # batch-keyed sink: the replayed epoch OVERWRITES its previous
+        # attempt (same batch_id -> same files, truncated) — exactly-once
+        # end state despite the crash
+        assert dups == 0, (dups,)
+    else:
+        # at-least-once: everything delivered; exactly the crashed
+        # (published, uncommitted) epoch delivered twice
+        assert dups == dup_window, (dups, dup_window)
     return {
         "metric": "cdc_soak_rows_per_sec",
         "value": round(rows / wall, 1),
         "unit": "rows/sec",
-        "mode": mode,
+        "mode": label,
         "rows": rows,
         "published": len(msgs),
         "distinct": distinct,
-        "replayed_after_crash": dups,
+        "replayed_after_crash": dup_window,
+        "duplicates_after_resume": dups,
         "wall_sec": round(wall, 2),
         **({"batch_limit": batch_limit} if mode == "simple" else
            {"read_partitions": read_partitions}),
@@ -134,7 +148,12 @@ def main() -> None:
     ap.add_argument("--batch-limit", type=int, default=100_000)
     ap.add_argument("--read-partitions", type=int, default=8)
     ap.add_argument("--resolved-every", type=int, default=1_000)
-    ap.add_argument("--modes", default="simple,partitioned")
+    ap.add_argument(
+        "--modes",
+        default="simple,partitioned",
+        help="comma list; suffix a mode with -idem for the idempotent "
+        "batch-keyed sink (asserts ZERO duplicates after crash+resume)",
+    )
     args = ap.parse_args()
 
     from crdb_changefeed_publisher_spark.session import get_spark
@@ -144,14 +163,17 @@ def main() -> None:
     try:
         spark = get_spark("stream-soak")
         register(spark)
-        for mode in args.modes.split(","):
-            feed = os.path.join(work, f"feed_{mode}.jsonl")
+        for raw in args.modes.split(","):
+            raw = raw.strip()
+            idem = raw.endswith("-idem")
+            mode = raw.removesuffix("-idem")
+            feed = os.path.join(work, f"feed_{raw}.jsonl")
             print(
                 json.dumps(
                     run_soak(
-                        spark, feed, work, mode.strip(), args.rows,
+                        spark, feed, work, mode, args.rows,
                         args.batch_limit, args.read_partitions,
-                        args.resolved_every,
+                        args.resolved_every, idempotent=idem,
                     )
                 )
             )
