@@ -77,6 +77,32 @@ def test_decontamination_broadcasts_benchmark_set(spark, sf_dir):
     assert "BuildRight" in plan
 
 
+def test_session_caches_are_shared_and_keyed(spark, sf_dir):
+    """The ANN index and the contamination stats materialize ONCE per
+    (session, sf_dir) and are shared across their consumer queries: the
+    cache returns the identical persisted frame, a different sf_dir gets
+    its own entry, and the consumers' plans read the cached relation
+    (InMemoryTableScan) instead of re-encoding."""
+    from crdb_changefeed_publisher_spark.plans.llm import _contamination, _encoded_index
+
+    idx1 = _encoded_index(spark, sf_dir)
+    assert _encoded_index(spark, sf_dir) is idx1
+    c1 = _contamination(spark, sf_dir)
+    assert _contamination(spark, sf_dir) is c1
+    assert idx1.storageLevel.useMemory or idx1.storageLevel.useDisk
+
+    other_sf = (
+        "/root/testdata/sf0.01"
+        if sf_dir.rstrip("/") != "/root/testdata/sf0.01"
+        else "/root/testdata/sf0.001"
+    )
+    assert _encoded_index(spark, other_sf) is not idx1
+
+    for q in ("embedding_topk_ivf", "embedding_topk_ivfpq", "doc_decontamination"):
+        plan = plans.all_specs()[q].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, q
+
+
 def test_no_plan_smells_across_entire_registry(spark, sf_dir):
     """Registry-wide invariant: no query's physical plan may contain a
     CartesianProduct (the only nested-loop joins allowed are broadcast
