@@ -12,7 +12,7 @@ exact same arithmetic runs on any SQL oracle engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -162,6 +162,59 @@ def chunk_documents(
         "chunk_idx",
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-split SEQUENCE PACKING — the standard layout step of an
+    LLM pretraining pipeline: documents are laid end to end in a
+    deterministic global order (ascending `id_col`) and the token stream
+    is cut every `capacity` tokens. Each document is assigned the bin
+    where it STARTS and its token offset within that bin; a document whose
+    tokens cross a cut spans into the next bin (`spans_bins`).
+
+    Output: (doc_id, n_tokens, bin_id, offset_in_bin, spans_bins).
+
+    Scale shape: the global exclusive cumulative token sum is computed
+    TWO-PHASE like functions/ranks.py — range-partition on the order key,
+    partition-local running sum, then offset by the broadcast
+    per-partition totals (num_partitions rows). A naive
+    ``sum().over(Window.orderBy(...))`` would move 100 TB of documents
+    into one task; here the only unpartitioned window is over the tiny
+    per-partition stats frame. Deterministic, so the packing is
+    reproducible across runs/restarts (resumable shard builds).
+
+    `tokens_col`: use a precomputed token-count column instead of
+    whitespace `word_count(text_col)` (e.g. real tokenizer counts).
+    """
+    n_tok = (F.col(tokens_col) if tokens_col else word_count(F.col(text_col))).cast("long")
+    base = docs.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
+    parted = base.repartitionByRange("doc_id").withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("_cum", F.sum("n_tokens").over(w_local))
+    stats = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_n"))
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.withColumn("_off", F.coalesce(F.sum("_n").over(w_cum), F.lit(0)))
+    excl = F.col("_off") + F.col("_cum") - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(excl / capacity).cast("long").alias("bin_id"),
+            (excl % capacity).cast("long").alias("offset_in_bin"),
+            ((excl % capacity) + F.col("n_tokens") > capacity).alias("spans_bins"),
+        )
     )
 
 

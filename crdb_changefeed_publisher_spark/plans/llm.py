@@ -1073,6 +1073,43 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_seq_packing",
+    retired=True,  # registry is at the 50 cap; full oracle verification
+    # runs in pytest (tests/test_retired_oracle.py) like every retired spec
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS excl
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           excl // 512 AS bin_id,
+           excl % 512 AS offset_in_bin,
+           (excl % 512) + n_tokens > 512 AS spans_bins
+    FROM c
+    """,
+    doc="Training-sequence packing (concat-and-split): documents laid end "
+    "to end in deterministic doc_id order, token stream cut every 512 "
+    "tokens; each doc gets the bin where it starts + its offset, docs "
+    "crossing a cut flagged. The global exclusive token cumsum is computed "
+    "two-phase (range partition -> local running sum -> broadcast "
+    "per-partition offsets, functions/ranks.py pattern) — the oracle's "
+    "single ORDER BY window would single-partition 100 TB; the engine "
+    "plan never does (operators/text.py::pack_sequences).",
+)
+def doc_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pack_sequences(load_table(spark, sf_dir, "documents"), capacity=512)
+
+
+@query(
     "corpus_curation_report",
     oracle="""
     WITH canon AS (SELECT text, min(doc_id) AS canon_id FROM documents GROUP BY text),

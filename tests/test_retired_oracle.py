@@ -50,6 +50,7 @@ def test_retired_set_is_the_expected_one():
         "best_order_per_customer",
         "cdc_envelopes_orders",
         "dedup_minhash_lsh",
+        "doc_seq_packing",
         "embedding_topk_pq",
         "grouping_sets_revenue",
         "multimodal_fake_features",

@@ -235,6 +235,60 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 1 for i in range(1, 13)}
 
 
+def test_pack_sequences_matches_naive_window(spark):
+    """Two-phase packing == the naive single-partition-window formulation,
+    and the engine plan contains no unpartitioned window over the data
+    (the only Window.orderBy with no partition runs on the per-partition
+    stats frame, num_partitions rows)."""
+    from pyspark.sql import Window
+
+    from crdb_changefeed_publisher_spark.operators import text as t
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    cap = 512
+    got = {r.doc_id: r for r in t.pack_sequences(docs, capacity=cap).collect()}
+
+    n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r.doc_id: r
+        for r in docs.select(F.col("doc_id"), n_tok.alias("n_tokens"))
+        .withColumn("excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("excl") / cap).cast("long").alias("bin_id"),
+            (F.col("excl") % cap).cast("long").alias("offset_in_bin"),
+        )
+        .collect()
+    }
+    assert set(got) == set(naive)
+    for d, r in got.items():
+        assert (r.bin_id, r.offset_in_bin, r.n_tokens) == (
+            naive[d].bin_id,
+            naive[d].offset_in_bin,
+            naive[d].n_tokens,
+        ), d
+        assert 0 <= r.offset_in_bin < cap
+        assert r.spans_bins == (r.offset_in_bin + r.n_tokens > cap)
+
+    # bins are dense: every bin id up to the last is used
+    total_tokens = sum(r.n_tokens for r in got.values())
+    assert max(r.bin_id for r in got.values()) <= (total_tokens - 1) // cap
+
+    # plan shape: range exchange present; the data-side window is
+    # partitioned by _pid (no "Window [... ORDER BY ...]" over the full
+    # docs without a partition spec feeding from the document scan)
+    plan = (
+        t.pack_sequences(docs, capacity=cap)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+
+
 def test_cosine_arrow_matches_expression(spark):
     emb = load_table(spark, SF, "embeddings").limit(64)
     a = emb.select(F.col("vec_id").alias("ia"), as_double(F.col("embedding")).alias("va"))
