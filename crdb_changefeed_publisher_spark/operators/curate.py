@@ -96,6 +96,55 @@ def curate_corpus(
     )
 
 
+def mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled DOMAIN MIXTURE weights — the multilingual/
+    multi-domain rebalancing rule used by LLM pretraining pipelines
+    (sample domain d with probability proportional to (token share)^alpha;
+    alpha < 1 upsamples the tail, alpha = 1 keeps the natural mix).
+
+    Input: the corpus; output: one row per domain (here: language) with
+    its token mass, natural share, temperature-scaled target share, and
+    the per-document sampling RATE that realizes the target from the
+    natural distribution (rate capped at 1 — no upsampling duplication;
+    renormalized shares so the target is a distribution).
+
+    All arithmetic is deterministic aggregates over one partial-agg
+    shuffle + a broadcast 1-row total — oracle-expressible end to end.
+    At 100 TB: domains are few, the heavy input is the token count,
+    which is the same single text scan every other curation gate shares.
+    """
+    toks = docs.groupBy(lang_col).agg(
+        F.sum(word_count(F.col(text_col)).cast("long")).alias("domain_tokens")
+    )
+    total = toks.agg(F.sum("domain_tokens").alias("_total"))
+    scaled = (
+        toks.crossJoin(F.broadcast(total))
+        .withColumn("natural_share", F.col("domain_tokens") / F.col("_total"))
+        .withColumn("_scaled", F.pow(F.col("natural_share"), F.lit(alpha)))
+    )
+    z = scaled.agg(F.sum("_scaled").alias("_z"))
+    return (
+        scaled.crossJoin(F.broadcast(z))
+        .withColumn("target_share", F.col("_scaled") / F.col("_z"))
+        .withColumn(
+            "sample_rate",
+            F.least(F.lit(1.0), F.col("target_share") / F.col("natural_share")),
+        )
+        .select(
+            lang_col,
+            "domain_tokens",
+            F.round("natural_share", 6).alias("natural_share"),
+            F.round("target_share", 6).alias("target_share"),
+            F.round("sample_rate", 6).alias("sample_rate"),
+        )
+    )
+
+
 def curation_report(docs: DataFrame, curated: DataFrame, lang_col: str = "lang") -> DataFrame:
     """Per-language before/after counts + kept token mass — the summary a
     curation run publishes alongside the output dataset."""

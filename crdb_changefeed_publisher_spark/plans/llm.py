@@ -1110,6 +1110,43 @@ def doc_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_mixture_weights",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                   AS domain_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(domain_tokens) AS t FROM toks),
+    scaled AS (
+        SELECT lang, domain_tokens,
+               domain_tokens / t AS natural_share,
+               pow(domain_tokens / t, 0.5) AS s
+        FROM toks CROSS JOIN tot
+    ),
+    z AS (SELECT sum(s) AS z FROM scaled)
+    SELECT lang, domain_tokens,
+           round(natural_share, 6) AS natural_share,
+           round(s / z, 6) AS target_share,
+           round(least(1.0, (s / z) / natural_share), 6) AS sample_rate
+    FROM scaled CROSS JOIN z
+    """,
+    doc="Temperature-scaled domain-mixture weights (alpha = 0.5): sample "
+    "each language proportional to (token share)^alpha — the standard "
+    "multilingual rebalancing rule (upsamples tail languages). Emits "
+    "per-domain token mass, natural and target shares, and the realizing "
+    "per-doc sampling rate (capped at 1). One partial-agg shuffle + two "
+    "broadcast 1-row totals (operators/curate.py::mixture_weights).",
+)
+def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import curate
+
+    return curate.mixture_weights(load_table(spark, sf_dir, "documents"), alpha=0.5)
+
+
+@query(
     "corpus_curation_report",
     oracle="""
     WITH canon AS (SELECT text, min(doc_id) AS canon_id FROM documents GROUP BY text),

@@ -64,3 +64,23 @@ def test_curated_plan_is_one_job_no_smells(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # the benchmark n-gram set
+
+
+def test_mixture_weights_invariants(spark):
+    """Temperature-scaled mixture weights: target shares form a
+    distribution, alpha=1 reproduces the natural mix (all rates 1), and
+    alpha<1 upsamples tail languages relative to the head (rates capped
+    at 1, dominant language's rate < 1)."""
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+
+    natural = {r.lang: r for r in curate.mixture_weights(docs, alpha=1.0).collect()}
+    assert all(abs(r.sample_rate - 1.0) < 1e-9 for r in natural.values())
+    assert abs(sum(r.target_share for r in natural.values()) - 1.0) < 1e-6
+
+    tempered = {r.lang: r for r in curate.mixture_weights(docs, alpha=0.5).collect()}
+    assert abs(sum(r.target_share for r in tempered.values()) - 1.0) < 1e-6
+    head = max(tempered.values(), key=lambda r: r.domain_tokens)
+    tail = min(tempered.values(), key=lambda r: r.domain_tokens)
+    assert head.sample_rate < 1.0  # dominant language downsampled
+    assert tail.target_share > tail.natural_share  # tail upsampled
+    assert all(r.sample_rate <= 1.0 for r in tempered.values())

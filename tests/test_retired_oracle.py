@@ -53,6 +53,7 @@ def test_retired_set_is_the_expected_one():
         "doc_seq_packing",
         "embedding_topk_pq",
         "grouping_sets_revenue",
+        "lang_mixture_weights",
         "multimodal_fake_features",
         "order_value_buckets",
         "orders_above_avg",
