@@ -60,10 +60,17 @@ def curate_corpus(
     standalone doc_decontamination query)."""
     quotas = DEFAULT_LANG_QUOTAS if lang_quotas is None else lang_quotas
 
-    # gate 1: exact dedup — canonical copy = min doc_id per exact text
-    canon = docs.groupBy(text_col).agg(F.min(id_col).alias("_canon_id"))
-    with_canon = docs.join(canon, text_col).withColumn(
-        "is_canonical", F.col(id_col) == F.col("_canon_id")
+    # gate 1: exact dedup — canonical copy = min doc_id per exact text.
+    # Grouped/joined on sha2-256 of the text (32 B shuffle + broadcastable
+    # key frame instead of moving the corpus text twice; same collision
+    # contract as operators/dedup.py::exact_duplicates)
+    text_key = F.sha2(F.col(text_col), 256)
+    canon = docs.groupBy(text_key.alias("_tkey")).agg(F.min(id_col).alias("_canon_id"))
+    with_canon = (
+        docs.withColumn("_tkey", text_key)
+        .join(canon, "_tkey")
+        .withColumn("is_canonical", F.col(id_col) == F.col("_canon_id"))
+        .drop("_tkey")
     )
 
     # gate 2: benchmark decontamination (broadcast n-gram set; docs too

@@ -70,9 +70,17 @@ def shingle_sets(
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical documents: (keep_id, n_copies, member ids)."""
+    """Groups of byte-identical documents: (keep_id, n_copies).
+
+    Groups on sha2-256 of the text, not the text itself: the group-by
+    shuffle then carries a 32-byte key per document instead of the full
+    document — at 100 TB of mostly-unique text that is the difference
+    between shuffling the corpus and shuffling 32 B/doc. A sha-256
+    collision (~2^-128) is the accepted exactness contract (the same one
+    content-addressed stores rely on); results are otherwise identical to
+    grouping on the raw text, which the DuckDB oracle still does."""
     return (
-        docs.groupBy(F.col(text_col).alias("dup_text"))
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("_tkey"))
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -90,7 +98,7 @@ def normalized_duplicates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     return (
-        docs.groupBy(normalized_text(F.col(text_col)).alias("norm_text"))
+        docs.groupBy(F.sha2(normalized_text(F.col(text_col)), 256).alias("_tkey"))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("keep_id", "n_copies")
     )
