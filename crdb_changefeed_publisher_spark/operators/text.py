@@ -252,18 +252,30 @@ def benchmark_contamination(
 
     Gram construction (mirrored exactly by the SQL oracle): split on single
     spaces after trim; documents shorter than `n` words produce no grams
-    and are excluded (they cannot be contaminated at this n)."""
+    and are excluded (they cannot be contaminated at this n).
+
+    The distinct/join run on sha2-256 of each gram, not the gram string:
+    the per-doc distinct shuffle and the broadcast benchmark set carry
+    32-byte keys instead of ~8-word strings (the gram text is never needed
+    downstream — only counts). Same content-address collision contract as
+    exact dedup (~2^-128); the oracle still compares gram strings."""
     w = F.split(F.trim(F.col(text_col)), " ")
     idxs = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.transform(idxs, lambda i: F.array_join(F.slice(w, i, n), " "))).alias("g"),
-    ).distinct()
-    bench = grams.filter(F.col("doc_id") % bench_mod == 0).select("g").distinct()
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(idxs, lambda i: F.array_join(F.slice(w, i, n), " "))
+            ).alias("g"),
+        )
+        .select("doc_id", F.sha2(F.col("g"), 256).alias("gk"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % bench_mod == 0).select("gk").distinct()
     joined = grams.join(
-        F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left"
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "gk", "left"
     )
     return (
         joined.groupBy("doc_id")
