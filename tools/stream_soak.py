@@ -51,7 +51,8 @@ class SoakKill(RuntimeError):
 
 
 def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int,
-             read_partitions: int, resolved_every: int, idempotent: bool = False) -> dict:
+             read_partitions: int, resolved_every: int, idempotent: bool = False,
+             double_kill: bool = False) -> dict:
     from crdb_changefeed_publisher_spark.streaming.pipeline import run_pipeline
     from crdb_changefeed_publisher_spark.streaming.queues import DirQueue
 
@@ -108,7 +109,36 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
     dup_window = published_at_crash - published_phase1
     assert dup_window > 0, "crashed epoch published nothing"
 
-    # phase 3: resume from the same checkpoint, drain to the end
+    # optional second failure: the resume itself crashes on its FIRST
+    # publishing batch — which is exactly the replayed epoch, so the same
+    # epoch fails twice in a row (the repeated-failure scenario a poison
+    # batch or flaky sink produces) before the final drain succeeds
+    n_kills = 1
+    if double_kill:
+        sent_before2 = MESSAGES_SENT.value
+
+        def crash_again(batch_id: int, sent_total: int, resolved: list[str]) -> None:
+            if sent_total > sent_before2:
+                raise SoakKill(f"injected second kill after batch {batch_id}")
+
+        q2 = run_pipeline(reader(), out_dir, ckpt, on_batch=crash_again, idempotent=idempotent)
+        crashed2 = False
+        try:
+            q2.processAllAvailable()
+        except Exception:  # noqa: BLE001
+            crashed2 = True
+        finally:
+            try:
+                q2.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        assert crashed2, "second fault injection did not fire"
+        if not idempotent:
+            # the replayed epoch published a second copy before dying
+            dup_window += len(DirQueue.read_all(out_dir)) - published_at_crash
+        n_kills = 2
+
+    # final phase: resume from the same checkpoint, drain to the end
     run_pipeline(reader(), out_dir, ckpt, drain_all=True, idempotent=idempotent)
     wall = time.time() - t0
 
@@ -134,6 +164,7 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
         "rows": rows,
         "published": len(msgs),
         "distinct": distinct,
+        "kills": n_kills,
         "replayed_after_crash": dup_window,
         "duplicates_after_resume": dups,
         "wall_sec": round(wall, 2),
@@ -153,6 +184,12 @@ def main() -> None:
         default="simple,partitioned",
         help="comma list; suffix a mode with -idem for the idempotent "
         "batch-keyed sink (asserts ZERO duplicates after crash+resume)",
+    )
+    ap.add_argument(
+        "--double-kill",
+        action="store_true",
+        help="crash the resume too (same epoch fails twice) before the "
+        "final successful drain",
     )
     args = ap.parse_args()
 
@@ -174,6 +211,7 @@ def main() -> None:
                         spark, feed, work, mode, args.rows,
                         args.batch_limit, args.read_partitions,
                         args.resolved_every, idempotent=idem,
+                        double_kill=args.double_kill,
                     )
                 )
             )
