@@ -218,6 +218,111 @@ def pack_sequences(
     )
 
 
+# Gopher-inspired repetition-filter thresholds (Rae et al. 2021, table A1
+# shape): a document is flagged `repetitive` when any signal exceeds its
+# threshold. Tuned constants are public-paper-order-of-magnitude, not claims
+# of exact parity with any production filter.
+REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_word_frac": 0.30,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+}
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document REPETITION signals — the Gopher-style quality gate
+    that catches boilerplate/templated/looping text which length and
+    punctuation heuristics miss:
+
+    - ``dup_word_frac``      1 - distinct_words / total_words
+    - ``top{2,3,4}_char_frac`` fraction of characters covered by the single
+      most frequent word-n-gram (count x gram_chars / doc_chars, capped at
+      1; ties broken by lexicographically-smallest gram; 0 unless the top
+      gram actually repeats — a count-1 gram is not repetition)
+    - ``dup5_char_frac``     fraction of characters covered by ALL repeated
+      word-5-grams (sum over grams with count >= 2 of count x gram_chars /
+      doc_chars, capped at 1 — overlapping occurrences intentionally
+      double-count before the cap; this is a filter signal, not a measure)
+    - ``repetitive``         any signal above REPETITION_THRESHOLDS
+
+    Scale shape: ONE scan of the documents table builds all five gram sizes
+    per row (flatten of five `transform`s over the split-word array), one
+    explode, then a single partial-agg shuffle on (doc_id, n, gram). The
+    top-gram selection window and the final pivot both partition on doc_id
+    keys — no global windows, no Python. Gram strings stay as shuffle keys
+    (not content hashes) because the deterministic tiebreak and gram length
+    are part of the contract; the shuffle is doc-local n-grams, the same
+    volume the decontamination pass already moves.
+    """
+    w = F.split(F.trim(F.col(text_col)), " ")
+
+    def gram_structs(n: int):
+        idxs = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idxs,
+            lambda i: F.struct(
+                F.lit(n).alias("n"), F.array_join(F.slice(w, i, n), " ").alias("g")
+            ),
+        )
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.trim(F.col(text_col))).alias("n_chars"),
+        F.explode(F.flatten(F.array(*[gram_structs(n) for n in (1, 2, 3, 4, 5)]))).alias("gr"),
+    ).select("doc_id", "n_chars", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+
+    counts = grams.groupBy("doc_id", "n", "g").agg(
+        F.max("n_chars").alias("n_chars"), F.count(F.lit(1)).alias("c")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id", "n").orderBy(F.col("c").desc(), "g")
+    )
+    per_n = (
+        counts.withColumn("rn", rn)
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max("n_chars").alias("n_chars"),
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max(
+                F.when((F.col("rn") == 1) & (F.col("c") >= 2), F.col("c") * F.length("g"))
+            ).alias("top_cov"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)).alias(
+                "dup_cov"
+            ),
+        )
+    )
+
+    def frac(n: int, cov_col: str) -> Column:
+        cov = F.max(F.when(F.col("n") == n, F.col(cov_col)))
+        return F.round(
+            F.least(F.lit(1.0), F.coalesce(cov, F.lit(0)) / F.max("n_chars")), 4
+        )
+
+    out = per_n.groupBy("doc_id").agg(
+        F.round(
+            F.lit(1.0)
+            - F.max(F.when(F.col("n") == 1, F.col("n_distinct")))
+            / F.max(F.when(F.col("n") == 1, F.col("total"))),
+            4,
+        ).alias("dup_word_frac"),
+        frac(2, "top_cov").alias("top2_char_frac"),
+        frac(3, "top_cov").alias("top3_char_frac"),
+        frac(4, "top_cov").alias("top4_char_frac"),
+        frac(5, "dup_cov").alias("dup5_char_frac"),
+    )
+    flag = F.lit(False)
+    for col, thr in REPETITION_THRESHOLDS.items():
+        flag = flag | (F.col(col) > thr)
+    return out.withColumn("repetitive", flag)
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
     n_words = word_count(t)

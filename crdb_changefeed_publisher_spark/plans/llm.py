@@ -446,6 +446,7 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 @query(
     "top_shingles_corpus",
+    retired=True,
     oracle="""
     WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
     grams AS (
@@ -471,6 +472,67 @@ def top_shingles_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "shingle")
         .limit(20)
     )
+
+
+@query(
+    "doc_repetition_signals",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w,
+               length(trim(text)) AS n_chars
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, n_chars, ns.n AS n,
+               unnest(list_transform(range(1, greatest(len(w) - (ns.n - 1), 0) + 1),
+                                     i -> array_to_string(w[i:i+ns.n-1], ' '))) AS g
+        FROM base, (VALUES (1), (2), (3), (4), (5)) AS ns(n)
+    ),
+    counts AS (
+        SELECT doc_id, n, g, max(n_chars) AS n_chars, count(*) AS c
+        FROM grams GROUP BY doc_id, n, g
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rn
+        FROM counts
+    ),
+    per_n AS (
+        SELECT doc_id, n, max(n_chars) AS n_chars, sum(c) AS total,
+               count(*) AS n_distinct,
+               max(CASE WHEN rn = 1 AND c >= 2 THEN c * length(g) END) AS top_cov,
+               sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_cov
+        FROM ranked GROUP BY doc_id, n
+    ),
+    sig AS (
+        SELECT doc_id,
+               round(1.0 - max(CASE WHEN n = 1 THEN n_distinct END)
+                           / max(CASE WHEN n = 1 THEN total END), 4) AS dup_word_frac,
+               round(least(1.0, coalesce(max(CASE WHEN n = 2 THEN top_cov END), 0)
+                                / max(n_chars)), 4) AS top2_char_frac,
+               round(least(1.0, coalesce(max(CASE WHEN n = 3 THEN top_cov END), 0)
+                                / max(n_chars)), 4) AS top3_char_frac,
+               round(least(1.0, coalesce(max(CASE WHEN n = 4 THEN top_cov END), 0)
+                                / max(n_chars)), 4) AS top4_char_frac,
+               round(least(1.0, coalesce(max(CASE WHEN n = 5 THEN dup_cov END), 0)
+                                / max(n_chars)), 4) AS dup5_char_frac
+        FROM per_n GROUP BY doc_id
+    )
+    SELECT *, (dup_word_frac > 0.30 OR top2_char_frac > 0.20 OR top3_char_frac > 0.18
+               OR top4_char_frac > 0.16 OR dup5_char_frac > 0.15) AS repetitive
+    FROM sig
+    """,
+    doc="Gopher-style within-document repetition signals (duplicate-word "
+    "fraction, most-frequent-{2,3,4}-gram character coverage, repeated-5-gram "
+    "character coverage, composite `repetitive` flag) — the quality gate that "
+    "catches boilerplate/looping text. One scan builds all five gram sizes "
+    "(flatten of transforms), one explode, one partial-agg shuffle on "
+    "(doc_id, n, gram); windows and pivots stay doc-keyed "
+    "(operators/text.py::repetition_signals). Replaces the retired "
+    "top_shingles_corpus as the registered explode/flatten surface.",
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(docs)
 
 
 # --- similarity search -----------------------------------------------------

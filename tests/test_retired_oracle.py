@@ -57,6 +57,7 @@ def test_retired_set_is_the_expected_one():
         "multimodal_fake_features",
         "order_value_buckets",
         "orders_above_avg",
+        "top_shingles_corpus",
     ]
 
 

@@ -502,3 +502,46 @@ def test_srp_lsh_signatures_carry_no_vectors(spark):
         # through the signature/bucket stage
         first = plan.find(leaked)
         assert first != -1
+
+
+def test_repetition_signals_handcrafted(spark):
+    """Closed-form checks on tiny docs: a pure loop doc saturates every
+    signal; a fully-diverse doc scores 0 everywhere; a half-repetitive doc
+    gets the exact hand-computed fractions."""
+    docs = docs_df(
+        spark,
+        [
+            (0, "spam spam spam spam spam spam"),       # 6x one word, 29 chars
+            (1, "alpha bravo charlie delta echo fox"),  # all distinct
+            (2, "a b a b a b x y z w"),                 # top 2-gram "a b" x3
+        ],
+    )
+    got = {r.doc_id: r for r in text.repetition_signals(docs).collect()}
+
+    loop = got[0]
+    # 6 words, 1 distinct -> dup_word_frac = 1 - 1/6 = 0.8333
+    assert loop.dup_word_frac == pytest.approx(0.8333)
+    # top 2-gram "spam spam" (9 chars) occurs 5x -> 45/29 capped at 1
+    assert loop.top2_char_frac == 1.0
+    assert loop.dup5_char_frac == 1.0
+    assert loop.repetitive is True
+
+    div = got[1]
+    assert div.dup_word_frac == 0.0
+    assert div.top2_char_frac == 0.0  # no 2-gram repeats: count-1 top gram is not repetition
+    assert div.dup5_char_frac == 0.0
+    assert div.repetitive is False
+
+    half = got[2]
+    # 10 words, 6 distinct -> 0.4; "a b" (3 chars) x3 of 19 chars
+    assert half.dup_word_frac == pytest.approx(0.4)
+    assert half.top2_char_frac == pytest.approx(9 / 19, abs=1e-4)
+    assert half.repetitive is True
+
+
+def test_repetition_signals_short_doc_has_zero_long_gram_fracs(spark):
+    """A 3-word doc has no 4- or 5-grams: those fractions coalesce to 0."""
+    got = text.repetition_signals(docs_df(spark, [(0, "tiny doc here")])).collect()[0]
+    assert got.top4_char_frac == 0.0
+    assert got.dup5_char_frac == 0.0
+    assert got.repetitive is False
