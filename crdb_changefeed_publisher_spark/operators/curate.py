@@ -23,11 +23,139 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column, Window
+
 from crdb_changefeed_publisher_spark.operators.text import (
     benchmark_contamination,
     quality_score,
     word_count,
 )
+
+# Default train/val/test weights for hash_split (ordered: assignment is by
+# cumulative threshold, so order is part of the contract).
+DEFAULT_SPLIT_WEIGHTS: list[tuple[str, float]] = [
+    ("train", 0.90),
+    ("val", 0.05),
+    ("test", 0.05),
+]
+SPLIT_BUCKETS = 10_000  # split resolution: 0.01% granularity
+SAMPLE_BUCKETS = 1_000_000  # rate-sampling resolution: 1e-6 granularity
+
+
+def _seeded_hash(seed: str, id_col: str) -> Column:
+    """Deterministic per-row priority in [0, 2^60): the first 15 hex digits
+    of sha2-256 over ``seed || ':' || id``, parsed as an integer. sha2 is
+    the repo's content-address primitive (exact dedup, curation canonical
+    gate) and — unlike the polynomial fingerprint, whose low bits are
+    LINEAR in the trailing id digits — has full avalanche, so modular
+    buckets of sequential ids are uniform. Changing the seed re-randomizes
+    every downstream decision; the same (seed, id) always lands in the
+    same bucket on ANY engine — the property that makes splits/samples
+    reproducible across reruns, engines, and backfills (no rand() state)."""
+    hx = F.substring(F.sha2(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")), 256), 1, 15)
+    return F.conv(hx, 16, 10).cast("long")
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: list[tuple[str, float]] | None = None,
+    seed: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST split assignment — the step every
+    training-data pipeline runs after curation. Adds ``bucket`` (hash of
+    the seeded id into [0, SPLIT_BUCKETS)) and ``split`` (first name whose
+    cumulative-weight threshold exceeds the bucket).
+
+    Pure per-row codegen: no shuffle, no state, no sampling drift — a new
+    document added to a 100 TB corpus cannot move any existing document's
+    split, and the val/test sets are stable across corpus versions (the
+    contamination-containment property leakage audits rely on)."""
+    ws = DEFAULT_SPLIT_WEIGHTS if weights is None else weights
+    total = sum(w for _, w in ws)
+    bucket = (_seeded_hash(seed, id_col) % SPLIT_BUCKETS).alias("bucket")
+    out = docs.withColumn("bucket", bucket)
+    expr = F.lit(ws[-1][0])  # last split absorbs rounding remainder
+    cum = 0.0
+    thresholds = []
+    for name, w in ws[:-1]:
+        cum += w / total
+        thresholds.append((name, int(round(cum * SPLIT_BUCKETS))))
+    for name, thr in reversed(thresholds):
+        expr = F.when(F.col("bucket") < thr, F.lit(name)).otherwise(expr)
+    return out.withColumn("split", expr)
+
+
+def rate_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    domain_col: str = "lang",
+    rate_col: str = "sample_rate",
+    seed: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Realize per-domain sampling RATES (e.g. mixture_weights' output) as a
+    deterministic document filter: keep a document iff
+    ``seeded_hash(id) % SAMPLE_BUCKETS < floor(rate * SAMPLE_BUCKETS)``.
+
+    This is the 100 TB shape for rebalancing: the rates frame is tiny (one
+    row per domain) and BROADCASTS; the decision is then per-row codegen —
+    no window, no per-domain shuffle, no collect. Expected kept share per
+    domain converges to the rate; the decision for a given (seed, id) is
+    stable across runs (resumable sharded builds sample identically)."""
+    r = F.broadcast(rates.select(F.col(domain_col), F.col(rate_col)))
+    return (
+        docs.join(r, domain_col, "left")
+        .withColumn(rate_col, F.coalesce(F.col(rate_col), F.lit(1.0)))
+        .filter(
+            (_seeded_hash(seed, id_col) % SAMPLE_BUCKETS)
+            < F.floor(F.col(rate_col) * SAMPLE_BUCKETS).cast("long")
+        )
+    )
+
+
+def uniform_sample_k(
+    docs: DataFrame,
+    k: int,
+    seed: str = "uniform-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-k uniform sample without replacement: the k documents with the
+    smallest seeded-hash priority (ties impossible modulo sha2 collisions).
+    Equivalent in distribution to a single-pass reservoir sample, but
+    deterministic, rerunnable, and DISTRIBUTED: Spark executes the k-smallest
+    as per-partition top-k + TakeOrderedAndProject — no global sort, no
+    single-partition funnel, no reservoir state. Increasing k by one keeps
+    the previous k rows (nested samples), which reservoir algorithms do not
+    guarantee across runs."""
+    pri = _seeded_hash(seed, id_col)
+    return docs.orderBy(pri.asc(), F.col(id_col).asc()).limit(k)
+
+
+def domain_quota_sample(
+    docs: DataFrame,
+    quota: int,
+    domain_col: str = "lang",
+    seed: str = "quota-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT per-domain quota sampling: keep the `quota` documents with the
+    smallest seeded-hash priority in each domain (ties broken by id).
+    Deterministic and stable under reruns; unlike rate_sample the kept
+    count is exact, not expected.
+
+    Scale note: the rank is a per-domain window — fine when domains are
+    many or quotas are small, but a single 100 TB domain funnels into one
+    window partition. For huge domains use rate_sample (expected counts,
+    per-row) or pre-aggregate candidates per domain shard; this operator is
+    the small-N-exact tool, and it documents that boundary deliberately."""
+    pri = _seeded_hash(seed, id_col)
+    w = Window.partitionBy(domain_col).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
 
 # Deterministic per-language sampling quotas out of 10 (language REBALANCING:
 # the fixture corpus is ~44% English; downsampling the dominant language is

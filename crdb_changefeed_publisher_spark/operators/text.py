@@ -218,6 +218,49 @@ def pack_sequences(
     )
 
 
+# PII patterns: the portable RE2-and-Java-regex subset (no lookaround, no
+# backreferences), so the exact same patterns run on Spark (Java regex) and
+# any RE2-based oracle (DuckDB). Heuristics, not a compliance claim — the
+# operator's job is the Spark-side shape (global redaction + counts in one
+# per-row codegen pass); production pipelines swap in their own pattern set.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,2}[ -]\d{3}[ -]\d{4}",
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction — the scrubbing gate of a training-data
+    pipeline: count matches per pattern class and replace each match with a
+    ``<CLASS>`` placeholder. Output: (doc_id, n_email, n_ipv4, n_phone,
+    n_pii, clean_text, redacted_len).
+
+    Redaction order is the sorted pattern-class name (email, ipv4, phone),
+    so overlapping matches resolve deterministically (an IP inside an
+    already-redacted email can't double-fire). Everything is per-row
+    built-in regexp codegen: a 100 TB corpus maps straight through the scan
+    with zero shuffles, and the counts aggregate partially downstream."""
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+    clean = t
+    for name in sorted(PII_PATTERNS):
+        clean = F.regexp_replace(clean, PII_PATTERNS[name], f"<{name.upper()}>")
+    total = None
+    for name in sorted(counts):
+        total = counts[name] if total is None else total + counts[name]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[counts[name].alias(f"n_{name}") for name in sorted(counts)],
+        total.alias("n_pii"),
+        clean.alias("clean_text"),
+        F.length(clean).alias("redacted_len"),
+    )
+
+
 # Gopher-inspired repetition-filter thresholds (Rae et al. 2021, table A1
 # shape): a document is flagged `repetitive` when any signal exceeds its
 # threshold. Tuned constants are public-paper-order-of-magnitude, not claims

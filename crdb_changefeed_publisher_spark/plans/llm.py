@@ -1208,6 +1208,172 @@ def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.mixture_weights(load_table(spark, sf_dir, "documents"), alpha=0.5)
 
 
+def _seeded_hash_fold(expr: str) -> str:
+    """DuckDB SQL mirroring operators/curate.py::_seeded_hash: the first 15
+    hex digits of sha2-256 over a VARCHAR expression, parsed to a BIGINT in
+    [0, 2^60) via a base-16 fold (DuckDB lacks a hex-to-int cast)."""
+    return f"""list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 16),
+                                    i -> CAST(strpos('0123456789abcdef',
+                                                     substr(sha256({expr}), i, 1)) - 1
+                                              AS BIGINT))),
+        (h, c) -> h * 16 + c)"""
+
+
+@query(
+    "doc_train_split",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, 'split-v1:' || CAST(doc_id AS VARCHAR) AS s FROM documents
+    ),
+    b AS (
+        SELECT doc_id, {_seeded_hash_fold('s')} % 10000 AS bucket FROM seeded
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Deterministic train/val/test split assignment (90/5/5): portable "
+    "seeded sha2-256 bucket of the doc id into 10k buckets, cumulative-"
+    "weight thresholds — pure per-row codegen, zero shuffle; adding "
+    "documents to the corpus never moves an existing document's split "
+    "(operators/curate.py::hash_split).",
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate.hash_split(docs).select("doc_id", "bucket", "split")
+
+
+@query(
+    "domain_mixture_sample",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang,
+               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                   AS domain_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(domain_tokens) AS t FROM toks),
+    scaled AS (
+        SELECT lang, domain_tokens / t AS natural_share,
+               pow(domain_tokens / t, 0.5) AS s
+        FROM toks CROSS JOIN tot
+    ),
+    z AS (SELECT sum(s) AS z FROM scaled),
+    rates AS (
+        SELECT lang, round(least(1.0, (s / z) / natural_share), 6) AS rate
+        FROM scaled CROSS JOIN z
+    ),
+    seeded AS (
+        SELECT doc_id, lang, 'sample-v1:' || CAST(doc_id AS VARCHAR) AS s
+        FROM documents
+    ),
+    kept AS (
+        SELECT seeded.doc_id, seeded.lang
+        FROM seeded JOIN rates USING (lang)
+        WHERE {_seeded_hash_fold('s')} % 1000000
+              < CAST(floor(rate * 1000000) AS BIGINT)
+    )
+    SELECT d.lang, count(*) AS n_docs, count(k.doc_id) AS n_kept,
+           round(count(k.doc_id) / count(*), 4) AS realized_rate
+    FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+    doc="Temperature-scaled mixture weights REALIZED as a deterministic "
+    "document sample: mixture_weights(alpha=0.5) rates broadcast-joined to "
+    "the corpus, kept iff seeded-hash bucket < rate — per-row codegen, no "
+    "window, the 100 TB rebalancing shape "
+    "(operators/curate.py::rate_sample). Reports per-language kept counts "
+    "and the realized rate vs the target.",
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = curate.mixture_weights(docs, alpha=0.5).select("lang", "sample_rate")
+    kept = (
+        curate.rate_sample(docs, rates)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(kept, "lang", "left")
+        .na.fill({"n_kept": 0})
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 4).alias("realized_rate"),
+        )
+    )
+
+
+def _pii_pat(name: str) -> str:
+    return text.PII_PATTERNS[name]
+
+
+@query(
+    "doc_pii_scrub",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                    || ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS t
+        FROM documents
+    ),
+    scrub AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{_pii_pat("email")}')) AS n_email,
+               len(regexp_extract_all(t, '{_pii_pat("ipv4")}')) AS n_ipv4,
+               len(regexp_extract_all(t, '{_pii_pat("phone")}')) AS n_phone,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(t, '{_pii_pat("email")}', '<EMAIL>', 'g'),
+                       '{_pii_pat("ipv4")}', '<IPV4>', 'g'),
+                   '{_pii_pat("phone")}', '<PHONE>', 'g') AS clean_text
+        FROM injected
+    )
+    SELECT doc_id, n_email, n_ipv4, n_phone,
+           n_email + n_ipv4 + n_phone AS n_pii,
+           clean_text, length(clean_text) AS redacted_len
+    FROM scrub
+    """,
+    doc="PII detection + redaction over the corpus with deterministic "
+    "synthetic PII injected per doc id (the fixture text contains none): "
+    "per-pattern match counts and global placeholder redaction, one "
+    "per-row regexp codegen pass, zero shuffles "
+    "(operators/text.py::pii_scrub). Patterns are the portable "
+    "RE2-and-Java subset so the identical regexes run on both engines.",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(injected)
+
+
 @query(
     "corpus_curation_report",
     oracle="""

@@ -84,3 +84,85 @@ def test_mixture_weights_invariants(spark):
     assert head.sample_rate < 1.0  # dominant language downsampled
     assert tail.target_share > tail.natural_share  # tail upsampled
     assert all(r.sample_rate <= 1.0 for r in tempered.values())
+
+
+def test_hash_split_deterministic_disjoint_and_weighted(spark):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = curate.hash_split(docs).select("doc_id", "bucket", "split")
+    rows = {r.doc_id: r for r in out.collect()}
+    again = {r.doc_id: r for r in curate.hash_split(docs).select("doc_id", "bucket", "split").collect()}
+    assert rows == again  # deterministic: identical assignment across runs
+    n = len(rows)
+    by_split = {}
+    for r in rows.values():
+        assert 0 <= r.bucket < curate.SPLIT_BUCKETS
+        by_split[r.split] = by_split.get(r.split, 0) + 1
+    assert set(by_split) == {"train", "val", "test"}
+    # 90/5/5 within generous tolerance at n=500
+    assert abs(by_split["train"] / n - 0.90) < 0.05
+    assert abs(by_split["val"] / n - 0.05) < 0.04
+    assert abs(by_split["test"] / n - 0.05) < 0.04
+
+
+def test_hash_split_seed_changes_assignment_weights_respected(spark):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    a = {r.doc_id: r.split for r in curate.hash_split(docs, seed="a").select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in curate.hash_split(docs, seed="b").select("doc_id", "split").collect()}
+    assert a != b  # a new seed reshuffles
+    two = curate.hash_split(docs, weights=[("fit", 0.5), ("holdout", 0.5)])
+    counts = {r.split: r.n for r in two.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"fit", "holdout"}
+    assert abs(counts["fit"] - counts["holdout"]) < 0.2 * sum(counts.values())
+
+
+def test_rate_sample_converges_and_is_stable(spark):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    rates = spark.createDataFrame([("en", 0.5)], "lang string, sample_rate double")
+    kept = curate.rate_sample(docs, rates)
+    en_total = docs.filter(F.col("lang") == "en").count()
+    en_kept = kept.filter(F.col("lang") == "en").count()
+    other_total = docs.filter(F.col("lang") != "en").count()
+    other_kept = kept.filter(F.col("lang") != "en").count()
+    assert other_kept == other_total  # unlisted domains default to rate 1
+    assert abs(en_kept / en_total - 0.5) < 0.12  # expected-rate convergence
+    assert kept.count() == curate.rate_sample(docs, rates).count()  # stable
+
+
+def test_rate_sample_zero_and_one(spark):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    rates = spark.createDataFrame(
+        [("en", 0.0), ("de", 1.0)], "lang string, sample_rate double"
+    )
+    kept = curate.rate_sample(docs, rates)
+    assert kept.filter(F.col("lang") == "en").count() == 0
+    assert (
+        kept.filter(F.col("lang") == "de").count()
+        == docs.filter(F.col("lang") == "de").count()
+    )
+
+
+def test_domain_quota_sample_exact_and_deterministic(spark):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    got = curate.domain_quota_sample(docs, quota=7, domain_col="lang")
+    per = {r.lang: r.n for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(7, sizes[lang])
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    again = sorted(
+        r.doc_id for r in curate.domain_quota_sample(docs, quota=7, domain_col="lang").select("doc_id").collect()
+    )
+    assert ids == again
+
+
+def test_uniform_sample_k_exact_nested_and_planned_as_topk(spark):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    s10 = sorted(r.doc_id for r in curate.uniform_sample_k(docs, 10).select("doc_id").collect())
+    s25 = sorted(r.doc_id for r in curate.uniform_sample_k(docs, 25).select("doc_id").collect())
+    assert len(s10) == 10 and len(s25) == 25
+    assert set(s10) <= set(s25)  # nested samples
+    assert s10 == sorted(
+        r.doc_id for r in curate.uniform_sample_k(docs, 10).select("doc_id").collect()
+    )  # deterministic
+    plan = curate.uniform_sample_k(docs, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort

@@ -50,7 +50,10 @@ def test_retired_set_is_the_expected_one():
         "best_order_per_customer",
         "cdc_envelopes_orders",
         "dedup_minhash_lsh",
+        "doc_pii_scrub",
         "doc_seq_packing",
+        "doc_train_split",
+        "domain_mixture_sample",
         "embedding_topk_pq",
         "grouping_sets_revenue",
         "lang_mixture_weights",

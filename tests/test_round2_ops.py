@@ -545,3 +545,27 @@ def test_repetition_signals_short_doc_has_zero_long_gram_fracs(spark):
     assert got.top4_char_frac == 0.0
     assert got.dup5_char_frac == 0.0
     assert got.repetitive is False
+
+
+def test_pii_scrub_handcrafted(spark):
+    docs = docs_df(
+        spark,
+        [
+            (0, "mail a.b-c_d@sub.example.org now"),
+            (1, "server 192.168.0.1 and 10.0.255.7 up"),
+            (2, "call +1 555-1234 or +44 123-9876"),
+            (3, "no pii here at all"),
+            (4, "mixed bob@x.io on 8.8.8.8 tel +1 555-0000"),
+        ],
+    )
+    got = {r.doc_id: r for r in text.pii_scrub(docs).collect()}
+    assert (got[0].n_email, got[0].n_ipv4, got[0].n_phone) == (1, 0, 0)
+    assert got[0].clean_text == "mail <EMAIL> now"
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (0, 2, 0)
+    assert got[1].clean_text == "server <IPV4> and <IPV4> up"
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 2)
+    assert got[3].n_pii == 0
+    assert got[3].clean_text == "no pii here at all"
+    assert got[4].n_pii == 3
+    assert got[4].clean_text == "mixed <EMAIL> on <IPV4> tel <PHONE>"
+    assert got[4].redacted_len == len(got[4].clean_text)
