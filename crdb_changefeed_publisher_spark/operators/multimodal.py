@@ -5,10 +5,12 @@ Decoding tiers:
 
 - **Real decoders, no codec library needed**: uncompressed formats are a
   header parse + ``np.frombuffer`` — ``decode_image`` reads binary PPM
-  (P6, RGB) and PGM (P5, grayscale), ``decode_audio`` reads RIFF/WAVE PCM
-  (8/16-bit, any channel count). ``encode_image``/``encode_audio`` are the
-  exact inverses (fixture payloads are generated through them, so the
-  decode path is exercised on real container bytes end to end).
+  (P6, RGB), PGM (P5, grayscale), and uncompressed 24-bit BMP (BI_RGB:
+  BGR pixel order, 4-byte row padding, bottom-up or top-down);
+  ``decode_audio`` reads RIFF/WAVE PCM (8/16-bit, any channel count).
+  ``encode_image``/``encode_image_bmp``/``encode_audio`` are the exact
+  inverses (fixture payloads are generated through them, so the decode
+  path is exercised on real container bytes end to end).
 - **Compressed formats** (JPEG/PNG/MP3/H.264 ...) require codec libraries
   (Pillow/ffmpeg) that are not available in this container;
   ``decode_compressed`` documents that boundary and raises.
@@ -100,12 +102,77 @@ def _read_pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
     return magic, width, height, maxval, i + 1
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB): BITMAPFILEHEADER (14 B) +
+    BITMAPINFOHEADER (>= 40 B), rows padded to 4 bytes, stored BGR and
+    bottom-up (negative biHeight = top-down). Returns uint8 (H, W, 3) RGB.
+    Palette/16/32-bit/RLE variants are out of scope — this is the decoder
+    for the format BMPs are overwhelmingly written in."""
+    if len(payload) < 54:
+        raise ValueError("BMP payload shorter than its fixed headers")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={compression})")
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(payload) - pix_off < stride * h:
+        raise ValueError("BMP raster shorter than header promises")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = raster.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_image_bmp(arr: np.ndarray) -> bytes:
+    """Inverse of the BMP branch of `decode_image`: uint8 (H, W, 3) RGB ->
+    uncompressed bottom-up 24-bit BI_RGB BMP bytes (rows padded to 4)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    raster = rows.tobytes()
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(raster).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    file_hdr = (
+        b"BM"
+        + (14 + len(info) + len(raster)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (14 + len(info)).to_bytes(4, "little")
+    )
+    return file_hdr + info + raster
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode for uncompressed formats — a pure-numpy header
-    parse, no codec library: binary PPM (P6) returns uint8 (H, W, 3),
-    binary PGM (P5) returns uint8 (H, W). 16-bit (maxval > 255) and ASCII
-    (P1-P3) variants are out of scope; compressed formats go through
-    `decode_compressed` (unavailable here)."""
+    parse, no codec library: binary PPM (P6) and uncompressed 24-bit BMP
+    return uint8 (H, W, 3) RGB, binary PGM (P5) returns uint8 (H, W).
+    16-bit (maxval > 255) and ASCII (P1-P3) PNM variants are out of scope;
+    compressed formats go through `decode_compressed` (unavailable here)."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     magic, width, height, maxval, off = _read_pnm_header(payload)
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported PNM maxval {maxval}")

@@ -292,54 +292,67 @@ def repetition_signals(
       double-count before the cap; this is a filter signal, not a measure)
     - ``repetitive``         any signal above REPETITION_THRESHOLDS
 
-    Scale shape: ONE scan of the documents table builds all five gram sizes
-    per row (flatten of five `transform`s over the split-word array), one
-    explode, then a single partial-agg shuffle on (doc_id, n, gram). The
-    top-gram selection window and the final pivot both partition on doc_id
-    keys — no global windows, no Python. Gram strings stay as shuffle keys
-    (not content hashes) because the deterministic tiebreak and gram length
-    are part of the contract; the shuffle is doc-local n-grams, the same
-    volume the decontamination pass already moves.
+    Scale shape: ONE scan of the documents table explodes to word rows
+    (posexplode), then all five gram sizes come from window `lead`s over
+    (doc_id, word position) unpivoted with `stack` — every expression is
+    whole-stage codegen (no interpreted higher-order lambdas, no per-gram
+    array copies), and the window shuffle spreads even a single input file
+    across the cluster. One partial-agg shuffle on (doc_id, n, gram); the
+    per-(doc, n) top gram is a `min(struct(-count, gram))` aggregate
+    (count desc, gram asc by struct ordering) — no rank window, no extra
+    sort. Gram strings stay as shuffle keys (not content hashes) because
+    the deterministic tiebreak and gram length are part of the contract;
+    the volume is the same doc-local n-grams the decontamination pass
+    already moves.
     """
-    w = F.split(F.trim(F.col(text_col)), " ")
-
-    def gram_structs(n: int):
-        idxs = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
-            F.array().cast("array<int>")
-        )
-        return F.transform(
-            idxs,
-            lambda i: F.struct(
-                F.lit(n).alias("n"), F.array_join(F.slice(w, i, n), " ").alias("g")
-            ),
-        )
-
-    grams = docs.select(
+    words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.trim(F.col(text_col))).alias("n_chars"),
-        F.explode(F.flatten(F.array(*[gram_structs(n) for n in (1, 2, 3, 4, 5)]))).alias("gr"),
-    ).select("doc_id", "n_chars", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+        F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias("pos", "w0"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = words.select(
+        "doc_id",
+        "n_chars",
+        "w0",
+        *[F.lead("w0", k).over(win).alias(f"w{k}") for k in (1, 2, 3, 4)],
+    )
+    # unpivot to (n, gram); a gram exists iff its last word does (concat_ws
+    # would silently skip NULLs and emit a shorter gram, hence the guards)
+    gram_cols = []
+    for n in (1, 2, 3, 4, 5):
+        g = F.concat_ws(" ", *[F.col(f"w{k}") for k in range(n)])
+        guard = F.lit(True) if n == 1 else F.col(f"w{n-1}").isNotNull()
+        gram_cols.extend([F.lit(n), F.when(guard, g)])
+    grams = (
+        leads.select(
+            "doc_id", "n_chars", F.stack(F.lit(5), *gram_cols).alias("n", "g")
+        )
+        .filter(F.col("g").isNotNull())
+    )
 
     counts = grams.groupBy("doc_id", "n", "g").agg(
         F.max("n_chars").alias("n_chars"), F.count(F.lit(1)).alias("c")
     )
-    rn = F.row_number().over(
-        Window.partitionBy("doc_id", "n").orderBy(F.col("c").desc(), "g")
-    )
     per_n = (
-        counts.withColumn("rn", rn)
-        .groupBy("doc_id", "n")
+        counts.groupBy("doc_id", "n")
         .agg(
             F.max("n_chars").alias("n_chars"),
             F.sum("c").alias("total"),
             F.count(F.lit(1)).alias("n_distinct"),
-            F.max(
-                F.when((F.col("rn") == 1) & (F.col("c") >= 2), F.col("c") * F.length("g"))
-            ).alias("top_cov"),
+            # struct min = (count desc, gram asc); only repeated grams count
+            F.min(
+                F.when(
+                    F.col("c") >= 2,
+                    F.struct((-F.col("c")).alias("nc"), F.col("g").alias("g")),
+                )
+            ).alias("top"),
             F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)).alias(
                 "dup_cov"
             ),
         )
+        .withColumn("top_cov", (-F.col("top.nc")) * F.length("top.g"))
+        .drop("top")
     )
 
     def frac(n: int, cov_col: str) -> Column:

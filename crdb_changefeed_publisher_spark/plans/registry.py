@@ -72,7 +72,7 @@ COST_HINTS: dict[str, float] = {
     # doc_decontamination then reuses (session-persisted)
     "corpus_curation_report": 2.5,
     "multimodal_real_features": 0.6,
-    "doc_repetition_signals": 1.2,
+    "doc_repetition_signals": 2.0,
 }
 
 

@@ -166,3 +166,20 @@ def test_uniform_sample_k_exact_nested_and_planned_as_topk(spark):
     )  # deterministic
     plan = curate.uniform_sample_k(docs, 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_seeded_hash_matches_hashlib_reference(spark):
+    """The split/sample decision hash == int(sha256(seed:id).hexdigest()[:15], 16)
+    computed by CPython — pins the cross-engine portability contract."""
+    import hashlib
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(64)
+    got = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", curate._seeded_hash("split-v1", "doc_id").alias("h")
+        ).collect()
+    }
+    for doc_id, h in got.items():
+        ref = int(hashlib.sha256(f"split-v1:{doc_id}".encode()).hexdigest()[:15], 16)
+        assert h == ref, doc_id

@@ -569,3 +569,44 @@ def test_pii_scrub_handcrafted(spark):
     assert got[4].n_pii == 3
     assert got[4].clean_text == "mixed <EMAIL> on <IPV4> tel <PHONE>"
     assert got[4].redacted_len == len(got[4].clean_text)
+
+
+def test_pii_patterns_match_python_re_property():
+    """Hypothesis: Spark/DuckDB-portable PII patterns behave like CPython re
+    on arbitrary text mixes (counts via finditer)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    compiled = {k: re.compile(v) for k, v in text.PII_PATTERNS.items()}
+    frag = st.sampled_from(
+        [
+            "plain words here",
+            "a@b.co",
+            "x.y-z@mail.example.com",
+            "1.2.3.4",
+            "255.255.255.255",
+            "+1 555-1234",
+            "+44 123 4567",
+            "not@an",
+            "1.2.3",
+            "555-1234",
+            "trailing dot. next",
+        ]
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(frag, min_size=1, max_size=8))
+    def check(frags):
+        s = " ".join(frags)
+        from crdb_changefeed_publisher_spark.session import get_spark
+
+        spark = get_spark()
+        row = text.pii_scrub(
+            spark.createDataFrame([(0, s)], "doc_id long, text string")
+        ).collect()[0]
+        for name, cre in compiled.items():
+            assert getattr(row, f"n_{name}") == len(cre.findall(s)), (name, s)
+
+    check()
