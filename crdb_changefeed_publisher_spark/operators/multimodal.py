@@ -342,17 +342,23 @@ WAV_RATE = 16000
 
 def _gen_payload(m: int) -> tuple[str, str, bytes]:
     """media_id -> (kind, fmt, REAL encoded bytes). Pixel/sample closed
-    forms (all int64 then cast): PPM (m%4==0, RGB interleaved):
-    v_i = (m*7 + i*13) % 256; PGM (m%4==2): v_i = (m*5 + i*3) % 256;
-    WAV 16-bit mono (m odd): s_t = ((m*11 + t*17) % 65536) - 32768."""
+    forms (all int64 then cast): PPM (m%8==0, RGB interleaved):
+    v_i = (m*7 + i*13) % 256; BMP (m%8==4, RGB raster order before the
+    encoder's BGR/bottom-up/padded layout): v_i = (m*3 + i*7) % 256;
+    PGM (m%4==2): v_i = (m*5 + i*3) % 256; WAV 16-bit mono (m odd):
+    s_t = ((m*11 + t*17) % 65536) - 32768."""
     if m % 2 == 1:
         t = np.arange(WAV_FRAMES, dtype=np.int64)
         s = ((m * 11 + t * 17) % 65536 - 32768).astype(np.int16)
         return "audio", "wav", encode_audio(s, WAV_RATE)
-    if m % 4 == 0:
+    if m % 8 == 0:
         i = np.arange(IMG_W * IMG_H * 3, dtype=np.int64)
         v = ((m * 7 + i * 13) % 256).astype(np.uint8).reshape(IMG_H, IMG_W, 3)
         return "image", "ppm", encode_image(v)
+    if m % 8 == 4:
+        i = np.arange(IMG_W * IMG_H * 3, dtype=np.int64)
+        v = ((m * 3 + i * 7) % 256).astype(np.uint8).reshape(IMG_H, IMG_W, 3)
+        return "image", "bmp", encode_image_bmp(v)
     i = np.arange(IMG_W * IMG_H, dtype=np.int64)
     v = ((m * 5 + i * 3) % 256).astype(np.uint8).reshape(IMG_H, IMG_W)
     return "image", "pgm", encode_image(v)

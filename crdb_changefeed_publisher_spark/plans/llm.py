@@ -222,7 +222,13 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT media_id, 'image' AS kind, 'ppm' AS fmt,
                CAST(i % 3 AS INT) AS channel,
                CAST((media_id * 7 + i * 13) % 256 AS DOUBLE) AS v
-        FROM ids, range(0, {16 * 12 * 3}) t(i) WHERE media_id % 4 = 0
+        FROM ids, range(0, {16 * 12 * 3}) t(i) WHERE media_id % 8 = 0
+    ),
+    bmp AS (
+        SELECT media_id, 'image' AS kind, 'bmp' AS fmt,
+               CAST(i % 3 AS INT) AS channel,
+               CAST((media_id * 3 + i * 7) % 256 AS DOUBLE) AS v
+        FROM ids, range(0, {16 * 12 * 3}) t(i) WHERE media_id % 8 = 4
     ),
     pgm AS (
         SELECT media_id, 'image' AS kind, 'pgm' AS fmt,
@@ -237,7 +243,8 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ids, range(0, 480) r(t) WHERE media_id % 2 = 1
     ),
     u AS (
-        SELECT * FROM ppm UNION ALL SELECT * FROM pgm UNION ALL SELECT * FROM wav
+        SELECT * FROM ppm UNION ALL SELECT * FROM bmp
+        UNION ALL SELECT * FROM pgm UNION ALL SELECT * FROM wav
     )
     SELECT media_id, kind, fmt, channel,
            count(*) AS n_values,
@@ -247,7 +254,8 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multimodal REAL-decode gate (r4 verdict #4, replacing the fake-"
     "feature stand-in): deterministic pixel/sample formulas are encoded "
-    "into actual container bytes (binary PPM/PGM headers, RIFF/WAVE PCM "
+    "into actual container bytes (binary PPM/PGM headers, uncompressed "
+    "24-bit BMP with BGR/bottom-up/padded-row layout, RIFF/WAVE PCM "
     "chunks) by operators/multimodal.py::media_payloads, then DECODED BACK "
     "by the pure-numpy header parsers (decode_image / decode_audio — no "
     "codec library needed for uncompressed formats) and reduced to "

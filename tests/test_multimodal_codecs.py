@@ -132,12 +132,20 @@ def test_gen_payload_formats_and_decoded_formulas():
     """The generator's payloads are REAL container bytes whose decoded
     values equal the closed-form pixel/sample formulas the SQL oracle
     re-derives."""
-    kind, fmt, payload = _gen_payload(4)  # ppm
+    kind, fmt, payload = _gen_payload(8)  # ppm
     assert (kind, fmt) == ("image", "ppm")
     img = decode_image(payload)
     assert img.shape == (IMG_H, IMG_W, 3)
     i = np.arange(IMG_W * IMG_H * 3, dtype=np.int64)
-    assert np.array_equal(img.ravel(), ((4 * 7 + i * 13) % 256).astype(np.uint8))
+    assert np.array_equal(img.ravel(), ((8 * 7 + i * 13) % 256).astype(np.uint8))
+
+    kind, fmt, payload = _gen_payload(4)  # bmp
+    assert (kind, fmt) == ("image", "bmp")
+    assert payload[:2] == b"BM"
+    img = decode_image(payload)
+    assert img.shape == (IMG_H, IMG_W, 3)
+    i = np.arange(IMG_W * IMG_H * 3, dtype=np.int64)
+    assert np.array_equal(img.ravel(), ((4 * 3 + i * 7) % 256).astype(np.uint8))
 
     kind, fmt, payload = _gen_payload(6)  # pgm
     assert (kind, fmt) == ("image", "pgm")
@@ -166,8 +174,10 @@ def test_real_feature_stats_end_to_end(spark):
 
     ids = spark.range(8).selectExpr("id AS media_id")
     rows = real_feature_stats(media_payloads(ids)).collect()
-    # 2 ppm ids (0,4) x 3 channels + 2 pgm ids (2,6) + 4 wav ids -> 12 rows
-    assert len(rows) == 2 * 3 + 2 + 4
+    # ppm id 0 x 3 channels + bmp id 4 x 3 channels + 2 pgm ids (2,6)
+    # + 4 wav ids -> 12 rows
+    assert len(rows) == 3 + 3 + 2 + 4
+    assert {r.fmt for r in rows} == {"ppm", "bmp", "pgm", "wav"}
     by_key = {(r.media_id, r.channel): r for r in rows}
     _, _, payload = _gen_payload(4)
     img = decode_image(payload)
@@ -178,3 +188,73 @@ def test_real_feature_stats_end_to_end(spark):
     assert r.std_v == pytest.approx(
         np.sqrt((ch1 * ch1).sum() / ch1.size - (ch1.sum() / ch1.size) ** 2)
     )
+
+
+def test_bmp_roundtrip_property():
+    """encode_image_bmp -> decode_image is the identity for random RGB
+    arrays, including widths that force 1-3 bytes of row padding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crdb_changefeed_publisher_spark.operators.multimodal import encode_image_bmp
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),   # widths 1..9 cover pads 0-3
+        st.integers(min_value=1, max_value=7),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_image(encode_image_bmp(arr))
+        assert out.dtype == np.uint8 and np.array_equal(out, arr)
+
+    check()
+
+
+def test_bmp_top_down_and_padding_layout():
+    """A hand-built top-down (negative height) BMP with explicit padding
+    bytes decodes to the expected RGB values."""
+    w, h = 3, 2  # stride 12 = 9 pixel bytes + 3 pad
+    # rows in top-down order, BGR per pixel
+    row0 = bytes([1, 2, 3,  4, 5, 6,  7, 8, 9]) + b"\xaa\xbb\xcc"
+    row1 = bytes([10, 11, 12,  13, 14, 15,  16, 17, 18]) + b"\x00\x00\x00"
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (24).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    payload = (
+        b"BM" + (14 + 40 + 24).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little") + info + row0 + row1
+    )
+    img = decode_image(payload)
+    assert img.shape == (2, 3, 3)
+    assert img[0, 0].tolist() == [3, 2, 1]   # BGR -> RGB
+    assert img[0, 2].tolist() == [9, 8, 7]
+    assert img[1, 1].tolist() == [15, 14, 13]
+
+
+def test_bmp_rejects_malformed():
+    from crdb_changefeed_publisher_spark.operators.multimodal import encode_image_bmp
+
+    good = encode_image_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="shorter than its fixed headers"):
+        decode_image(b"BM" + b"\0" * 10)
+    bad_bpp = bytearray(good)
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="only uncompressed 24-bit"):
+        decode_image(bytes(bad_bpp))
+    bad_comp = bytearray(good)
+    bad_comp[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(ValueError, match="only uncompressed 24-bit"):
+        decode_image(bytes(bad_comp))
+    truncated = good[:-4]
+    with pytest.raises(ValueError, match="raster shorter"):
+        decode_image(truncated)
