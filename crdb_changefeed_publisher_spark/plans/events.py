@@ -265,3 +265,40 @@ def asof_purchase_last_click_merge(spark: SparkSession, sf_dir: str) -> DataFram
     return both.repartition("user_id").mapInPandas(
         merge_partition, "p_event_id long, click_event_id long, gap_seconds double"
     )
+
+
+@query(
+    "events_purchase_click_pairs",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS p_event_id,
+           c.event_id AS click_event_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events p
+    JOIN events c ON c.user_id = p.user_id
+                 AND c.event_type = 'click'
+                 AND epoch_us(c.ts) <= epoch_us(p.ts)
+                 AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Range (interval) join: ALL clicks within 30 minutes before each "
+    "purchase by the same user — executed as a time-BUCKETED equi-join "
+    "(operators/joins.py::range_join_buckets: left explodes to 2 probe "
+    "buckets, hash join on (user, bucket), exact integer-us window filter) "
+    "instead of Catalyst's inequality-join-as-post-filter, which goes "
+    "per-key all-pairs. gap_us is exact integer microseconds.",
+)
+def events_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.joins import range_join_buckets
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), F.col("ts").alias("c_ts")
+    )
+    return range_join_buckets(
+        p, c, key_col="user_id", gap_seconds=1800, left_ts="p_ts", right_ts="c_ts"
+    ).select("user_id", "p_event_id", "click_event_id", "gap_us")

@@ -610,3 +610,68 @@ def test_pii_patterns_match_python_re_property():
             assert getattr(row, f"n_{name}") == len(cre.findall(s)), (name, s)
 
     check()
+
+
+def test_range_join_buckets_boundaries_and_equijoin_plan(spark):
+    """Window edges are inclusive on both ends ([l-gap, l]); matches across
+    a bucket boundary are found; the physical join is an equi hash/SMJ join
+    (no BroadcastNestedLoop / Cartesian from the inequality)."""
+    from datetime import datetime
+
+    from crdb_changefeed_publisher_spark.operators.joins import range_join_buckets
+
+    def ts(sec):
+        return datetime(2024, 1, 1, 0, 0, sec)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(50))], "user_id long, l_id long, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 200, ts(50)),  # exact same instant -> gap 0, kept
+            (1, 201, ts(40)),  # gap 10s, kept (exactly at the gap edge)
+            (1, 202, ts(39)),  # gap 11s, outside
+            (1, 203, ts(51)),  # after left, outside
+            (2, 204, ts(50)),  # other key
+        ],
+        "user_id long, r_id long, r_ts timestamp",
+    )
+    out = range_join_buckets(
+        left, right, key_col="user_id", gap_seconds=10, left_ts="l_ts", right_ts="r_ts"
+    )
+    got = {(r.l_id, r.r_id): r.gap_us for r in out.collect()}
+    assert got == {(100, 200): 0, (100, 201): 10_000_000}
+
+    # bucket-boundary crossing: l at 60s (bucket 6), r at 52s (bucket 5)
+    left2 = spark.createDataFrame([(1, 100, ts(0).replace(minute=1))], "user_id long, l_id long, l_ts timestamp")
+    right2 = spark.createDataFrame([(1, 300, ts(52))], "user_id long, r_id long, r_ts timestamp")
+    out2 = range_join_buckets(left2, right2, "user_id", 10, "l_ts", "r_ts").collect()
+    assert [(r.l_id, r.r_id, r.gap_us) for r in out2] == [(100, 300, 8_000_000)]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_buckets_matches_naive_inequality_join(spark):
+    """Bucketed equi-join == the naive inequality join on real fixture data."""
+    from crdb_changefeed_publisher_spark.operators.joins import range_join_buckets
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    bucketed = {
+        (r.p_id, r.c_id, r.gap_us)
+        for r in range_join_buckets(p, c, "user_id", 1800, "p_ts", "c_ts").collect()
+    }
+    naive = {
+        (r.p_id, r.c_id, r.gap_us)
+        for r in p.join(c, "user_id")
+        .withColumn("gap_us", F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+        .filter((F.col("gap_us") >= 0) & (F.col("gap_us") <= 1800 * 1_000_000))
+        .collect()
+    }
+    assert bucketed == naive and len(naive) > 0
