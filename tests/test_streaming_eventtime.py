@@ -188,3 +188,56 @@ def test_custom_stateful_running_user_totals(spark, events_stream_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_stream_interval_join_matches_batch_range_join(spark, sf_dir, events_stream_dir):
+    """Stream-stream INTERVAL join (watermarks on both sides + time-range
+    join condition): purchases joined to clicks within the previous 30
+    minutes per user. The streaming result (availableNow drain) must equal
+    the batch bucketed range join over the same fixture — the stream-stream
+    join surface the reference lacks entirely."""
+    from crdb_changefeed_publisher_spark.operators.joins import range_join_buckets
+
+    sdf = read_stream(spark, events_stream_dir)
+    p = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        read_stream(spark, events_stream_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select(p.user_id, "p_id", "c_id", (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.p_id, r.c_id, r.gap_us)
+        for r in spark.sql("select * from interval_join").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    batch = {
+        (r.p_id, r.c_id, r.gap_us)
+        for r in range_join_buckets(bp, bc, "user_id", 1800, "p_ts", "c_ts").collect()
+    }
+    assert streamed == batch and len(batch) > 0
