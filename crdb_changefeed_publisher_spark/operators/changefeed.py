@@ -158,6 +158,29 @@ def changefeed_pipeline(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return to_envelopes(changes), extract_resolved(cursors)
 
 
+def latest_changes(changes: DataFrame, version_col: str = "version") -> DataFrame:
+    """CDC UPSERT materialized view — the canonical consumer of the
+    reference's change stream (reference `README.md:29-38` publishes
+    row-level upserts; this is the \"apply them\" side): the LATEST value
+    per (table, key), where latest is decided by `version_col` (feed
+    sequence, HLC timestamp, or any monotonic per-key version).
+
+    Output: (table, key, value = winning payload, latest_version,
+    n_versions).
+
+    Scale shape: ONE partial-aggregate shuffle via `max_by` — each map task
+    pre-reduces to one candidate row per key before the exchange, so the
+    shuffle volume is ~distinct keys, not change volume. A rank-window
+    formulation would shuffle every change row and sort; this is the
+    100 TB apply loop (and the batch twin of the incremental foreachBatch
+    merge tested in tests/test_streaming_eventtime.py)."""
+    return changes.groupBy("table", "key").agg(
+        F.max_by("value", version_col).alias("value"),
+        F.max(version_col).alias("latest_version"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+
+
 def typed_changes(
     changes: DataFrame,
     schema: str | None = None,

@@ -163,3 +163,59 @@ def cdc_change_counts_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_changes"),
         F.countDistinct("key").alias("n_distinct_keys"),
     )
+
+
+# User-keyed change replay for the upsert view: many versions per key
+# (every event by a user is an upsert of that user's row), versioned by
+# event_id — deterministic and engine-portable like _WIRE_SQL.
+_UPSERT_WIRE_SQL = """
+    SELECT 'events' AS "table",
+           '[' || CAST(user_id AS VARCHAR) || ']' AS key,
+           event_id AS version,
+           '{"after": {"user_id": ' || CAST(user_id AS VARCHAR)
+               || ', "last_event": ' || CAST(event_id AS VARCHAR)
+               || ', "props": ' || props || '}}' AS value
+    FROM events
+"""
+
+
+def _upsert_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.lit("events").alias("table"),
+        F.concat(F.lit("["), F.col("user_id").cast("string"), F.lit("]")).alias("key"),
+        F.col("event_id").alias("version"),
+        F.concat(
+            F.lit('{"after": {"user_id": '),
+            F.col("user_id").cast("string"),
+            F.lit(', "last_event": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "props": '),
+            F.col("props"),
+            F.lit("}}"),
+        ).alias("value"),
+    )
+
+
+@query(
+    "cdc_upsert_view",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH wire AS ({_UPSERT_WIRE_SQL})
+    SELECT "table", key,
+           arg_max(value, version) AS value,
+           max(version) AS latest_version,
+           CAST(count(*) AS BIGINT) AS n_versions
+    FROM wire GROUP BY "table", key
+    """,
+    doc="CDC UPSERT materialized view: latest payload per (table, key) from "
+    "a multi-version change replay — ONE max_by partial-agg shuffle "
+    "(~distinct keys over the wire, not change volume), no rank window "
+    "(operators/changefeed.py::latest_changes). The apply-side twin of the "
+    "reference's publish loop; incrementally maintained form streaming-"
+    "tested in tests/test_streaming_eventtime.py.",
+)
+def cdc_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.changefeed import latest_changes
+
+    return latest_changes(_upsert_wire(spark, sf_dir))

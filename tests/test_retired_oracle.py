@@ -49,6 +49,7 @@ def test_retired_set_is_the_expected_one():
         "asof_purchase_last_click",
         "best_order_per_customer",
         "cdc_envelopes_orders",
+        "cdc_upsert_view",
         "dedup_minhash_lsh",
         "doc_pii_scrub",
         "doc_seq_packing",

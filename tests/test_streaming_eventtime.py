@@ -241,3 +241,41 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, sf_dir, eve
         for r in range_join_buckets(bp, bc, "user_id", 1800, "p_ts", "c_ts").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_cdc_upsert_view_incremental_maintenance(spark, sf_dir, tmp_path):
+    """The CDC apply loop: a multi-version change stream replayed in many
+    micro-batches, with foreachBatch merging each batch's max_by upsert
+    into the materialized store (keep the higher version). End state must
+    equal the one-shot batch latest_changes over the whole feed — the
+    incremental view is exactly the batch view."""
+    from crdb_changefeed_publisher_spark.operators.changefeed import latest_changes
+    from crdb_changefeed_publisher_spark.plans.cdc import _upsert_wire
+
+    wire = _upsert_wire(spark, sf_dir)
+    d = str(tmp_path / "wire")
+    wire.repartition(8).write.mode("overwrite").parquet(d)
+
+    store: dict[tuple, tuple] = {}
+
+    def apply_batch(batch_df, batch_id):
+        for r in latest_changes(batch_df).collect():
+            k = (r.table, r.key)
+            prev = store.get(k)
+            if prev is None or r.latest_version > prev[0]:
+                merged_versions = r.n_versions + (prev[2] if prev else 0)
+                store[k] = (r.latest_version, r.value, merged_versions)
+            else:
+                store[k] = (prev[0], prev[1], prev[2] + r.n_versions)
+
+    sdf = spark.readStream.schema(
+        "table string, key string, version long, value string"
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    q = sdf.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    batch = {
+        (r.table, r.key): (r.latest_version, r.value, r.n_versions)
+        for r in latest_changes(wire).collect()
+    }
+    assert store == batch and len(batch) > 0
