@@ -379,6 +379,46 @@ def repetition_signals(
     return out.withColumn("repetitive", flag)
 
 
+def token_vocab(
+    docs: DataFrame, top_v: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-prep VOCABULARY build: the top-`top_v` corpus words by
+    frequency with their global rank and CUMULATIVE corpus coverage
+    (what fraction of all token occurrences the vocabulary up to this rank
+    explains — the curve that picks a vocab size).
+
+    Scale shape: explode + one partial-agg shuffle for the counts; the
+    global frequency rank uses the TWO-PHASE rank (functions/ranks.py —
+    range partition, local rank, broadcast offsets), never a
+    single-partition window over the vocabulary; the corpus-total is a
+    1-row broadcast. Only the final cumulative sum runs in one partition —
+    over exactly `top_v` surviving rows, which is the output, not the data.
+    """
+    from crdb_changefeed_publisher_spark.functions.ranks import global_rank
+
+    counts = (
+        docs.select(F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("_t"))
+    ranked = global_rank(
+        counts,
+        [F.col("n_occurrences").desc(), F.col("word").asc()],
+        ["n_occurrences", "word"],
+        kind="row_number",
+        out="rnk",
+    ).filter(F.col("rnk") <= top_v)
+    w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "coverage", F.round(F.sum("n_occurrences").over(w_cum) / F.col("_t"), 6)
+        )
+        .select("word", "n_occurrences", "rnk", "coverage")
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
     n_words = word_count(t)

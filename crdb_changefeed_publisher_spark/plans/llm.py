@@ -1462,3 +1462,33 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tokens_kept").cast("long").alias("tokens_kept"),
         "keep_rate",
     )
+
+
+@query(
+    "token_vocab_coverage",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ),
+    counts AS (SELECT word, count(*) AS n_occurrences FROM words GROUP BY word),
+    tot AS (SELECT sum(n_occurrences) AS t FROM counts),
+    ranked AS (
+        SELECT word, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, word) AS rnk
+        FROM counts
+    )
+    SELECT word, n_occurrences, rnk,
+           round(sum(n_occurrences) OVER (ORDER BY rnk) / t, 6) AS coverage
+    FROM ranked CROSS JOIN tot
+    WHERE rnk <= 100
+    """,
+    doc="Tokenizer-prep vocabulary build: top-100 corpus words by frequency "
+    "with global rank (TWO-PHASE rank — functions/ranks.py, no single-"
+    "partition window over the vocabulary) and cumulative corpus coverage "
+    "(the vocab-size-selection curve). Final cumsum runs over exactly the "
+    "100 output rows (operators/text.py::token_vocab).",
+)
+def token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_vocab(docs, top_v=100)
