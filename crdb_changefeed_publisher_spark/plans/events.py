@@ -302,3 +302,37 @@ def events_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_buckets(
         p, c, key_col="user_id", gap_seconds=1800, left_ts="p_ts", right_ts="c_ts"
     ).select("user_id", "p_event_id", "click_event_id", "gap_us")
+
+
+@query(
+    "events_hourly_locf",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+               round(sum(value), 4) AS v, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+    j AS (
+        SELECT g.user_id, g.bucket, o.v, coalesce(o.n, 0) AS n
+        FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+    )
+    SELECT user_id, bucket, n AS n_obs,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum,
+           n = 0 AS is_gap
+    FROM j
+    """,
+    doc="Time-series regularization: per-user hourly resample of the event "
+    "stream with last-observation-carried-forward gap fill (KDB/Timescale "
+    "time_bucket_gapfill + locf) — one partial-agg shuffle for the "
+    "observations, sequence+explode per-key grid, per-key running "
+    "last(ignorenulls) window (operators/timeseries.py::resample_locf).",
+)
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.timeseries import resample_locf
+
+    return resample_locf(load_table(spark, sf_dir, "events"))

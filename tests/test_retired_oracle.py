@@ -56,6 +56,7 @@ def test_retired_set_is_the_expected_one():
         "doc_train_split",
         "domain_mixture_sample",
         "embedding_topk_pq",
+        "events_hourly_locf",
         "events_purchase_click_pairs",
         "grouping_sets_revenue",
         "lang_mixture_weights",

@@ -675,3 +675,33 @@ def test_range_join_buckets_matches_naive_inequality_join(spark):
         .collect()
     }
     assert bucketed == naive and len(naive) > 0
+
+
+def test_resample_locf_handcrafted_gaps(spark):
+    """Explicit gaps: buckets between observations appear with n_obs=0 and
+    carry the last observed sum forward; grid spans exactly [first, last]."""
+    from datetime import datetime
+
+    from crdb_changefeed_publisher_spark.operators.timeseries import resample_locf
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 15), 1.0),
+        (1, datetime(2024, 1, 1, 0, 45), 2.0),   # same bucket as above
+        (1, datetime(2024, 1, 1, 3, 10), 10.0),  # 2-hour gap before this
+        (2, datetime(2024, 1, 1, 5, 0), 7.0),    # single-bucket key
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.bucket): (r.n_obs, r.value_sum, r.is_gap)
+        for r in resample_locf(ev).collect()
+    }
+    # derive the base bucket from the result: relative offsets are
+    # tz-independent (all rows convert through the same session tz)
+    h0 = min(b for (u, b) in got if u == 1)
+    assert got == {
+        (1, h0): (2, 3.0, False),
+        (1, h0 + 1): (0, 3.0, True),
+        (1, h0 + 2): (0, 3.0, True),
+        (1, h0 + 3): (1, 10.0, False),
+        (2, h0 + 5): (1, 7.0, False),
+    }
