@@ -107,3 +107,19 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     df.collect()
     n_parts = df.rdd.getNumPartitions()
     assert n_parts < 32
+
+def test_approx_count_distinct_is_the_documented_swap(spark, sf_dir):
+    """docs/SCALE.md documents approx_count_distinct as the swap for
+    high-cardinality COUNT DISTINCT (expand-free plan). Pin both claims:
+    the estimate lands within the configured rsd on real data, and the
+    plan drops the Expand node the exact distinct needs."""
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_orderkey").alias("n"))
+    approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n"))
+    e = exact.collect()[0].n
+    a = approx.collect()[0].n
+    assert abs(a - e) / e < 0.06  # 3x the 2% rsd
+    # the sketch aggregates in one pass: no Expand, no second distinct agg
+    assert "Expand" not in approx._jdf.queryExecution().executedPlan().toString()
