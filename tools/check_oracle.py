@@ -82,9 +82,15 @@ def main() -> int:
         help="fixture dir, or a bare scale factor like '0.1' "
         "(expanded to /root/testdata/sf<sf>)",
     )
+    ap.add_argument(
+        "--retired",
+        action="store_true",
+        help="check the retired specs instead of the driver-registered ones "
+        "(same compare tests/test_retired_oracle.py runs in pytest)",
+    )
     args = ap.parse_args()
 
-    specs = plans.all_specs()
+    specs = plans.retired_specs() if args.retired else plans.all_specs()
     names = args.names or sorted(specs)
     spark = get_spark("check_oracle")
     if "/" not in args.sf:
