@@ -705,3 +705,53 @@ def test_resample_locf_handcrafted_gaps(spark):
         (1, h0 + 3): (1, 10.0, False),
         (2, h0 + 5): (1, 7.0, False),
     }
+
+
+def test_repetition_signals_property_vs_python_reference(spark):
+    """Hypothesis: the relational repetition signals equal a direct Python
+    Counter-based reference on random small-vocab word docs (small vocab
+    forces heavy gram collisions — the interesting regime)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def ref(text):
+        words = text.strip().split(" ")
+        n_chars = len(text.strip())
+        out = {}
+        for n in range(1, 6):
+            grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+            c = Counter(grams)
+            if n == 1:
+                total = sum(c.values())
+                out["dup_word_frac"] = round(1.0 - len(c) / total, 4)
+            reps = {g: k for g, k in c.items() if k >= 2}
+            if n in (2, 3, 4):
+                if reps:
+                    # tiebreak: count desc, gram asc
+                    best = sorted(reps.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                    cov = best[1] * len(best[0])
+                else:
+                    cov = 0
+                out[f"top{n}_char_frac"] = round(min(1.0, cov / n_chars), 4)
+            if n == 5:
+                dup = sum(k * len(g) for g, k in reps.items())
+                out["dup5_char_frac"] = round(min(1.0, dup / n_chars), 4)
+        return out
+
+    word = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+    doc = st.lists(word, min_size=1, max_size=30).map(" ".join)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        df = docs_df(spark, list(enumerate(texts)))
+        got = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+        for i, t in enumerate(texts):
+            want = ref(t)
+            r = got[i]
+            for k, v in want.items():
+                assert getattr(r, k) == pytest.approx(v, abs=1e-9), (k, t)
+
+    check()
