@@ -58,6 +58,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    neg_group_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of `corpus` for each row of `queries`.
 
@@ -72,22 +73,40 @@ def brute_force_topk(
     neighbor id — the same contract the SQL oracle implements. Dot products
     are accumulated in float64; GEMM summation order is fixed for a given
     dimension, so results are reproducible run to run.
+
+    `neg_group_col`: when set, only corpus rows whose group DIFFERS from
+    the query's group are eligible — HARD-NEGATIVE MINING for contrastive
+    training (nearest vectors that are *not* the query's class). Same plan
+    shape; the group rides as one extra small column and the mask applies
+    batch-locally before the top-k prune.
     """
     import numpy as np
 
     q_ids, q_mat, q_norm = _collect_query_matrix(queries, id_col, vec_col)
+    q_groups = None
+    if neg_group_col is not None:
+        g_rows = (
+            queries.select(F.col(id_col).alias("i"), F.col(neg_group_col).alias("g"))
+            .limit(_MAX_QUERIES + 1)
+            .collect()
+        )
+        by_id = {r.i: r.g for r in g_rows}
+        q_groups = np.array([by_id[i] for i in q_ids])
 
     def score_partition(batches):
         for pdf in batches:
             c_ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf["cv"]), dtype=np.float64)
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            c_groups = pdf["cg"].to_numpy() if q_groups is not None else None
             sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)  # |batch| x |q|
             sims = np.round(sims, 6)
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(q_ids):
                 col = sims[:, j]
                 mask = c_ids != qid
+                if c_groups is not None:
+                    mask &= c_groups != q_groups[j]
                 ids, scores = c_ids[mask], col[mask]
                 if len(ids) > k:
                     # partition-local prune: top-k by (score desc, id asc)
@@ -101,9 +120,10 @@ def brute_force_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
             )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    c_cols = [F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")]
+    if neg_group_col is not None:
+        c_cols.append(F.col(neg_group_col).alias("cg"))
+    c = corpus.select(*c_cols)
     survivors = c.mapInPandas(
         score_partition, "query_id long, neighbor_id long, score double"
     )

@@ -1492,3 +1492,38 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.token_vocab(docs, top_v=100)
+
+
+@query(
+    "embedding_hard_negatives",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+               round(list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+                     6) AS score
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id AND q.label <> c.label
+        WHERE q.vec_id % 25 = 0
+    )
+    SELECT query_id, neighbor_id, neg_label, score, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="HARD-NEGATIVE MINING for contrastive training: for each sampled "
+    "query, the top-5 most-similar vectors with a DIFFERENT label — the "
+    "brute-force GEMM top-k plan with a batch-local group mask "
+    "(operators/similarity.py::brute_force_topk(neg_group_col='label')); "
+    "at scale the same mask composes with the IVF/LSH candidate paths.",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.brute_force_topk(queries, emb, k=5, neg_group_col="label")
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label"))
+    return out.join(F.broadcast(labels), "neighbor_id").select(
+        "query_id", "neighbor_id", "neg_label", "score", "rnk"
+    )

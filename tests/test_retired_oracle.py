@@ -55,6 +55,7 @@ def test_retired_set_is_the_expected_one():
         "doc_seq_packing",
         "doc_train_split",
         "domain_mixture_sample",
+        "embedding_hard_negatives",
         "embedding_topk_pq",
         "events_hourly_locf",
         "events_purchase_click_pairs",

@@ -755,3 +755,17 @@ def test_repetition_signals_property_vs_python_reference(spark):
                 assert getattr(r, k) == pytest.approx(v, abs=1e-9), (k, t)
 
     check()
+
+
+def test_hard_negatives_exclude_query_label(spark):
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.brute_force_topk(q, emb, k=3, neg_group_col="label")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert labels[r.neighbor_id] != labels[r.query_id]
+    # without the mask, at least one same-label neighbor appears somewhere
+    plain = similarity.brute_force_topk(q, emb, k=3)
+    assert any(labels[r.neighbor_id] == labels[r.query_id] for r in plain.collect())
