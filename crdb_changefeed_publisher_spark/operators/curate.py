@@ -174,6 +174,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     contamination: DataFrame | None = None,
+    drop_repetitive: bool = False,
 ) -> DataFrame:
     """Return the curated corpus: one row per KEPT document plus the gate
     columns (is_canonical, contamination, quality, sampled) so an audit can
@@ -213,19 +214,36 @@ def curate_corpus(
     # gate 3: quality score (portable arithmetic, per-row)
     with_quality = with_contam.withColumn("quality", F.round(quality_score(F.col(text_col)), 4))
 
+    # gate 3b (optional): Gopher-style repetition filter — off by default so
+    # the registered corpus_curation_report oracle is unchanged; when on,
+    # the repetition signals join by doc id (their grams shuffle doc-local,
+    # see operators/text.py::repetition_signals)
+    if drop_repetitive:
+        from crdb_changefeed_publisher_spark.operators.text import repetition_signals
+
+        rep = repetition_signals(docs, text_col=text_col, id_col=id_col).select(
+            F.col("doc_id").alias(id_col), "repetitive"
+        )
+        with_quality = with_quality.join(rep, id_col, "left").withColumn(
+            "repetitive", F.coalesce(F.col("repetitive"), F.lit(False))
+        )
+
     # gate 4: deterministic stratified sampling by language
     quota_expr = F.lit(DEFAULT_QUOTA)
     for lang, q in sorted(quotas.items()):
         quota_expr = F.when(F.col(lang_col) == lang, F.lit(q)).otherwise(quota_expr)
     sampled = with_quality.withColumn("sampled", (F.col(id_col) % 10) < quota_expr)
 
+    keep = (
+        F.col("is_canonical")
+        & (F.col("contamination") <= contamination_max)
+        & (F.col("quality") >= quality_min)
+        & F.col("sampled")
+    )
+    if drop_repetitive:
+        keep = keep & ~F.col("repetitive")
     return (
-        sampled.filter(
-            F.col("is_canonical")
-            & (F.col("contamination") <= contamination_max)
-            & (F.col("quality") >= quality_min)
-            & F.col("sampled")
-        )
+        sampled.filter(keep)
         .drop("_canon_id")
         .withColumn("n_tokens", word_count(F.col(text_col)))
     )
