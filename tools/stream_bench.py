@@ -62,7 +62,8 @@ def main() -> None:
         help="use the executor-parallel partitioned reader instead of the "
         "driver-hop simple reader",
     )
-    ap.add_argument("--read-partitions", type=int, default=8)
+    ap.add_argument("--read-partitions", type=int, default=0,
+                    help="0 = reader auto (machine parallelism)")
     args = ap.parse_args()
 
     from crdb_changefeed_publisher_spark.session import get_spark
@@ -83,9 +84,11 @@ def main() -> None:
             .option("batch_limit", str(args.batch_limit))
         )
         if args.partitioned:
-            reader = reader.option("partitioned", "true").option(
-                "read_partitions", str(args.read_partitions)
-            )
+            reader = reader.option("partitioned", "true")
+            if args.read_partitions > 0:
+                reader = reader.option(
+                    "read_partitions", str(args.read_partitions)
+                )
         stream = reader.load()
         out_dir = os.path.join(work, "out")
         t0 = time.time()

@@ -21,7 +21,7 @@ Prints one JSON line per mode:
 {"metric": "cdc_soak_rows_per_sec", "mode": ..., "rows": ..., ...}
 
 Usage: python tools/stream_soak.py [--rows 1000000] [--batch-limit 100000]
-       [--read-partitions 8] [--modes simple,partitioned]
+       [--read-partitions N] [--modes simple,partitioned]
 
 Mode suffix `-idem` (e.g. --modes partitioned-idem) runs the batch-keyed
 IDEMPOTENT sink instead: the crashed epoch's replay overwrites its own
@@ -70,9 +70,9 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
         if mode == "simple":
             r = r.option("batch_limit", str(batch_limit))  # selects simple reader
         else:
-            r = r.option("partitioned", "true").option(
-                "read_partitions", str(read_partitions)
-            )
+            r = r.option("partitioned", "true")
+            if read_partitions > 0:
+                r = r.option("read_partitions", str(read_partitions))
         return r.load()
 
     t0 = time.time()
@@ -169,7 +169,7 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
         "duplicates_after_resume": dups,
         "wall_sec": round(wall, 2),
         **({"batch_limit": batch_limit} if mode == "simple" else
-           {"read_partitions": read_partitions}),
+           {"read_partitions": read_partitions or "auto"}),
     }
 
 
@@ -177,7 +177,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--batch-limit", type=int, default=100_000)
-    ap.add_argument("--read-partitions", type=int, default=8)
+    ap.add_argument("--read-partitions", type=int, default=0,
+                    help="0 = reader auto (machine parallelism)")
     ap.add_argument("--resolved-every", type=int, default=1_000)
     ap.add_argument(
         "--modes",
