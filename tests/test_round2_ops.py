@@ -845,3 +845,45 @@ def test_bpe_lossless_on_fixture_corpus(spark):
     for r in bpe.apply_bpe(docs, merges).collect():
         rebuilt = "".join(r.tokens).replace(bpe.END, " ").strip()
         assert rebuilt == " ".join(texts[r.doc_id].strip().split(" ")), r.doc_id
+
+
+def test_range_join_buckets_property_random_timestamps(spark):
+    """Hypothesis: bucketed range join == the O(n^2) Python reference on
+    random micro-timestamp multisets (hits bucket boundaries by volume)."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crdb_changefeed_publisher_spark.operators.joins import range_join_buckets
+
+    base = datetime(2024, 1, 1)
+    GAP = 7  # seconds — deliberately not a divisor of anything
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=12),
+        st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=12),
+    )
+    def check(ls, rs):
+        left = spark.createDataFrame(
+            [(k, i, base + timedelta(seconds=s)) for i, (k, s) in enumerate(ls)],
+            "user_id long, l_id long, l_ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, i, base + timedelta(seconds=s)) for i, (k, s) in enumerate(rs)],
+            "user_id long, r_id long, r_ts timestamp",
+        )
+        got = {
+            (r.l_id, r.r_id)
+            for r in range_join_buckets(left, right, "user_id", GAP, "l_ts", "r_ts").collect()
+        }
+        want = {
+            (i, j)
+            for i, (lk, lsec) in enumerate(ls)
+            for j, (rk, rsec) in enumerate(rs)
+            if lk == rk and 0 <= lsec - rsec <= GAP
+        }
+        assert got == want, (ls, rs)
+
+    check()
