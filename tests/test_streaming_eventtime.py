@@ -279,3 +279,31 @@ def test_cdc_upsert_view_incremental_maintenance(spark, sf_dir, tmp_path):
         for r in latest_changes(wire).collect()
     }
     assert store == batch and len(batch) > 0
+
+
+def test_upsert_view_composes_with_typed_changes(spark, sf_dir):
+    """The full CDC apply story: multi-version change wire -> latest_changes
+    (upsert view) -> typed_changes (from_json typed columns) == a real
+    'current state' table with one typed row per key."""
+    from crdb_changefeed_publisher_spark.operators.changefeed import (
+        latest_changes,
+        typed_changes,
+    )
+    from crdb_changefeed_publisher_spark.plans.cdc import _upsert_wire
+
+    wire = _upsert_wire(spark, sf_dir)
+    latest = latest_changes(wire)
+    typed = typed_changes(
+        latest, schema="user_id BIGINT, last_event BIGINT, props STRING"
+    ).select("table", "key", "after.user_id", "after.last_event")
+    rows = {r.key: r for r in typed.collect()}
+    # ground truth: per user, last_event = max event_id
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        f"[{r.user_id}]": r.m
+        for r in ev.groupBy("user_id").agg(F.max("event_id").alias("m")).collect()
+    }
+    assert len(rows) == len(want)
+    for k, r in rows.items():
+        assert r.last_event == want[k], k
+        assert f"[{r.user_id}]" == k
