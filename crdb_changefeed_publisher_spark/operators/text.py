@@ -356,9 +356,15 @@ def repetition_signals(
     )
 
     def frac(n: int, cov_col: str) -> Column:
+        # greatest(n_chars, 1): an empty/whitespace doc has 0 chars and no
+        # repeated grams — its signals are 0, not NULL (both sides guard)
         cov = F.max(F.when(F.col("n") == n, F.col(cov_col)))
         return F.round(
-            F.least(F.lit(1.0), F.coalesce(cov, F.lit(0)) / F.max("n_chars")), 4
+            F.least(
+                F.lit(1.0),
+                F.coalesce(cov, F.lit(0)) / F.greatest(F.max("n_chars"), F.lit(1)),
+            ),
+            4,
         )
 
     out = per_n.groupBy("doc_id").agg(

@@ -516,13 +516,13 @@ def top_shingles_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(1.0 - max(CASE WHEN n = 1 THEN n_distinct END)
                            / max(CASE WHEN n = 1 THEN total END), 4) AS dup_word_frac,
                round(least(1.0, coalesce(max(CASE WHEN n = 2 THEN top_cov END), 0)
-                                / max(n_chars)), 4) AS top2_char_frac,
+                                / greatest(max(n_chars), 1)), 4) AS top2_char_frac,
                round(least(1.0, coalesce(max(CASE WHEN n = 3 THEN top_cov END), 0)
-                                / max(n_chars)), 4) AS top3_char_frac,
+                                / greatest(max(n_chars), 1)), 4) AS top3_char_frac,
                round(least(1.0, coalesce(max(CASE WHEN n = 4 THEN top_cov END), 0)
-                                / max(n_chars)), 4) AS top4_char_frac,
+                                / greatest(max(n_chars), 1)), 4) AS top4_char_frac,
                round(least(1.0, coalesce(max(CASE WHEN n = 5 THEN dup_cov END), 0)
-                                / max(n_chars)), 4) AS dup5_char_frac
+                                / greatest(max(n_chars), 1)), 4) AS dup5_char_frac
         FROM per_n GROUP BY doc_id
     )
     SELECT *, (dup_word_frac > 0.30 OR top2_char_frac > 0.20 OR top3_char_frac > 0.18

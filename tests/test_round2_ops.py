@@ -716,6 +716,14 @@ def test_repetition_signals_property_vs_python_reference(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    def r4(x):
+        # Spark/DuckDB round() is half-AWAY-FROM-ZERO for positive doubles;
+        # CPython round() is banker's (0.28125 -> 0.2812) — found by
+        # hypothesis at an exact half-boundary, so mirror the engines here
+        import math
+
+        return math.floor(x * 10000 + 0.5) / 10000
+
     def ref(text):
         words = text.strip().split(" ")
         n_chars = len(text.strip())
@@ -725,7 +733,7 @@ def test_repetition_signals_property_vs_python_reference(spark):
             c = Counter(grams)
             if n == 1:
                 total = sum(c.values())
-                out["dup_word_frac"] = round(1.0 - len(c) / total, 4)
+                out["dup_word_frac"] = r4(1.0 - len(c) / total)
             reps = {g: k for g, k in c.items() if k >= 2}
             if n in (2, 3, 4):
                 if reps:
@@ -734,10 +742,10 @@ def test_repetition_signals_property_vs_python_reference(spark):
                     cov = best[1] * len(best[0])
                 else:
                     cov = 0
-                out[f"top{n}_char_frac"] = round(min(1.0, cov / n_chars), 4)
+                out[f"top{n}_char_frac"] = r4(min(1.0, cov / n_chars))
             if n == 5:
                 dup = sum(k * len(g) for g, k in reps.items())
-                out["dup5_char_frac"] = round(min(1.0, dup / n_chars), 4)
+                out["dup5_char_frac"] = r4(min(1.0, dup / n_chars))
         return out
 
     word = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
@@ -887,3 +895,14 @@ def test_range_join_buckets_property_random_timestamps(spark):
         assert got == want, (ls, rs)
 
     check()
+
+
+def test_repetition_signals_empty_and_whitespace_docs(spark):
+    """Zero-char docs produce 0 signals and repetitive=False, never NULLs
+    (the NULL-flag trap: false | NULL = NULL would un-gate the filter)."""
+    docs = docs_df(spark, [(0, ""), (1, "   "), (2, "real words here now")])
+    got = {r.doc_id: r for r in text.repetition_signals(docs).collect()}
+    for i in (0, 1):
+        r = got[i]
+        assert (r.top2_char_frac, r.dup5_char_frac) == (0.0, 0.0)
+        assert r.repetitive is False
