@@ -36,6 +36,13 @@ def drain(query):
     query.stop()
 
 
+def await_done(query, timeout=600):
+    # availableNow queries terminate on their own; a silent timeout would
+    # assert on partial results, so fail loudly instead
+    assert query.awaitTermination(timeout), "streaming query did not finish"
+
+
+
 def test_tumbling_window_with_watermark(spark, sf_dir, events_stream_dir):
     sdf = read_stream(spark, events_stream_dir)
     agg = (
@@ -223,7 +230,7 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, sf_dir, eve
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_done(q)
     streamed = {
         (r.p_id, r.c_id, r.gap_us)
         for r in spark.sql("select * from interval_join").collect()
@@ -272,7 +279,7 @@ def test_cdc_upsert_view_incremental_maintenance(spark, sf_dir, tmp_path):
         "table string, key string, version long, value string"
     ).option("maxFilesPerTrigger", 1).parquet(d)
     q = sdf.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
-    q.awaitTermination(180)
+    await_done(q)
 
     batch = {
         (r.table, r.key): (r.latest_version, r.value, r.n_versions)
