@@ -312,21 +312,18 @@ def _portable_string_hash(col: Column) -> Column:
     return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x) % PORTABLE_MOD
 
 
-def minhash_portable_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.2,
+def portable_banded_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """MinHash+LSH with an engine-portable hash family, so the entire
-    pipeline (shingles -> k minhashes -> 2 bands of 4 -> candidate pairs ->
-    estimated Jaccard) is value-verifiable against a SQL oracle.
+    """(id, text) -> (doc_id, m0..m7, b0, b1): the portable MinHash signature
+    (k=8 affine transforms of the polynomial shingle hash, partial-agg mins)
+    plus its 2 band hashes (polynomial combine of 4 mins each).
 
-    Same scale shape as minhash_lsh_pairs (k codegen'd hash projections,
-    partial-aggregated mins, band equi-joins); the xxhash64 variant remains
-    the faster production path — this one exists to keep the LSH *logic*
-    under the correctness gate.
+    Shared by `minhash_portable_pairs` (all-pairs within one corpus) and
+    `incremental_dedup_report` (new shard vs existing corpus): the banding
+    is a pure function of the text, so signatures computed over different
+    corpus snapshots at different times are join-compatible — the property
+    that makes INCREMENTAL near-dup possible (index once, probe per shard).
     """
     from crdb_changefeed_publisher_spark.functions.phash import poly_hash
 
@@ -348,12 +345,32 @@ def minhash_portable_pairs(
         % PORTABLE_MOD
         for band in range(2)
     ]
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         *[F.col(f"m{i}") for i in range(k)],
         band_hash[0].alias("b0"),
         band_hash[1].alias("b1"),
     )
+
+
+def minhash_portable_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash+LSH with an engine-portable hash family, so the entire
+    pipeline (shingles -> k minhashes -> 2 bands of 4 -> candidate pairs ->
+    estimated Jaccard) is value-verifiable against a SQL oracle.
+
+    Same scale shape as minhash_lsh_pairs (k codegen'd hash projections,
+    partial-aggregated mins, band equi-joins); the xxhash64 variant remains
+    the faster production path — this one exists to keep the LSH *logic*
+    under the correctness gate.
+    """
+    k = len(PORTABLE_COEFFS)
+    banded = portable_banded_signatures(docs, text_col, id_col, n)
     # one equi-join per band, unioned then deduped — an OR-condition join
     # would plan as a nested loop; per-band equi-joins shuffle on the band
     # hash only (the LSH scale property)
@@ -691,6 +708,83 @@ def simhash_portable_pairs(
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def incremental_dedup_report(
+    corpus: DataFrame,
+    shard: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Dedup a NEW SHARD against an EXISTING corpus without rescanning the
+    corpus pairwise — the operational shape of dedup at 100 TB, where the
+    corpus is petabytes of already-kept documents and each arriving shard
+    must be admitted incrementally (a full-corpus pair join per shard would
+    be quadratic in corpus size, repeated per ingest).
+
+    Output: one row per shard document that survives WITHIN-SHARD exact
+    dedup — (keep_id, n_copies, vs_corpus) where vs_corpus is
+    'exact' (byte-identical text exists in the corpus), 'near' (any
+    portable-MinHash band hash collides with a corpus document's band:
+    the standard LSH candidate screen — downstream either drops these or
+    verifies with exact Jaccard via the pairs operators), else 'new'.
+
+    Scale shape — the corpus side reduces to two ids-free indexes that a
+    production pipeline PERSISTS between shards rather than recomputing:
+      * content-hash index: distinct sha2-256 of corpus text (32 B/doc);
+      * band index: distinct (band_idx, band_hash) pairs (two longs/doc).
+    The shard (typically ~1e-4 of corpus size) probes both with plain
+    equi-joins; nothing quadratic anywhere, and the corpus text is never
+    shuffled — only its hashes.
+    """
+    shard_keeps = (
+        shard.groupBy(F.sha2(F.col(text_col), 256).alias("_tkey"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            # all texts in a sha2 group are identical (collision contract as
+            # exact_duplicates); min() just picks the representative
+            F.min(text_col).alias("_text"),
+        )
+    )
+    corpus_keys = corpus.select(
+        F.sha2(F.col(text_col), 256).alias("_tkey"), F.lit(1).alias("_exact")
+    ).distinct()
+
+    def _bands(df: DataFrame, id_alias: str) -> DataFrame:
+        sig = portable_banded_signatures(df, text_col, id_col, n)
+        return sig.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band_idx"), F.col("b0").alias("band_hash")),
+                    F.struct(F.lit(1).alias("band_idx"), F.col("b1").alias("band_hash")),
+                )
+            ).alias("b"),
+        ).select(id_alias, "b.band_idx", "b.band_hash")
+
+    corpus_bands = _bands(corpus, "corpus_id").select("band_idx", "band_hash").distinct()
+    keep_docs = shard_keeps.select(F.col("keep_id").alias(id_col), F.col("_text").alias(text_col))
+    near_hits = (
+        _bands(keep_docs, "keep_id")
+        .join(corpus_bands, ["band_idx", "band_hash"], "left_semi")
+        .select("keep_id")
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    return (
+        shard_keeps.join(corpus_keys, "_tkey", "left")
+        .join(near_hits, "keep_id", "left")
+        .select(
+            "keep_id",
+            "n_copies",
+            F.when(F.col("_exact").isNotNull(), F.lit("exact"))
+            .when(F.col("_near").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("vs_corpus"),
+        )
     )
 
 

@@ -170,6 +170,73 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_portable_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def _banded_sql(src: str, p: str) -> str:
+    """CTE chain computing (doc_id, b0, b1) portable band hashes over `src`
+    (any relation with doc_id + text), prefix `p` namespacing the CTEs —
+    the SQL rendering of operators/dedup.py::portable_banded_signatures,
+    instantiated once per side of the incremental corpus/shard probe."""
+    return f"""{p}words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM {src}),
+    {p}grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM {p}words
+    ),
+    {p}hashed AS (
+        SELECT doc_id, {_poly_hash_sql('shingle')} AS h FROM {p}grams
+    ),
+    {p}sig AS (
+        SELECT doc_id,
+{_MINHASH_SIG_COLS}
+        FROM {p}hashed GROUP BY doc_id
+    ),
+    {p}banded AS (
+        SELECT *,
+{_MINHASH_BANDS}
+        FROM {p}sig
+    )"""
+
+
+@query(
+    "dedup_incremental",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    shard AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    keeps AS (
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies, min(text) AS text
+        FROM shard GROUP BY text
+    ),
+    keepdocs AS (SELECT keep_id AS doc_id, text FROM keeps),
+    {_banded_sql('corpus', 'c')},
+    {_banded_sql('keepdocs', 's')},
+    near AS (
+        SELECT DISTINCT s.doc_id AS keep_id FROM sbanded s JOIN cbanded c ON s.b0 = c.b0
+        UNION
+        SELECT DISTINCT s.doc_id FROM sbanded s JOIN cbanded c ON s.b1 = c.b1
+    )
+    SELECT k.keep_id, k.n_copies,
+           CASE WHEN ck.text IS NOT NULL THEN 'exact'
+                WHEN nr.keep_id IS NOT NULL THEN 'near'
+                ELSE 'new' END AS vs_corpus
+    FROM keeps k
+    LEFT JOIN (SELECT DISTINCT text FROM corpus) ck ON k.text = ck.text
+    LEFT JOIN near nr ON k.keep_id = nr.keep_id
+    """,
+    doc="Incremental dedup: admit a new shard (doc_id % 5 = 0) against an "
+    "existing corpus (the rest) without any corpus-pairwise work — "
+    "within-shard exact dedup, then probe two ids-free corpus indexes "
+    "(sha2 content hashes; portable-MinHash band hashes) with equi-joins, "
+    "tagging each kept shard doc exact/near/new "
+    "(operators/dedup.py::incremental_dedup_report).",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_dedup_report(corpus, shard)
+
+
 @query(
     "multimodal_fake_features",
     retired=True,  # superseded by multimodal_real_features (actual decode);

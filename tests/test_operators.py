@@ -36,6 +36,38 @@ def test_jaccard_identical_docs_score_1(spark):
     assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_incremental_dedup_report_flags(spark):
+    corpus = docs_df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated corpus text about spark engines"),
+        ],
+    )
+    shard = docs_df(
+        spark,
+        [
+            # byte-identical to corpus doc 1 -> 'exact'
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            # one word changed vs corpus doc 1 -> shares 7/8 shingles -> some
+            # minhash band collides -> 'near' (and not exact)
+            (15, "the quick brown fox jumps over the lazy cat today"),
+            # novel text -> 'new'
+            (20, "zeta omega entirely fresh document with novel words"),
+            # within-shard exact dup of 20 -> folded, keep_id=20 n_copies=2
+            (25, "zeta omega entirely fresh document with novel words"),
+        ],
+    )
+    got = {
+        r.keep_id: (r.n_copies, r.vs_corpus)
+        for r in dedup.incremental_dedup_report(corpus, shard).collect()
+    }
+    assert got[10] == (1, "exact")
+    assert got[15] == (1, "near")
+    assert got[20] == (2, "new")
+    assert set(got) == {10, 15, 20}
+
+
 def test_minhash_identical_docs(spark):
     df = docs_df(spark, [(1, "the quick brown fox jumps over dogs"), (2, "the quick brown fox jumps over dogs"), (3, "unrelated words entirely disjoint from both")])
     pairs = dedup.minhash_lsh_pairs(df, threshold=0.9).collect()
