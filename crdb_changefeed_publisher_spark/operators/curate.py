@@ -146,13 +146,52 @@ def domain_quota_sample(
 
     Scale note: the rank is a per-domain window — fine when domains are
     many or quotas are small, but a single 100 TB domain funnels into one
-    window partition. For huge domains use rate_sample (expected counts,
-    per-row) or pre-aggregate candidates per domain shard; this operator is
-    the small-N-exact tool, and it documents that boundary deliberately."""
+    window partition. `domain_quota_sample_scaled` returns the IDENTICAL
+    result with the funnel removed (two-phase salted prune); rate_sample
+    (expected counts, per-row) remains the zero-window alternative."""
     pri = _seeded_hash(seed, id_col)
     w = Window.partitionBy(domain_col).orderBy(pri.asc(), F.col(id_col).asc())
     return (
         docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def domain_quota_sample_scaled(
+    docs: DataFrame,
+    quota: int,
+    domain_col: str = "lang",
+    seed: str = "quota-v1",
+    id_col: str = "doc_id",
+    salt_parts: int = 32,
+) -> DataFrame:
+    """EXACT per-domain quota sampling at scale: result-identical to
+    `domain_quota_sample` (asserted by test_domain_quota_scaled_identical),
+    with the single-window-partition funnel for a mega-domain removed.
+
+    Phase 1 ranks within (domain, salt) — salt = hash(id) mod salt_parts —
+    and keeps each salt's `quota` smallest priorities. Correctness: the
+    domain's true top-quota set is contained in the union of per-salt
+    top-quota sets (a row outside its own salt's top-quota is dominated by
+    `quota` rows in the same domain, so it cannot be in the domain's
+    top-quota). Phase 2 ranks the survivors exactly; its window input is
+    <= salt_parts * quota rows per domain REGARDLESS of corpus size, so the
+    per-domain funnel is bounded by the dial, not the data. Both phases are
+    one hash shuffle + partition-local sort; decisions use the same seeded
+    sha2 priority, so the kept set matches the one-phase form row for row."""
+    pri = _seeded_hash(seed, id_col)
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_parts))
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy(pri.asc(), F.col(id_col).asc())
+    pruned = (
+        docs.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= quota)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= quota)
         .drop("_rn")
     )

@@ -336,3 +336,55 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crdb_changefeed_publisher_spark.operators.timeseries import resample_locf
 
     return resample_locf(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_hourly_interp",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+               round(sum(value), 4) AS v, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+    j AS (
+        SELECT g.user_id, g.bucket, o.v, coalesce(o.n, 0) AS n
+        FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+    ),
+    nb AS (
+        SELECT *,
+            last_value(sv IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spv,
+            last_value(CASE WHEN sv IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+            first_value(sv IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS snv,
+            first_value(CASE WHEN sv IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxb
+        FROM (SELECT *, CAST(round(v * 10000) AS BIGINT) AS sv FROM j)
+    )
+    SELECT user_id, bucket, n AS n_obs,
+           CASE WHEN n > 0 THEN sv
+                WHEN snv IS NULL THEN spv
+                ELSE floor((2 * (spv * (nxb - bucket) + snv * (bucket - pb))
+                            + (nxb - pb)) / (2 * (nxb - pb)))
+           END / 10000.0 AS value_interp,
+           n = 0 AS is_gap
+    FROM nb
+    """,
+    doc="Time-series regularization with LINEAR interpolation: per-user "
+    "hourly resample where gap buckets are lerped between the nearest "
+    "observed buckets either side (trailing gaps fall back to LOCF) — "
+    "same one-shuffle shape as the LOCF form plus a forward-neighbor "
+    "window (operators/timeseries.py::resample_interpolate).",
+)
+def events_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.timeseries import resample_interpolate
+
+    return resample_interpolate(load_table(spark, sf_dir, "events"))

@@ -155,6 +155,31 @@ def test_domain_quota_sample_exact_and_deterministic(spark):
     assert ids == again
 
 
+def test_domain_quota_scaled_identical(spark):
+    # the two-phase salted form must keep EXACTLY the same rows as the
+    # single-window form, for quotas spanning smaller and larger than the
+    # salt-partition survivor sets
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    for quota, salt_parts in ((7, 8), (40, 4)):
+        one = sorted(
+            r.doc_id
+            for r in curate.domain_quota_sample(docs, quota=quota).select("doc_id").collect()
+        )
+        two = sorted(
+            r.doc_id
+            for r in curate.domain_quota_sample_scaled(
+                docs, quota=quota, salt_parts=salt_parts
+            )
+            .select("doc_id")
+            .collect()
+        )
+        assert one == two
+    # the phase-2 window input is bounded: <= salt_parts * quota per domain
+    pruned_cap = 4 * 40
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert any(r.n > pruned_cap for r in sizes), "fixture too small to exercise the prune"
+
+
 def test_uniform_sample_k_exact_nested_and_planned_as_topk(spark):
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     s10 = sorted(r.doc_id for r in curate.uniform_sample_k(docs, 10).select("doc_id").collect())

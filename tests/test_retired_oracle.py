@@ -58,6 +58,7 @@ def test_retired_set_is_the_expected_one():
         "domain_mixture_sample",
         "embedding_hard_negatives",
         "embedding_topk_pq",
+        "events_hourly_interp",
         "events_hourly_locf",
         "events_purchase_click_pairs",
         "grouping_sets_revenue",

@@ -707,6 +707,34 @@ def test_resample_locf_handcrafted_gaps(spark):
     }
 
 
+def test_resample_interpolate_handcrafted_gaps(spark):
+    """Gap buckets lerp between the neighboring observations (exact
+    integer-ten-thousandths half-up); observed buckets keep their sum;
+    trailing gaps would LOCF (none here: grid ends at the last obs)."""
+    from datetime import datetime
+
+    from crdb_changefeed_publisher_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 15), 1.0),
+        (1, datetime(2024, 1, 1, 3, 10), 10.0),  # gaps at +1h, +2h
+        (2, datetime(2024, 1, 1, 5, 0), 7.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.bucket): (r.n_obs, r.value_interp, r.is_gap)
+        for r in resample_interpolate(ev).collect()
+    }
+    h0 = min(b for (u, b) in got if u == 1)
+    assert got == {
+        (1, h0): (1, 1.0, False),
+        (1, h0 + 1): (0, 4.0, True),   # 1 + (10-1)*1/3
+        (1, h0 + 2): (0, 7.0, True),   # 1 + (10-1)*2/3
+        (1, h0 + 3): (1, 10.0, False),
+        (2, h0 + 5): (1, 7.0, False),
+    }
+
+
 def test_repetition_signals_property_vs_python_reference(spark):
     """Hypothesis: the relational repetition signals equal a direct Python
     Counter-based reference on random small-vocab word docs (small vocab
