@@ -111,7 +111,8 @@ def test_no_plan_smells_across_entire_registry(spark, sf_dir):
     Arrow-batched: ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas).
     These are the two plan shapes that do not survive a 100x scale-up."""
     offenders = {}
-    for name, spec in sorted(plans.all_specs().items()):
+    every_spec = {**plans.all_specs(), **plans.retired_specs()}
+    for name, spec in sorted(every_spec.items()):
         plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         hits = [s for s in ("CartesianProduct", "BatchEvalPython") if s in plan]
         if hits:

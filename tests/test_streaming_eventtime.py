@@ -150,6 +150,44 @@ def test_stream_stream_join_with_watermarks(spark, sf_dir, events_stream_dir):
     assert len(got) >= len(want) * 0.9
 
 
+def test_stream_static_dimension_enrichment(spark, sf_dir, events_stream_dir):
+    """Stream-static join: enrich the event stream with a STATIC dimension
+    (per-user tier derived from a batch frame) — the standard CDC-envelope
+    enrichment pattern. The static side is tiny, so Catalyst broadcasts it
+    into every micro-batch; no stream-side state, no watermark needed."""
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("standard")
+        )
+    )
+    sdf = read_stream(spark, events_stream_dir)
+    enriched = (
+        sdf.join(F.broadcast(dim), "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static")
+        .outputMode("complete")
+        .start()
+    )
+    drain(q)
+    got = {(r.tier, r.n) for r in spark.sql("select * from stream_static").collect()}
+    want = {
+        (r.tier, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .join(dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) == 2
+
+
 def test_custom_stateful_running_user_totals(spark, events_stream_dir):
     """applyInPandasWithState: per-user running event count + value sum that
     persists across micro-batches (the custom-stateful-operator surface)."""

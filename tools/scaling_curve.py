@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Scaling-curve report: time every registered query at sf0.001 / sf0.01 /
+sf0.1 (100x data growth end to end) and print per-query times plus the
+sf0.01 -> sf0.1 growth ratio.
+
+Reading the ratio (data grows 10x between those two points):
+  * ratio <= ~1.5 — fixed overhead dominates (scheduling, JVM, plan);
+    the query hasn't hit its data term yet at these SFs.
+  * ratio ~ 2-10 — sublinear-to-linear in data: the shape that survives a
+    100x scale-up (shuffles are partial-agg'd, joins are bucketed/
+    broadcast, no quadratic stage).
+  * ratio >> 10 — superlinear: a pair join, window funnel, or skewed block
+    is growing faster than the data. Investigate before trusting at scale.
+
+min-of-2 per (query, sf) for the same stall-robustness reasoning as
+bench.py; run in a quiet window (check bench.py's calibration_factor).
+
+Usage: python tools/scaling_curve.py [--json out.json] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crdb_changefeed_publisher_spark import plans
+from crdb_changefeed_publisher_spark.session import get_spark
+
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*", help="default: every registered query")
+    ap.add_argument("--json", default=None, help="also write machine-readable output here")
+    args = ap.parse_args()
+
+    spark = get_spark("scaling-curve")
+    materialize(spark.read.parquet("/root/testdata/sf0.001/region.parquet"))
+
+    specs = plans.all_specs()
+    names = args.queries or sorted(specs)
+    rows: dict[str, dict[str, float]] = {}
+    for name in names:
+        spec = specs[name] if name in specs else plans.get_spec(name)
+        rows[name] = {}
+        for sf in SFS:
+            sf_dir = f"/root/testdata/sf{sf}"
+
+            def once() -> float:
+                t0 = time.time()
+                materialize(spec.fn(spark, sf_dir))
+                return time.time() - t0
+
+            try:
+                rows[name][sf] = round(min(once(), once()), 2)
+            except Exception as e:  # noqa: BLE001
+                print(f"error {name}@sf{sf}: {e}", file=sys.stderr)
+                rows[name][sf] = -1.0
+
+    print(f"{'query':<34} {'sf0.001':>8} {'sf0.01':>8} {'sf0.1':>8} {'x(.01->.1)':>10}")
+    ratios = []
+    for name in names:
+        r = rows[name]
+        ratio = round(r["0.1"] / r["0.01"], 1) if r["0.01"] > 0 and r["0.1"] > 0 else float("nan")
+        if ratio == ratio:
+            ratios.append(ratio)
+        print(f"{name:<34} {r['0.001']:>8.2f} {r['0.01']:>8.2f} {r['0.1']:>8.2f} {ratio:>10}")
+    if ratios:
+        ratios.sort()
+        med = ratios[len(ratios) // 2]
+        print(f"\nmedian 10x-data growth ratio: {med}  (max {max(ratios)})")
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(rows, fh, indent=1, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
