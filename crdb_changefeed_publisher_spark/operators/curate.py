@@ -204,6 +204,63 @@ DEFAULT_LANG_QUOTAS: dict[str, int] = {"en": 5}
 DEFAULT_QUOTA = 10  # non-listed languages keep everything
 
 
+def select_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained corpus selection: keep the BEST-quality documents
+    whose cumulative token count fits `budget_tokens` — the "we can afford
+    N tokens of pretraining data, take the best N" step that follows
+    curation in a real pipeline.
+
+    Rule: order documents by (quality desc, id asc) — quality is the
+    composite heuristic in integer ten-thousandths, so the order is exact
+    on any engine — and keep the greedy prefix whose INCLUSIVE cumulative
+    token count stays <= budget.
+
+    Scale shape: the cumulative sum over the quality order is TWO-PHASE
+    (same construction as pack_sequences / functions/ranks.py): range-
+    partition on the order key, partition-local running sum, broadcast
+    per-partition offsets. No single-partition window ever sees the data;
+    the only unpartitioned window is over num_partitions stats rows.
+
+    Output: (doc_id, quality, n_tokens, cum_tokens) for kept docs.
+    """
+    from crdb_changefeed_publisher_spark.operators.text import quality_score, word_count
+
+    q4 = F.round(quality_score(F.col(text_col)) * 10000).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        q4.alias("_q4"),
+        word_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    parted = base.repartitionByRange(F.col("_q4").desc(), F.col("doc_id")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_q4").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("_cum", F.sum("n_tokens").over(w_local))
+    stats = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_n"))
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.withColumn("_off", F.coalesce(F.sum("_n").over(w_cum), F.lit(0)))
+    cum = F.col("_off") + F.col("_cum")
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .filter(cum <= budget_tokens)
+        .select(
+            "doc_id",
+            (F.col("_q4") / 10000.0).alias("quality"),
+            "n_tokens",
+            cum.alias("cum_tokens"),
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     contamination_max: float = 0.05,

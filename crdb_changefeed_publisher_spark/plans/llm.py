@@ -1247,6 +1247,51 @@ def doc_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_budget_selection",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text,
+               len(string_split(trim(text), ' ')) AS n_words,
+               length(replace(trim(text), ' ', ''))
+                   / len(string_split(trim(text), ' ')) AS awl,
+               (length(text) - length(replace(text, '.', ''))) / 1.0
+                 + (length(text) - length(replace(text, ',', ''))) / 1.0 AS punct
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(round(round(0.4 * least(length(text) / 500.0, 1.0)
+                     + 0.3 * (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * greatest(0.0, 1.0 - punct / greatest(n_words, 1)),
+                     4) * 10000) AS BIGINT) AS q4,
+               CAST(n_words AS BIGINT) AS n_tokens
+        FROM base
+    ),
+    cum AS (
+        SELECT doc_id, q4, n_tokens,
+               sum(n_tokens) OVER (ORDER BY q4 DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, q4 / 10000.0 AS quality, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= 15000
+    """,
+    doc="Budget-constrained corpus selection: keep the best-quality "
+    "documents whose INCLUSIVE cumulative token count fits a 15k-token "
+    "budget (quality desc, id asc greedy prefix). The cumsum over the "
+    "quality order runs two-phase (range partition -> local running sum "
+    "-> broadcast offsets) — the oracle's single ORDER BY window would "
+    "single-partition 100 TB; the engine plan never does "
+    "(operators/curate.py::select_token_budget).",
+)
+def doc_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.curate import select_token_budget
+
+    return select_token_budget(load_table(spark, sf_dir, "documents"), budget_tokens=15000)
+
+
+@query(
     "lang_mixture_weights",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""

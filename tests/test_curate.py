@@ -180,6 +180,25 @@ def test_domain_quota_scaled_identical(spark):
     assert any(r.n > pruned_cap for r in sizes), "fixture too small to exercise the prune"
 
 
+def test_select_token_budget_greedy_prefix(spark):
+    # quality order at these lengths tracks the length band; the budget cut
+    # must land mid-order and the INCLUSIVE-cumsum rule decides the edge doc
+    rows = [
+        (1, "one " * 400),   # 400 tokens, top quality (length band saturated)
+        (2, "two " * 300),   # 300 tokens
+        (3, "three " * 80),  # 80 tokens, shortest -> lowest quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens)
+        for r in curate.select_token_budget(docs, budget_tokens=750).collect()
+    }
+    # doc 1 (400) + doc 2 (700 cum) fit; doc 3 would push past 750
+    assert got == {1: (400, 400), 2: (300, 700)}
+    # budget smaller than the best doc keeps nothing
+    assert curate.select_token_budget(docs, budget_tokens=100).count() == 0
+
+
 def test_uniform_sample_k_exact_nested_and_planned_as_topk(spark):
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     s10 = sorted(r.doc_id for r in curate.uniform_sample_k(docs, 10).select("doc_id").collect())
