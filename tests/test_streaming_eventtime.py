@@ -150,6 +150,47 @@ def test_stream_stream_join_with_watermarks(spark, sf_dir, events_stream_dir):
     assert len(got) >= len(want) * 0.9
 
 
+def test_streaming_incremental_dedup_on_ingest(spark, sf_dir, tmp_path):
+    """Dedup-on-ingest: a stream of arriving documents is deduped
+    within-stream (watermark-scoped state on the content hash) and
+    anti-joined against the STATIC corpus content-hash index — the
+    streaming twin of operators/dedup.py::incremental_dedup_report's
+    exact tier, composing stream-static join + dropDuplicatesWithinWatermark."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    d = str(tmp_path / "shard_stream")
+    # +3600: rows with event time exactly at epoch 0 tie Spark's INITIAL
+    # watermark (0) and are silently dropped as late by the dedup operator
+    shard.select(
+        "doc_id", "text", F.timestamp_seconds(F.col("doc_id") % 100 + 3600).alias("ingest_ts")
+    ).coalesce(2).write.mode("overwrite").parquet(d)
+
+    corpus_keys = corpus.select(F.sha2(F.col("text"), 256).alias("_tkey")).distinct()
+    sdf = spark.readStream.schema("doc_id long, text string, ingest_ts timestamp").parquet(d)
+    kept = (
+        sdf.withColumn("_tkey", F.sha2(F.col("text"), 256))
+        .withWatermark("ingest_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["_tkey"])
+        .join(corpus_keys, "_tkey", "left_anti")
+        .select("doc_id", "_tkey")
+    )
+    q = kept.writeStream.format("memory").queryName("ingest_dedup").outputMode("append").start()
+    drain(q)
+    got_keys = {r._tkey for r in spark.sql("select * from ingest_dedup").collect()}
+
+    want_keys = {
+        r._tkey
+        for r in shard.select(F.sha2(F.col("text"), 256).alias("_tkey"))
+        .distinct()
+        .join(corpus_keys, "_tkey", "left_anti")
+        .collect()
+    }
+    # same CONTENT set survives (which copy's doc_id wins differs by batch
+    # arrival order — content identity is the dedup contract)
+    assert got_keys == want_keys and len(want_keys) > 0
+
+
 def test_stream_static_dimension_enrichment(spark, sf_dir, events_stream_dir):
     """Stream-static join: enrich the event stream with a STATIC dimension
     (per-user tier derived from a batch frame) — the standard CDC-envelope
