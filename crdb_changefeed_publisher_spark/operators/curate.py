@@ -204,6 +204,45 @@ DEFAULT_LANG_QUOTAS: dict[str, int] = {"en": 5}
 DEFAULT_QUOTA = 10  # non-listed languages keep everything
 
 
+def shuffle_layout(
+    docs: DataFrame,
+    n_shards: int = 16,
+    seed: str = "shuffle-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global TRAINING-ORDER SHUFFLE + sharding: every
+    document gets a global position in a seeded pseudorandom order and a
+    round-robin shard — the layout step that randomizes example order
+    before sharded dataset writes (sequential corpus order leaks
+    curriculum; per-epoch reshuffles just change the seed).
+
+    Position = two-phase global row_number (functions/ranks.py) over
+    (seeded sha2 priority, id): one range shuffle of (id, priority) pairs +
+    a broadcast per-partition offset table — never a single-partition
+    window. Round-robin on position balances shard sizes to within one
+    row, and the whole layout is a pure function of (seed, ids): rerun,
+    resume, or backfill produces the identical order on any engine.
+
+    Output: (doc_id, pos 1-based, shard).
+    """
+    from crdb_changefeed_publisher_spark.functions.ranks import global_rank
+
+    pri = _seeded_hash(seed, id_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), pri.alias("_pri"))
+    ranked = global_rank(
+        base,
+        [F.col("_pri").asc(), F.col("doc_id").asc()],
+        ["_pri", "doc_id"],
+        kind="row_number",
+        out="pos",
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        ((F.col("pos") - 1) % n_shards).cast("int").alias("shard"),
+    )
+
+
 def select_token_budget(
     docs: DataFrame,
     budget_tokens: int,

@@ -1371,6 +1371,34 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_shuffle_layout",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, 'shuffle-v1:' || CAST(doc_id AS VARCHAR) AS s FROM documents
+    ),
+    p AS (
+        SELECT doc_id, {_seeded_hash_fold('s')} AS pri FROM seeded
+    ),
+    r AS (
+        SELECT doc_id, row_number() OVER (ORDER BY pri, doc_id) AS pos FROM p
+    )
+    SELECT doc_id, pos, CAST((pos - 1) % 16 AS INT) AS shard FROM r
+    """,
+    doc="Deterministic global training-order shuffle + round-robin sharding: "
+    "global position via the TWO-PHASE row_number over the seeded sha2 "
+    "priority (range shuffle of (id, priority) pairs + broadcast offsets — "
+    "the oracle's single ORDER BY window would single-partition 100 TB), "
+    "shard sizes balanced to within one row, layout a pure function of "
+    "(seed, ids) (operators/curate.py::shuffle_layout).",
+)
+def doc_shuffle_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import curate
+
+    return curate.shuffle_layout(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "domain_mixture_sample",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle=f"""

@@ -180,6 +180,27 @@ def test_domain_quota_scaled_identical(spark):
     assert any(r.n > pruned_cap for r in sizes), "fixture too small to exercise the prune"
 
 
+def test_shuffle_layout_permutation_balance_and_seed(spark):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n = docs.count()
+    out = curate.shuffle_layout(docs, n_shards=8).collect()
+    # positions are exactly 1..n (a permutation), shards balanced within 1
+    assert sorted(r.pos for r in out) == list(range(1, n + 1))
+    sizes = {}
+    for r in out:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1 and len(sizes) == 8
+    # the order is seed-keyed: a different seed produces a different
+    # permutation (astronomically unlikely to collide), the same seed the same
+    pos1 = {r.doc_id: r.pos for r in out}
+    pos2 = {r.doc_id: r.pos for r in curate.shuffle_layout(docs, n_shards=8).collect()}
+    pos3 = {
+        r.doc_id: r.pos
+        for r in curate.shuffle_layout(docs, n_shards=8, seed="epoch-2").collect()
+    }
+    assert pos1 == pos2 and pos1 != pos3
+
+
 def test_select_token_budget_greedy_prefix(spark):
     # quality order at these lengths tracks the length band; the budget cut
     # must land mid-order and the INCLUSIVE-cumsum rule decides the edge doc

@@ -55,6 +55,7 @@ def test_retired_set_is_the_expected_one():
         "doc_budget_selection",
         "doc_pii_scrub",
         "doc_seq_packing",
+        "doc_shuffle_layout",
         "doc_train_split",
         "domain_mixture_sample",
         "embedding_hard_negatives",
