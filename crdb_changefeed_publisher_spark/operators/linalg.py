@@ -1,0 +1,89 @@
+"""Distributed dense linear algebra over embedding columns.
+
+The load-bearing pattern here is SINGLE-PASS REDUCTION TO d x d: statistics
+like the Gram matrix X^T X, the dimension sums, and the covariance are tiny
+(d=64 -> 4096 numbers) while X is the 100 TB side — so each partition GEMMs
+its own rows into a local d x d partial (numpy, Arrow-batched) and only the
+partials are shuffled. The wire cost is (partitions * d^2) rows, independent
+of corpus size; this is exactly how IVF/PQ/PCA/whitening training reads a
+petabyte corpus once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# sentinel index used to multiplex dimension-sum rows (j == SUMS) and the
+# row-count row (i == j == SUMS) through the same (i, j, val) partial stream
+_SUMS = -1
+
+
+def gram_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vectors) -> one row per (i, j): Gram entry ``sum_k x_ki * x_kj`` and
+    covariance ``E[x_i x_j] - E[x_i] E[x_j]``, both rounded to 4.
+
+    One mapInPandas pass accumulates a float64 ``X^T X`` partial, the
+    per-dimension sums, and the row count per PARTITION (not per Arrow
+    batch — accumulators live across the batch iterator), then emits
+    d^2 + d + 1 rows; a groupBy(i, j) partial-agg combines partitions.
+    Nothing downstream of the scan depends on the number of vectors.
+    """
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        G: np.ndarray | None = None
+        S: np.ndarray | None = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if G is None:
+                d = X.shape[1]
+                G = np.zeros((d, d))
+                S = np.zeros(d)
+            G += X.T @ X
+            S += X.sum(axis=0)
+            n += len(X)
+        if G is None:
+            return
+        d = G.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii.ravel(), np.arange(d), [_SUMS]]),
+                "j": np.concatenate([jj.ravel(), np.full(d, _SUMS), [_SUMS]]),
+                "val": np.concatenate([G.ravel(), S, [float(n)]]),
+            }
+        )
+
+    partials = emb.select(vec_col).mapInPandas(part, "i int, j int, val double")
+    agg = partials.groupBy("i", "j").agg(F.sum("val").alias("v"))
+    n_row = agg.filter((F.col("i") == _SUMS) & (F.col("j") == _SUMS)).select(
+        F.col("v").alias("n")
+    )
+    sums = agg.filter((F.col("j") == _SUMS) & (F.col("i") >= 0)).select(
+        "i", F.col("v").alias("s")
+    )
+    gram = agg.filter(F.col("j") >= 0).select("i", "j", F.col("v").alias("g"))
+    si = sums.select(F.col("i"), F.col("s").alias("s_i"))
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    cov = F.col("g") / F.col("n") - (F.col("s_i") / F.col("n")) * (
+        F.col("s_j") / F.col("n")
+    )
+    return (
+        gram.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("g"), 4).alias("gram"),
+            F.round(cov, 4).alias("cov"),
+        )
+    )

@@ -1371,6 +1371,43 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_gram_covariance",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH e AS (SELECT embedding AS v FROM embeddings),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    pairs AS (
+        SELECT i.i - 1 AS i, j.j - 1 AS j,
+               sum(CAST(v[i.i] AS DOUBLE) * CAST(v[j.j] AS DOUBLE)) AS g
+        FROM e, range(1, 65) i(i), range(1, 65) j(j)
+        GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT i.i - 1 AS i, sum(CAST(v[i.i] AS DOUBLE)) AS s
+        FROM e, range(1, 65) i(i)
+        GROUP BY 1
+    )
+    SELECT p.i, p.j, round(p.g, 4) AS gram,
+           round(p.g / n - (a.s / n) * (b.s / n), 4) AS cov
+    FROM pairs p
+    JOIN sums a ON a.i = p.i
+    JOIN sums b ON b.i = p.j
+    CROSS JOIN tot
+    """,
+    doc="One-pass distributed Gram matrix + covariance over the embedding "
+    "corpus (the whitening/PCA/IVF-training statistic): each partition "
+    "GEMMs its rows into a float64 d x d partial via mapInPandas, only the "
+    "(partitions * d^2) partials shuffle — wire cost independent of corpus "
+    "size; the oracle recomputes every entry by explicit index cross "
+    "products (operators/linalg.py::gram_covariance).",
+)
+def embedding_gram_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.linalg import gram_covariance
+
+    return gram_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
     "doc_shuffle_layout",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle=f"""

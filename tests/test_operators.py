@@ -36,6 +36,31 @@ def test_jaccard_identical_docs_score_1(spark):
     assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_gram_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from pyspark.sql import Row
+    from crdb_changefeed_publisher_spark.operators.linalg import gram_covariance
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(50, 4)).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(embedding=[float(v) for v in row]) for row in X],
+        "embedding array<float>",
+    ).repartition(5)  # force multi-partition partial combine
+    got = {(r.i, r.j): (r.gram, r.cov) for r in gram_covariance(df).collect()}
+    Xd = X.astype(np.float64)
+    G = Xd.T @ Xd
+    mu = Xd.mean(axis=0)
+    C = (Xd.T @ Xd) / len(Xd) - np.outer(mu, mu)
+    assert len(got) == 16
+    for (i, j), (g, c) in got.items():
+        assert abs(g - round(G[i, j], 4)) < 1e-9
+        assert abs(c - round(C[i, j], 4)) < 1e-9
+        # symmetry comes out exactly (same partials feed (i,j) and (j,i))
+        assert got[(j, i)] == (g, c)
+
+
 def test_incremental_dedup_report_flags(spark):
     corpus = docs_df(
         spark,

@@ -58,6 +58,7 @@ def test_retired_set_is_the_expected_one():
         "doc_shuffle_layout",
         "doc_train_split",
         "domain_mixture_sample",
+        "embedding_gram_covariance",
         "embedding_hard_negatives",
         "embedding_topk_pq",
         "events_hourly_interp",
