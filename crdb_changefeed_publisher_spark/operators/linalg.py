@@ -24,6 +24,34 @@ from pyspark.sql import functions as F
 _SUMS = -1
 
 
+def pca_project(
+    emb: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project each vector onto frozen PCA components (mean-centered):
+    ``p_c = sum_i v_i * comp_c_i - offset_c`` with the offset
+    ``sum_i mean_i * comp_c_i`` precomputed in Python and embedded as ONE
+    literal — the projection is a per-row codegen expression (64 explicit
+    multiply-adds per component, no interpreted lambda, no Python worker),
+    so dimensionality reduction of a 100 TB embedding corpus is a pure map
+    over the scan.
+
+    Components come from tools/train_pca.py (covariance via the one-pass
+    distributed Gram reduction, d x d eigh on the driver, frozen literals
+    shared with the oracle — the learned-codebook convention)."""
+    outs = []
+    for c_idx, comp in enumerate(components):
+        off = float(sum(m * c for m, c in zip(mean, comp)))
+        term = F.lit(0.0)
+        for i, c in enumerate(comp):
+            term = term + F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(c)
+        outs.append(F.round(term - F.lit(off), 4).alias(f"p{c_idx}"))
+    return emb.select(id_col, *outs)
+
+
 def gram_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(vectors) -> one row per (i, j): Gram entry ``sum_k x_ki * x_kj`` and
     covariance ``E[x_i x_j] - E[x_i] E[x_j]``, both rounded to 4.

@@ -1407,6 +1407,49 @@ def embedding_gram_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_covariance(load_table(spark, sf_dir, "embeddings"))
 
 
+def _pca_project_sql() -> str:
+    """Oracle projection mirroring operators/linalg.py::pca_project term for
+    term (same literals, same left-to-right addition order, same one-literal
+    mean offset), so the doubles agree bit-for-bit before rounding."""
+    from crdb_changefeed_publisher_spark.functions.pca_components import (
+        PCA_COMPONENTS,
+        PCA_MEAN,
+    )
+
+    cols = []
+    for c_idx, comp in enumerate(PCA_COMPONENTS):
+        off = float(sum(m * c for m, c in zip(PCA_MEAN, comp)))
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {c!r}" for i, c in enumerate(comp)
+        )
+        cols.append(f"round((0.0 + {chain}) - {off!r}, 4) AS p{c_idx}")
+    return ",\n           ".join(cols)
+
+
+@query(
+    "embedding_pca_project",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    SELECT vec_id,
+           {_pca_project_sql()}
+    FROM embeddings
+    """,
+    doc="PCA dimensionality reduction: project every embedding onto the "
+    "top-4 frozen components (mean-centered) — per-row codegen multiply-"
+    "adds, zero shuffle; training reads the corpus once via the one-pass "
+    "Gram reduction + driver-local d x d eigh (tools/train_pca.py, "
+    "operators/linalg.py::pca_project).",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.functions.pca_components import (
+        PCA_COMPONENTS,
+        PCA_MEAN,
+    )
+    from crdb_changefeed_publisher_spark.operators.linalg import pca_project
+
+    return pca_project(load_table(spark, sf_dir, "embeddings"), PCA_COMPONENTS, PCA_MEAN)
+
+
 @query(
     "doc_shuffle_layout",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest

@@ -61,6 +61,31 @@ def test_gram_covariance_matches_numpy(spark):
         assert got[(j, i)] == (g, c)
 
 
+def test_pca_project_matches_numpy_and_orders_variance(spark, sf_dir):
+    import numpy as np
+
+    from crdb_changefeed_publisher_spark.functions.pca_components import (
+        EXPLAINED_VARIANCE,
+        PCA_COMPONENTS,
+        PCA_MEAN,
+    )
+    from crdb_changefeed_publisher_spark.operators.linalg import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = pca_project(emb, PCA_COMPONENTS, PCA_MEAN).orderBy("vec_id").collect()
+    X = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb.orderBy("vec_id").collect()])
+    P = (X - np.array(PCA_MEAN)) @ np.array(PCA_COMPONENTS).T
+    for k, r in enumerate(got):
+        for c in range(4):
+            assert abs(getattr(r, f"p{c}") - P[k, c]) < 1e-3
+    # on the training fixture the projection variances track the frozen
+    # eigenvalues in order (components were trained on sf0.01)
+    if sf_dir.rstrip("/").endswith("sf0.01"):
+        var = P.var(axis=0)
+        assert all(var[i] >= var[i + 1] for i in range(3))
+        assert np.allclose(var, EXPLAINED_VARIANCE, rtol=0.05)
+
+
 def test_incremental_dedup_report_flags(spark):
     corpus = docs_df(
         spark,
