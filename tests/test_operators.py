@@ -118,6 +118,36 @@ def test_incremental_dedup_report_flags(spark):
     assert set(got) == {10, 15, 20}
 
 
+def test_incremental_dedup_sequential_consistency(spark, sf_dir):
+    """The invariant that justifies incremental admission: admitting shard
+    A then shard B against a growing corpus keeps exactly the same distinct
+    CONTENT as one-shot exact dedup over corpus+A+B (the 'exact' tag tier;
+    'near' is a screening signal on top, not a keep/drop decision here)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    s1 = docs.filter(F.col("doc_id") % 3 == 1)
+    s2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    def admitted(corpus_df, shard_df):
+        rep = dedup.incremental_dedup_report(corpus_df, shard_df)
+        keep_ids = [r.keep_id for r in rep.filter(F.col("vs_corpus") != "exact").collect()]
+        return shard_df.filter(F.col("doc_id").isin(keep_ids))
+
+    a1 = admitted(corpus, s1)
+    corpus2 = corpus.unionByName(a1)
+    a2 = admitted(corpus2, s2)
+    final = corpus2.unionByName(a2)
+
+    got = {r.t for r in final.select(F.col("text").alias("t")).distinct().collect()}
+    want = {r.t for r in docs.select(F.col("text").alias("t")).distinct().collect()}
+    assert got == want
+    # and no content is stored twice beyond what the corpus itself held
+    n_dup_in_corpus = corpus.count() - corpus.select("text").distinct().count()
+    assert final.count() - len(got) == n_dup_in_corpus
+
+
 def test_minhash_identical_docs(spark):
     df = docs_df(spark, [(1, "the quick brown fox jumps over dogs"), (2, "the quick brown fox jumps over dogs"), (3, "unrelated words entirely disjoint from both")])
     pairs = dedup.minhash_lsh_pairs(df, threshold=0.9).collect()
