@@ -1,0 +1,126 @@
+"""Data profiling and quality checks — the observability layer a 100 TB
+pipeline runs before trusting a table (the Deequ/Great-Expectations
+operator family, expressed as plain Spark aggregations).
+
+Shapes:
+- `profile_table` is ONE aggregation job over the scan: every per-column
+  metric (count, nulls, distinct, min/max) is an agg expression in a single
+  groupBy-less agg, so Spark computes the whole profile in one pass with
+  partial aggregation — profiling cost ~ one full scan, never per-column
+  scans. Exact distincts shuffle (that is their contract); swap in
+  approx_count_distinct when estimates suffice.
+- `quality_checks` emits one row per declared constraint with its exact
+  violation count. Row-local predicates (non-null, range, enum) fold into
+  the same one-pass agg; cross-table containment is a broadcast anti-join
+  count; uniqueness is a groupBy-count filter. Every check is a count —
+  the output is auditable and diffable across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format profile: one row per (column, metric) with the value
+    cast to string (uniform schema across numeric/string/timestamp
+    columns). Metrics: n_rows, n_null, n_distinct (exact, null excluded),
+    min, max. Doubles render rounded to 4 so the string form is
+    cross-engine stable."""
+
+    def render(c: str, expr) -> F.Column:
+        dt = dict(df.dtypes)[c]
+        if dt == "double":
+            return F.round(expr, 4).cast("string")
+        if dt == "timestamp":
+            return F.date_format(expr, "yyyy-MM-dd HH:mm:ss")
+        return expr.cast("string")
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            render(c, F.min(c)).alias(f"{c}__min"),
+            render(c, F.max(c)).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into (column, metric, value) — stack is
+    # a row-local expression over the 1-row aggregate, cost-free
+    pairs = []
+    for c in cols:
+        for m in ("n_rows", "n_null", "n_distinct", "min", "max"):
+            pairs += [f"'{c}'", f"'{m}'", f"cast(`{c}__{m}` as string)"]
+    n = len(pairs) // 3
+    return wide.selectExpr(
+        f"stack({n}, {', '.join(pairs)}) as (column_name, metric, value)"
+    )
+
+
+def quality_checks(
+    df: DataFrame,
+    unique_cols: list[str] | None = None,
+    not_null_cols: list[str] | None = None,
+    enum_domains: dict[str, list[str]] | None = None,
+    non_negative_cols: list[str] | None = None,
+    contained_in: dict[str, tuple[DataFrame, str]] | None = None,
+) -> DataFrame:
+    """One row per constraint: (check, violations, total, passed).
+
+    Row-local families (not_null / enum / non_negative) share ONE
+    aggregation pass; uniqueness counts rows beyond the first per key;
+    containment counts orphans via a broadcast-able left-anti join against
+    the (distinct) parent keys.
+    """
+    total = df.count()
+    rows: list[DataFrame] = []
+
+    def check_row(name: str, violations) -> DataFrame:
+        return violations.select(
+            F.lit(name).alias("check"),
+            F.col("v").cast("long").alias("violations"),
+            F.lit(total).cast("long").alias("total"),
+            (F.col("v") == 0).alias("passed"),
+        )
+
+    local_aggs = []
+    local_names = []
+    for c in not_null_cols or []:
+        local_names.append(f"not_null:{c}")
+        local_aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)))
+    for c, dom in (enum_domains or {}).items():
+        local_names.append(f"enum:{c}")
+        local_aggs.append(F.sum(F.when(~F.col(c).isin(dom), 1).otherwise(0)))
+    for c in non_negative_cols or []:
+        local_names.append(f"non_negative:{c}")
+        local_aggs.append(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)))
+    if local_aggs:
+        wide = df.agg(
+            *[F.coalesce(a, F.lit(0)).alias(f"v{i}") for i, a in enumerate(local_aggs)]
+        )
+        for i, name in enumerate(local_names):
+            rows.append(check_row(name, wide.select(F.col(f"v{i}").alias("v"))))
+    for c in unique_cols or []:
+        dup = (
+            df.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias("v"))
+        )
+        rows.append(check_row(f"unique:{c}", dup))
+    for c, (parent, parent_col) in (contained_in or {}).items():
+        orphans = (
+            df.select(F.col(c).alias("_k"))
+            .join(
+                F.broadcast(parent.select(F.col(parent_col).alias("_k")).distinct()),
+                "_k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+        rows.append(check_row(f"contained:{c}", orphans))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

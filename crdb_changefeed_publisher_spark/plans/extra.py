@@ -226,3 +226,109 @@ def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "best_price")
         .agg(F.min("o_orderkey").alias("best_orderkey"))
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+
+def _profile_oracle() -> str:
+    """Long-format profile oracle: one SELECT per (column, metric), mirrored
+    against operators/quality.py::profile_table's rendering rules (doubles
+    rounded to 4 then stringified, timestamps second-formatted)."""
+    parts = []
+    for c in _PROFILE_COLS:
+        if c == "o_totalprice":
+            mn, mx = f"CAST(round(min({c}), 4) AS VARCHAR)", f"CAST(round(max({c}), 4) AS VARCHAR)"
+        elif c == "o_orderdate":
+            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        for metric, expr in (
+            ("n_rows", "CAST(count(*) AS VARCHAR)"),
+            ("n_null", f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS VARCHAR)"),
+            ("n_distinct", f"CAST(count(DISTINCT {c}) AS VARCHAR)"),
+            ("min", mn),
+            ("max", mx),
+        ):
+            parts.append(
+                f"SELECT '{c}' AS column_name, '{metric}' AS metric, {expr} AS value FROM orders"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "orders_profile",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=_profile_oracle(),
+    doc="Data profiling (Deequ-style observability): per-column n_rows / "
+    "n_null / exact n_distinct / min / max over orders in ONE aggregation "
+    "pass (every metric is an agg expression in a single agg; stack() "
+    "unpivots the 1-row result) — profiling cost ~ one scan "
+    "(operators/quality.py::profile_table).",
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.quality import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@query(
+    "orders_quality_checks",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH t AS (SELECT count(*) AS total FROM orders)
+    SELECT 'not_null:o_custkey' AS check, CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           (SELECT total FROM t) AS total,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed FROM orders
+    UNION ALL
+    SELECT 'enum:o_orderpriority',
+           CAST(sum(CASE WHEN o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+               THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT total FROM t),
+           sum(CASE WHEN o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+               THEN 1 ELSE 0 END) = 0 FROM orders
+    UNION ALL
+    SELECT 'non_negative:o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT total FROM t),
+           sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0 FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT),
+           (SELECT total FROM t),
+           coalesce(sum(n - 1), 0) = 0
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'contained:o_custkey',
+           CAST(count(*) AS BIGINT),
+           (SELECT total FROM t),
+           count(*) = 0
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    doc="Declared data-quality constraints with exact violation counts: "
+    "non-null, enum domain, and non-negative checks fold into one "
+    "aggregation pass; key uniqueness is a groupBy-count; referential "
+    "containment (orders.o_custkey in customer) is a broadcast left-anti "
+    "count (operators/quality.py::quality_checks).",
+)
+def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.quality import quality_checks
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return quality_checks(
+        orders,
+        unique_cols=["o_orderkey"],
+        not_null_cols=["o_custkey"],
+        enum_domains={
+            "o_orderpriority": [
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ]
+        },
+        non_negative_cols=["o_totalprice"],
+        contained_in={"o_custkey": (customer, "c_custkey")},
+    )

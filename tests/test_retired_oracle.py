@@ -70,6 +70,8 @@ def test_retired_set_is_the_expected_one():
         "multimodal_fake_features",
         "order_value_buckets",
         "orders_above_avg",
+        "orders_profile",
+        "orders_quality_checks",
         "token_vocab_coverage",
         "top_shingles_corpus",
     ]
