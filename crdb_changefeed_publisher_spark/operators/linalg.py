@@ -52,6 +52,70 @@ def pca_project(
     return emb.select(id_col, *outs)
 
 
+def pca_prefilter_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    k: int = 5,
+    n_candidates: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN with PCA prefiltering: candidates are the `n_candidates` nearest
+    per query in the k'-dim PROJECTED space (squared L2 on the codegen
+    projections — 4 dims instead of 64, so the coarse distance costs ~6%
+    of a full cosine and the scan reads 4 doubles/vector, not the
+    embedding), then exact cosine reranks the bounded candidate set.
+
+    Determinism contract (what keeps an approximate index value-verified):
+    coarse distances round to 6 with an id tiebreak, so the CANDIDATE SET
+    is reproducible on any engine; the rerank rounds + tiebreaks the same
+    way. Candidate recall is a function of how much variance the frozen
+    components capture — at scale the projected table is the thing you
+    store sorted/clustered, and n_candidates dials recall vs rerank cost.
+
+    Output matches the other top-k operators: (query_id, neighbor_id,
+    score, rnk).
+    """
+    from pyspark.sql import Window
+
+    from crdb_changefeed_publisher_spark.functions.vectors import as_double, cosine_arrow
+
+    kk = len(components)
+    qp = pca_project(queries, components, mean, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), *[F.col(f"p{i}").alias(f"q{i}") for i in range(kk)]
+    )
+    cp = pca_project(corpus, components, mean, vec_col, id_col)
+    d = None
+    for i in range(kk):
+        t = (F.col(f"q{i}") - F.col(f"p{i}")) * (F.col(f"q{i}") - F.col(f"p{i}"))
+        d = t if d is None else d + t
+    cand = (
+        cp.join(F.broadcast(qp), F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), F.round(d, 6).alias("dpca"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.col("dpca").asc(), F.col("neighbor_id").asc())
+    topc = (
+        cand.withColumn("crnk", F.row_number().over(w_c))
+        .filter(F.col("crnk") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qe"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ce"))
+    scored = (
+        topc.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_arrow(F.col("qe"), F.col("ce")).alias("score"))
+    )
+    w_r = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_r))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
 def gram_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(vectors) -> one row per (i, j): Gram entry ``sum_k x_ki * x_kj`` and
     covariance ``E[x_i x_j] - E[x_i] E[x_j]``, both rounded to 4.

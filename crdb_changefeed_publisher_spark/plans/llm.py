@@ -1451,6 +1451,60 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_topk_pca",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    proj AS (SELECT vec_id,
+           {_pca_project_sql()}
+    FROM embeddings),
+    qp AS (SELECT * FROM proj WHERE vec_id % 25 = 0),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round((q.p0-c.p0)*(q.p0-c.p0) + (q.p1-c.p1)*(q.p1-c.p1)
+                     + (q.p2-c.p2)*(q.p2-c.p2) + (q.p3-c.p3)*(q.p3-c.p3), 6) AS dpca
+        FROM qp q JOIN proj c ON q.vec_id <> c.vec_id
+    ),
+    topc AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dpca ASC, neighbor_id) AS crnk
+            FROM cand) WHERE crnk <= 50
+    ),
+    scored AS (
+        SELECT t.query_id, t.neighbor_id,
+               round(list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+                     6) AS score
+        FROM topc t
+        JOIN v q ON q.vec_id = t.query_id
+        JOIN v c ON c.vec_id = t.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= 5
+    """,
+    doc="ANN via PCA prefiltering: coarse top-50 per query by squared L2 in "
+    "the frozen 4-dim projected space (codegen per-row projections — the "
+    "coarse scan reads 4 doubles/vector, not the 64-dim embedding), exact "
+    "cosine rerank on the bounded candidates; coarse distances and scores "
+    "round-then-tiebreak so the approximate path stays value-verified "
+    "(operators/linalg.py::pca_prefilter_topk).",
+)
+def embedding_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.functions.pca_components import (
+        PCA_COMPONENTS,
+        PCA_MEAN,
+    )
+    from crdb_changefeed_publisher_spark.operators.linalg import pca_prefilter_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return pca_prefilter_topk(queries, emb, PCA_COMPONENTS, PCA_MEAN, k=5, n_candidates=50)
+
+
+@query(
     "doc_shuffle_layout",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle=f"""

@@ -61,6 +61,27 @@ def test_gram_covariance_matches_numpy(spark):
         assert got[(j, i)] == (g, c)
 
 
+def test_pca_prefilter_full_candidates_equals_bruteforce(spark, sf_dir):
+    """With n_candidates >= corpus size the PCA prefilter passes everything
+    through, so the exact rerank must reproduce brute-force top-k row for
+    row — the invariant separating 'approximate candidates' from 'wrong'."""
+    from crdb_changefeed_publisher_spark.functions.pca_components import (
+        PCA_COMPONENTS,
+        PCA_MEAN,
+    )
+    from crdb_changefeed_publisher_spark.operators.linalg import pca_prefilter_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    full = pca_prefilter_topk(
+        queries, emb, PCA_COMPONENTS, PCA_MEAN, k=5, n_candidates=10_000_000
+    )
+    bf = similarity.brute_force_topk(queries, emb, k=5)
+    got = {(r.query_id, r.rnk): (r.neighbor_id, r.score) for r in full.collect()}
+    want = {(r.query_id, r.rnk): (r.neighbor_id, r.score) for r in bf.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_pca_project_matches_numpy_and_orders_variance(spark, sf_dir):
     import numpy as np
 

@@ -61,6 +61,7 @@ def test_retired_set_is_the_expected_one():
         "embedding_gram_covariance",
         "embedding_hard_negatives",
         "embedding_pca_project",
+        "embedding_topk_pca",
         "embedding_topk_pq",
         "events_hourly_interp",
         "events_hourly_locf",
