@@ -258,3 +258,55 @@ def test_bmp_rejects_malformed():
     truncated = good[:-4]
     with pytest.raises(ValueError, match="raster shorter"):
         decode_image(truncated)
+
+
+def test_audio_spectrogram_sine_and_parseval(spark):
+    """A pure sine at FFT bin k must dominate every frame's spectrum, the
+    centroid must sit at that bin's frequency, and total_power must match
+    the time-domain energy (Parseval sanity through the whole
+    encode -> decode -> window -> rfft path)."""
+    from pyspark.sql import Row
+    from crdb_changefeed_publisher_spark.operators.multimodal import (
+        audio_spectrogram,
+        encode_audio,
+    )
+
+    rate, n_fft, k, n_frames = 16000, 256, 10, 4
+    t = np.arange(n_fft * n_frames)
+    sine = (10000 * np.sin(2 * np.pi * k * t / n_fft)).astype(np.int16)
+    payload = encode_audio(sine, rate)
+    df = spark.createDataFrame(
+        [Row(media_id=1, kind="audio", payload=bytearray(payload))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = audio_spectrogram(df, n_fft=n_fft).collect()
+    assert len(rows) == n_frames
+    mono = sine.astype(np.float64)
+    for r in rows:
+        assert r.dominant_bin == k
+        assert r.dominant_hz == pytest.approx(k * rate / n_fft)
+        # a pure tone's centroid is its own frequency (tiny leakage tolerance)
+        assert r.centroid_hz == pytest.approx(k * rate / n_fft, rel=0.01)
+        w = mono[r.frame_idx * n_fft : (r.frame_idx + 1) * n_fft]
+        assert r.total_power == pytest.approx((w * w).sum(), rel=1e-9)
+
+
+def test_audio_spectrogram_over_media_table(spark):
+    """Across the synthetic media table: only audio rows produce frames,
+    row count is exactly (WAV_FRAMES // n_fft) per audio payload, and the
+    output is deterministic across runs."""
+    from crdb_changefeed_publisher_spark.operators.multimodal import (
+        audio_spectrogram,
+        media_payloads,
+    )
+
+    ids = spark.range(8).selectExpr("id AS media_id")
+    media = media_payloads(ids)
+    n_fft = 128
+    rows = audio_spectrogram(media, n_fft=n_fft).collect()
+    audio_ids = {1, 3, 5, 7}
+    frames_per = WAV_FRAMES // n_fft
+    assert len(rows) == len(audio_ids) * frames_per
+    assert {r.media_id for r in rows} == audio_ids
+    again = audio_spectrogram(media, n_fft=n_fft).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
