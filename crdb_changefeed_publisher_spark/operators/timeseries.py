@@ -65,6 +65,48 @@ def resample_locf(
     )
 
 
+def rolling_zscore(
+    events: DataFrame,
+    window_rows: int = 20,
+    z_threshold: float = 3.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming-style anomaly flags: each observation's z-score against
+    the ROLLING mean/std of the preceding `window_rows` same-key
+    observations (strictly earlier rows only — no self-inclusion, no
+    lookahead, so the flag is causally computable on a live stream).
+
+    Rows whose preceding window has < 2 observations or zero variance get
+    z = NULL (cold start / constant signal — not enough evidence to call
+    an anomaly). Scale shape: one shuffle on the key, partition-local sort,
+    both window aggregates (sum, sumsq via one pass) share a single frame —
+    no second shuffle, no global window. Population std over the window =
+    sqrt(sumsq/n - mean^2), the same expression the oracle writes.
+
+    Output: (event_id, key, z rounded 4, is_anomaly).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-window_rows, -1)
+    )
+    n = F.count(value_col).over(w)
+    mean = F.sum(value_col).over(w) / n
+    msq = F.sum(F.col(value_col) * F.col(value_col)).over(w) / n
+    var = msq - mean * mean
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    z_ok = (n >= 2) & (var > 0)
+    return events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(key_col),
+        F.when(z_ok, F.round(z, 4)).alias("z"),
+        F.when(z_ok, F.abs(z) > z_threshold).otherwise(F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def resample_interpolate(
     events: DataFrame,
     every_seconds: int = 3600,

@@ -339,6 +339,40 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_rolling_zscore",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               count(value) OVER win AS n,
+               sum(value) OVER win AS s,
+               sum(value * value) OVER win AS sq
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN n >= 2 AND (sq / n - (s / n) * (s / n)) > 0
+                THEN round((value - s / n) / sqrt(sq / n - (s / n) * (s / n)), 4)
+           END AS z,
+           CASE WHEN n >= 2 AND (sq / n - (s / n) * (s / n)) > 0
+                THEN abs((value - s / n) / sqrt(sq / n - (s / n) * (s / n))) > 3.0
+                ELSE FALSE END AS is_anomaly
+    FROM w
+    """,
+    doc="Rolling z-score anomaly flags: each event scored against the mean/"
+    "std of its user's preceding 20 observations (strictly earlier rows — "
+    "causally computable on a live stream; cold-start/zero-variance rows "
+    "get NULL). One shuffle on the key, one shared window frame "
+    "(operators/timeseries.py::rolling_zscore).",
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.timeseries import rolling_zscore
+
+    return rolling_zscore(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "events_hourly_interp",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""

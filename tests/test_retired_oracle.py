@@ -66,6 +66,7 @@ def test_retired_set_is_the_expected_one():
         "events_hourly_interp",
         "events_hourly_locf",
         "events_purchase_click_pairs",
+        "events_rolling_zscore",
         "grouping_sets_revenue",
         "lang_mixture_weights",
         "multimodal_fake_features",

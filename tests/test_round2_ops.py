@@ -707,6 +707,28 @@ def test_resample_locf_handcrafted_gaps(spark):
     }
 
 
+def test_rolling_zscore_handcrafted(spark):
+    """Cold start -> NULL; constant window -> NULL (zero variance); a spike
+    after a stable run -> flagged; the window excludes the current row."""
+    from datetime import datetime
+
+    from crdb_changefeed_publisher_spark.operators.timeseries import rolling_zscore
+
+    base = datetime(2024, 1, 1)
+    vals = [10.0, 10.0, 12.0, 8.0, 10.0, 100.0, 10.0]
+    rows = [
+        (i, base.replace(minute=i), 1, v) for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r.event_id: (r.z, r.is_anomaly) for r in rolling_zscore(ev, window_rows=5).collect()}
+    assert got[0] == (None, False)          # empty window
+    assert got[1] == (None, False)          # n=1
+    assert got[2] == (None, False)          # window {10,10}: zero variance
+    assert got[3][1] is False               # 8 vs {10,10,12}: not extreme
+    assert got[5][1] is True and got[5][0] > 3   # 100 vs stable window
+    assert got[6][1] is False               # window now contains the spike
+
+
 def test_resample_interpolate_handcrafted_gaps(spark):
     """Gap buckets lerp between the neighboring observations (exact
     integer-ten-thousandths half-up); observed buckets keep their sum;
