@@ -1371,6 +1371,59 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_quality",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH ids AS (SELECT doc_id AS media_id FROM documents),
+    vals AS (
+        SELECT media_id, 'ppm' AS fmt, i,
+               CAST((media_id * 7 + i * 13) % 256 AS BIGINT) AS v
+        FROM ids, range(0, {16 * 12 * 3}) t(i) WHERE media_id % 8 = 0
+        UNION ALL
+        SELECT media_id, 'bmp', i, CAST((media_id * 3 + i * 7) % 256 AS BIGINT)
+        FROM ids, range(0, {16 * 12 * 3}) t(i) WHERE media_id % 8 = 4
+        UNION ALL
+        SELECT media_id, 'pgm', i, CAST((media_id * 5 + i * 3) % 256 AS BIGINT)
+        FROM ids, range(0, {16 * 12}) t(i) WHERE media_id % 4 = 2
+    ),
+    tot AS (
+        SELECT media_id, fmt, count(*) AS n, max(v) AS mx, min(v) AS mn
+        FROM vals GROUP BY 1, 2
+    ),
+    hist AS (SELECT media_id, fmt, v, count(*) AS c FROM vals GROUP BY 1, 2, 3),
+    ent AS (
+        SELECT h.media_id, h.fmt, -sum((c / n) * log2(c / n)) AS e
+        FROM hist h JOIN tot USING (media_id, fmt) GROUP BY 1, 2
+    ),
+    grad AS (
+        SELECT a.media_id, a.fmt, avg(abs(b.v - a.v)) AS g
+        FROM vals a JOIN vals b
+          ON b.media_id = a.media_id AND b.fmt = a.fmt AND b.i = a.i + 1
+        GROUP BY 1, 2
+    )
+    SELECT t.media_id, t.fmt, t.n AS n_values,
+           round(e, 4) AS entropy,
+           round(g, 4) AS grad_mean,
+           round((mx - mn) / 255.0, 4) AS contrast
+    FROM tot t
+    JOIN ent USING (media_id, fmt)
+    JOIN grad USING (media_id, fmt)
+    """,
+    doc="Image-quality gates from actually-decoded pixels: 256-bin Shannon "
+    "entropy, mean |consecutive raster difference| (sharpness/noise "
+    "proxy), and min-max contrast per image — payload bytes go through "
+    "the real PPM/PGM/BMP decoders and the oracle re-derives every pixel "
+    "from the closed-form fixture formulas "
+    "(operators/multimodal.py::image_quality_features).",
+)
+def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import multimodal
+
+    ids = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return multimodal.image_quality_features(multimodal.media_payloads(ids))
+
+
+@query(
     "embedding_gram_covariance",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""

@@ -310,3 +310,29 @@ def test_audio_spectrogram_over_media_table(spark):
     assert {r.media_id for r in rows} == audio_ids
     again = audio_spectrogram(media, n_fft=n_fft).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_image_quality_features_closed_forms(spark):
+    """Handcrafted payloads with known metrics: a constant image has zero
+    entropy/gradient/contrast; a 2-value checker stream has 1-bit entropy
+    and a computable gradient; a full ramp maxes contrast."""
+    from pyspark.sql import Row
+    from crdb_changefeed_publisher_spark.operators.multimodal import (
+        encode_image,
+        image_quality_features,
+    )
+
+    flat = np.full((4, 8), 7, dtype=np.uint8)                  # constant
+    checker = np.arange(32, dtype=np.uint8).reshape(4, 8) % 2 * 10  # 0,10 alternating
+    ramp = np.linspace(0, 255, 32).astype(np.uint8).reshape(4, 8)
+    rows = [
+        Row(media_id=i, kind="image", fmt="pgm", payload=bytearray(encode_image(a)))
+        for i, a in enumerate([flat, checker, ramp])
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, fmt string, payload binary")
+    got = {r.media_id: r for r in image_quality_features(df).collect()}
+    assert got[0].entropy == 0.0 and got[0].grad_mean == 0.0 and got[0].contrast == 0.0
+    assert got[1].entropy == 1.0          # two equiprobable values
+    assert got[1].grad_mean == 10.0       # every consecutive pair differs by 10
+    assert got[2].contrast == 1.0         # 0..255 span
+    assert got[2].entropy > 4.0           # many distinct values

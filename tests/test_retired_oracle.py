@@ -70,6 +70,7 @@ def test_retired_set_is_the_expected_one():
         "grouping_sets_revenue",
         "lang_mixture_weights",
         "multimodal_fake_features",
+        "multimodal_image_quality",
         "order_value_buckets",
         "orders_above_avg",
         "orders_profile",
