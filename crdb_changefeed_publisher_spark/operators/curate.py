@@ -204,6 +204,38 @@ DEFAULT_LANG_QUOTAS: dict[str, int] = {"en": 5}
 DEFAULT_QUOTA = 10  # non-listed languages keep everything
 
 
+def weighted_sample_k(
+    docs: DataFrame,
+    k: int,
+    weight: Column,
+    seed: str = "wsample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-k weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential race): each row gets priority ``-ln(u) / w`` with u the
+    seeded-hash uniform in (0,1) and w its weight; the k smallest
+    priorities are a weighted sample without replacement (row i wins
+    proportionally to w_i among remaining rows — the A-ES result). The
+    standard way to, e.g., sample documents proportionally to token count.
+
+    Deterministic and distributed exactly like `uniform_sample_k`: no
+    rand() state, reruns identical, and the k-smallest plans as
+    per-partition top-k + TakeOrderedAndProject — no global sort.
+    Priorities round to 10 decimals (relative scale ~1) with an id
+    tiebreak, so the selected set is reproducible on any engine despite
+    libm ln() differing in the last ulp.
+
+    Output: the sampled rows with their ``priority`` appended.
+    """
+    u = (_seeded_hash(seed, id_col).cast("double") + 1.0) / float(2**60 + 1)
+    pri = F.round(-F.log(u) / weight, 10)
+    return (
+        docs.withColumn("priority", pri)
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def shuffle_layout(
     docs: DataFrame,
     n_shards: int = 16,

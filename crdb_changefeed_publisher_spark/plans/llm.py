@@ -1586,6 +1586,41 @@ def doc_shuffle_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_weighted_sample",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens,
+               'wsample-v1:' || CAST(doc_id AS VARCHAR) AS s
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               round(-ln(({_seeded_hash_fold('s')} + 1.0) / {float(2**60 + 1)!r})
+                     / n_tokens, 10) AS priority
+        FROM seeded
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, priority
+    FROM p ORDER BY priority, doc_id LIMIT 200
+    """,
+    doc="Exact-k weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "exponential race, weight = token count): k smallest seeded "
+    "-ln(u)/w priorities — deterministic, rerun-identical, plans as "
+    "per-partition top-k + TakeOrderedAndProject "
+    "(operators/curate.py::weighted_sample_k).",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import curate, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.word_count(F.col("text")).cast("double")
+    out = curate.weighted_sample_k(docs.withColumn("_w", w), k=200, weight=F.col("_w"))
+    return out.select(
+        "doc_id", F.col("_w").cast("long").alias("n_tokens"), "priority"
+    )
+
+
+@query(
     "domain_mixture_sample",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle=f"""

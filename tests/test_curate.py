@@ -180,6 +180,30 @@ def test_domain_quota_scaled_identical(spark):
     assert any(r.n > pruned_cap for r in sizes), "fixture too small to exercise the prune"
 
 
+def test_weighted_sample_biases_deterministic_and_topk_planned(spark):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    from crdb_changefeed_publisher_spark.operators.text import word_count
+
+    w = word_count(F.col("text")).cast("double")
+    df = docs.withColumn("_w", w)
+    out = curate.weighted_sample_k(df, k=100, weight=F.col("_w"))
+    rows = out.collect()
+    assert len(rows) == 100
+    # weight-proportional selection must bias toward longer documents
+    sample_mean = sum(r._w for r in rows) / len(rows)
+    corpus_mean = df.agg(F.avg("_w")).collect()[0][0]
+    assert sample_mean > corpus_mean
+    # deterministic rerun; different seed gives a different set
+    again = {r.doc_id for r in curate.weighted_sample_k(df, k=100, weight=F.col("_w")).collect()}
+    other = {
+        r.doc_id
+        for r in curate.weighted_sample_k(df, k=100, weight=F.col("_w"), seed="s2").collect()
+    }
+    assert {r.doc_id for r in rows} == again != other
+    # k-smallest plans as distributed top-k, not a global sort
+    assert "TakeOrderedAndProject" in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_shuffle_layout_permutation_balance_and_seed(spark):
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     n = docs.count()

@@ -57,6 +57,7 @@ def test_retired_set_is_the_expected_one():
         "doc_seq_packing",
         "doc_shuffle_layout",
         "doc_train_split",
+        "doc_weighted_sample",
         "domain_mixture_sample",
         "embedding_gram_covariance",
         "embedding_hard_negatives",
