@@ -339,6 +339,63 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    )
+    SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM v
+    UNION ALL SELECT 2, 'click', count(*) FROM c
+    UNION ALL SELECT 3, 'purchase', count(*) FROM p
+    """,
+    doc="Ordered funnel analysis: users completing view -> click -> "
+    "purchase IN TIMESTAMP ORDER (each step strictly after the user's "
+    "earliest qualifying prior step — the earliest-qualifying-event rule "
+    "maximizes completion counts). Three partial-agg min(ts) passes "
+    "chained by equi-joins on user_id — no window, no per-user sort, no "
+    "sequence explode (plans/events.py::events_funnel).",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None, t_col: str, out_col: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(t_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    steps = [
+        v.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(1).alias("step"), F.lit("view").alias("event_type"), "users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(2).alias("step"), F.lit("click").alias("event_type"), "users"
+        ),
+        p.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(3).alias("step"), F.lit("purchase").alias("event_type"), "users"
+        ),
+    ]
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@query(
     "events_rolling_zscore",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""

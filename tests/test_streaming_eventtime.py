@@ -150,6 +150,40 @@ def test_stream_stream_join_with_watermarks(spark, sf_dir, events_stream_dir):
     assert len(got) >= len(want) * 0.9
 
 
+def test_funnel_ordering_semantics(spark):
+    """Handcrafted users: completes in order / right events wrong order /
+    stops mid-funnel — only the ordered completion advances all 3 steps."""
+    from datetime import datetime
+
+    from crdb_changefeed_publisher_spark.plans.events import events_funnel
+    from crdb_changefeed_publisher_spark import plans
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1: view < click < purchase -> completes
+        (1, base.replace(hour=1), 1, "view", 0.0, "{}"),
+        (2, base.replace(hour=2), 1, "click", 0.0, "{}"),
+        (3, base.replace(hour=3), 1, "purchase", 0.0, "{}"),
+        # user 2: purchase BEFORE click -> stops at step 2
+        (4, base.replace(hour=1), 2, "view", 0.0, "{}"),
+        (5, base.replace(hour=3), 2, "click", 0.0, "{}"),
+        (6, base.replace(hour=2), 2, "purchase", 0.0, "{}"),
+        # user 3: no view -> never enters the funnel
+        (7, base.replace(hour=1), 3, "click", 0.0, "{}"),
+        (8, base.replace(hour=2), 3, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    spec = plans.get_spec("events_funnel")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    for t in ("events",):
+        ev.write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+    got = {r.step: r.users for r in spec.fn(spark, d).collect()}
+    assert got == {1: 2, 2: 2, 3: 1}
+
+
 def test_streaming_incremental_dedup_on_ingest(spark, sf_dir, tmp_path):
     """Dedup-on-ingest: a stream of arriving documents is deduped
     within-stream (watermark-scoped state on the content hash) and
