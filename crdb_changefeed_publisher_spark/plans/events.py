@@ -396,6 +396,73 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_retention_cohorts",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id,
+               CAST(epoch_us(min(ts)) // (86400000000 * 7) AS BIGINT) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               CAST(epoch_us(e.ts) // (86400000000 * 7) AS BIGINT) - c.cohort_week
+                   AS week_offset
+        FROM events e JOIN cohort c ON c.user_id = e.user_id
+        WHERE epoch_us(e.ts) // (86400000000 * 7) >= c.cohort_week
+    ),
+    sizes AS (SELECT cohort_week, count(*) AS cohort_users FROM cohort GROUP BY 1)
+    SELECT a.cohort_week, a.week_offset,
+           count(*) AS active_users,
+           s.cohort_users,
+           round(count(*) / CAST(s.cohort_users AS DOUBLE), 4) AS retention
+    FROM activity a JOIN sizes s ON s.cohort_week = a.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_users
+    """,
+    doc="Cohort retention: users grouped by first-signup epoch-week, then "
+    "the share of each cohort active in week N after signup. Shapes: one "
+    "partial-agg min per user for cohort assignment, a distinct on (user, "
+    "week) — both shuffle on user_id and reuse the exchange — and a "
+    "broadcast-size cohort-sizes join; epoch-week arithmetic is exact "
+    "integer division on both engines (plans/events.py).",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week_us = 86400000000 * 7
+    week = lambda c: F.floor(F.unix_micros(c) / week_us).cast("long")  # noqa: E731
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(week(F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(cohort, "user_id")
+        .filter(week(F.col("ts")) >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_users"))
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.round(F.col("active_users") / F.col("cohort_users").cast("double"), 4).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@query(
     "events_rolling_zscore",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""

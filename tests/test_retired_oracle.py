@@ -68,6 +68,7 @@ def test_retired_set_is_the_expected_one():
         "events_hourly_interp",
         "events_hourly_locf",
         "events_purchase_click_pairs",
+        "events_retention_cohorts",
         "events_rolling_zscore",
         "grouping_sets_revenue",
         "lang_mixture_weights",
