@@ -367,32 +367,59 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence explode (plans/events.py::events_funnel).",
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from crdb_changefeed_publisher_spark.operators.funnel import funnel_counts
 
-    def first_after(event_type: str, prev: DataFrame | None, t_col: str, out_col: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == event_type)
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(t_col))
-        return e.groupBy("user_id").agg(F.min("ts").alias(out_col))
+    return funnel_counts(load_table(spark, sf_dir, "events"), ["view", "click", "purchase"])
 
-    v = first_after("view", None, "", "t1")
-    c = first_after("click", v, "t1", "t2")
-    p = first_after("purchase", c, "t2", "t3")
-    steps = [
-        v.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(1).alias("step"), F.lit("view").alias("event_type"), "users"
-        ),
-        c.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(2).alias("step"), F.lit("click").alias("event_type"), "users"
-        ),
-        p.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(3).alias("step"), F.lit("purchase").alias("event_type"), "users"
-        ),
-    ]
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out
+
+@query(
+    "events_funnel_windowed",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s1 p ON p.user_id = e.user_id
+        WHERE e.event_type = 'view' AND e.ts > p.t
+          AND epoch_us(e.ts) - epoch_us(p.t) <= 604800000000
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s2 p ON p.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > p.t
+          AND epoch_us(e.ts) - epoch_us(p.t) <= 604800000000
+        GROUP BY 1
+    ),
+    s4 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s3 p ON p.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > p.t
+          AND epoch_us(e.ts) - epoch_us(p.t) <= 604800000000
+        GROUP BY 1
+    )
+    SELECT 1 AS step, 'signup' AS event_type, count(*) AS users FROM s1
+    UNION ALL SELECT 2, 'view', count(*) FROM s2
+    UNION ALL SELECT 3, 'click', count(*) FROM s3
+    UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+    """,
+    doc="Gap-windowed 4-step funnel (signup -> view -> click -> purchase, "
+    "each step within 7 days of the previous): the parameterized form of "
+    "events_funnel — greedy earliest-qualifying semantics (the standard "
+    "windowFunnel trade, documented), N chained partial-agg min(ts) "
+    "passes, exact integer-microsecond gap predicate "
+    "(operators/funnel.py::funnel_counts).",
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        load_table(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+        max_gap_seconds=7 * 86400,
+    )
 
 
 @query(

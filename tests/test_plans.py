@@ -103,6 +103,39 @@ def test_session_caches_are_shared_and_keyed(spark, sf_dir):
         assert "InMemoryTableScan" in plan, q
 
 
+def test_plan_digest_ceilings_for_shape_critical_queries(spark, sf_dir):
+    """Regression gate on PLAN SHAPE, not timing: for queries whose whole
+    value is their shuffle/broadcast structure, pin a ceiling on exchange
+    count and a floor on broadcast joins (from docs/PLANS.md's committed
+    digest, with headroom for AQE variation). A Spark upgrade or operator
+    edit that silently adds shuffles or drops a broadcast fails here
+    before it costs anything at scale."""
+    import re
+
+    # query -> (max exchanges, min broadcast joins)
+    ceilings = {
+        "cdc_envelopes": (0, 0),          # pure map over the scan
+        "q1_pricing_summary": (2, 0),     # one partial-agg shuffle (+AQE read)
+        "q5_region_revenue": (3, 4),      # star join: dims broadcast, never shuffled
+        "doc_decontamination": (6, 1),    # benchmark set must broadcast
+        "salted_skew_agg": (3, 0),        # two-phase salted agg
+        "top_expensive_orders": (0, 0),   # TakeOrderedAndProject, no exchange
+    }
+    problems = []
+    for name, (max_exch, min_bcast) in ceilings.items():
+        df = plans.all_specs()[name].fn(spark, sf_dir)
+        df.collect()  # drive AQE to the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        exch = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
+        bcast = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
+        if exch > max_exch:
+            problems.append(f"{name}: {exch} exchanges (ceiling {max_exch})")
+        if bcast < min_bcast:
+            problems.append(f"{name}: {bcast} broadcast joins (floor {min_bcast})")
+    assert not problems, problems
+
+
 def test_no_plan_smells_across_entire_registry(spark, sf_dir):
     """Registry-wide invariant: no query's physical plan may contain a
     CartesianProduct (the only nested-loop joins allowed are broadcast

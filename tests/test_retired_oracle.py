@@ -65,6 +65,7 @@ def test_retired_set_is_the_expected_one():
         "embedding_topk_pca",
         "embedding_topk_pq",
         "events_funnel",
+        "events_funnel_windowed",
         "events_hourly_interp",
         "events_hourly_locf",
         "events_purchase_click_pairs",

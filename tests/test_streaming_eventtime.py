@@ -184,6 +184,41 @@ def test_funnel_ordering_semantics(spark):
     assert got == {1: 2, 2: 2, 3: 1}
 
 
+def test_funnel_gap_window_drops_late_steps(spark):
+    """A step completed outside the max-gap window does not advance the
+    funnel, and the greedy-earliest anchor is the one the gap measures
+    from (user 2's purchase is within gap of their SECOND click, but the
+    funnel anchors on the earliest qualifying click — documented greedy
+    contract)."""
+    from datetime import datetime, timedelta
+
+    from crdb_changefeed_publisher_spark.operators.funnel import funnel_counts
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1: click 1h after view, purchase 1h later -> completes
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + timedelta(hours=1), 1, "click", 0.0, "{}"),
+        (3, base + timedelta(hours=2), 1, "purchase", 0.0, "{}"),
+        # user 2: click at +1h (in gap), second click +30h, purchase +31h
+        # -> purchase is 30h after the EARLIEST click -> dropped by 24h gap
+        (4, base, 2, "view", 0.0, "{}"),
+        (5, base + timedelta(hours=1), 2, "click", 0.0, "{}"),
+        (6, base + timedelta(hours=30), 2, "click", 0.0, "{}"),
+        (7, base + timedelta(hours=31), 2, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        r.step: r.users
+        for r in funnel_counts(
+            ev, ["view", "click", "purchase"], max_gap_seconds=24 * 3600
+        ).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1}
+
+
 def test_streaming_incremental_dedup_on_ingest(spark, sf_dir, tmp_path):
     """Dedup-on-ingest: a stream of arriving documents is deduped
     within-stream (watermark-scoped state on the content hash) and
