@@ -228,6 +228,57 @@ def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank iteration as a CTE (mirrors operators/graph.py)."""
+    return f"""{cur} AS (
+        SELECT n.node, 0.15 + 0.85 * coalesce(s.inflow, 0.0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / d.out_deg) AS inflow
+            FROM e JOIN deg d USING (src) JOIN {prev} r ON r.node = e.src
+            GROUP BY 1
+        ) s USING (node)
+    )"""
+
+
+@query(
+    "supplier_customer_pagerank",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+    {_pagerank_iter_sql('r0', 'r1')},
+    {_pagerank_iter_sql('r1', 'r2')},
+    {_pagerank_iter_sql('r2', 'r3')}
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+    doc="Iterative graph algorithm as repeated join-aggregate rounds: "
+    "3-iteration PageRank over the supplier -> customer shipment graph "
+    "(edges from lineitem x orders; customer ids offset so the bipartite "
+    "node spaces stay disjoint). Each iteration is one equi-join of the "
+    "edge list against the small (node, rank) state + one partial-agg sum "
+    "on dst; fixed iterations unroll into exact arithmetic the oracle "
+    "replays CTE by CTE (operators/graph.py::pagerank).",
+)
+def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.graph import pagerank
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+    )
+    return pagerank(edges, n_iter=3)
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
 
 

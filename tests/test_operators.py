@@ -36,6 +36,31 @@ def test_jaccard_identical_docs_score_1(spark):
     assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_pagerank_hand_computed_and_checkpoint_path(spark):
+    from pyspark.sql import Row
+    from crdb_changefeed_publisher_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src="A", dst="B"), Row(src="A", dst="C"), Row(src="B", dst="C"),
+         Row(src="A", dst="B")]  # duplicate edge must not double-count
+    )
+    one = {r.node: r.rank for r in pagerank(edges, n_iter=1).collect()}
+    # A: no inflow; B: A's rank/outdeg(2); C: A/2 + B/1
+    assert one == {
+        "A": 0.15,
+        "B": round(0.15 + 0.85 * 0.5, 6),
+        "C": round(0.15 + 0.85 * 1.5, 6),
+    }
+    plain = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    ckpt = {
+        r.node: r.rank
+        for r in pagerank(edges, n_iter=3, checkpoint_every=1).collect()
+    }
+    assert plain == ckpt
+    # sink C accumulates the most rank; source A keeps the floor
+    assert plain["C"] > plain["B"] > plain["A"] == 0.15
+
+
 def test_gram_covariance_matches_numpy(spark):
     import numpy as np
 
