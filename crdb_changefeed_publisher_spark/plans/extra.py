@@ -228,6 +228,44 @@ def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zvalue_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB rendering of operators/layout.py::zvalue (same shift/mask
+    interleave, term for term)."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(((CAST({a} AS BIGINT) >> {i}) & 1) << {2 * i + 1})"
+            f" + (((CAST({b} AS BIGINT) >> {i}) & 1) << {2 * i})"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "orders_zorder_key",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           {_zvalue_sql('o_custkey', 'o_orderkey % 65536')} AS z
+    FROM orders
+    """,
+    doc="Z-order clustering key: bit-interleave of (custkey, orderkey) — "
+    "the write-layout primitive that makes parquet min/max stats prune on "
+    "EITHER filtered column (files become rectangles in key space). Pure "
+    "codegen shifts/masks, no UDF; the layout writer "
+    "(operators/layout.py::write_zordered) range-partitions + sorts on "
+    "this key, and the pruning effect is measured in tests/test_layout.py.",
+)
+def orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.layout import zvalue
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        zvalue(F.col("o_custkey"), F.col("o_orderkey") % 65536).alias("z"),
+    )
+
+
 def _pagerank_iter_sql(prev: str, cur: str) -> str:
     """One unrolled PageRank iteration as a CTE (mirrors operators/graph.py)."""
     return f"""{cur} AS (

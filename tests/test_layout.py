@@ -1,0 +1,71 @@
+"""Z-order layout: the point is MEASURABLE file pruning — after
+write_zordered, a selective filter on EITHER column must touch a strict
+subset of files (parquet footer min/max), which a single-column sort
+cannot deliver for the second column."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.operators.layout import write_zordered, zvalue
+from crdb_changefeed_publisher_spark.tables import load_table
+
+
+def _file_ranges(out: str, col: str) -> list[tuple[int, int]]:
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    return ranges
+
+
+def _files_matching(ranges: list[tuple[int, int]], lo: int, hi: int) -> int:
+    return sum(1 for (a, b) in ranges if not (b < lo or a > hi))
+
+
+def test_zvalue_bit_interleave_properties(spark):
+    df = spark.range(256).selectExpr("id % 16 AS a", "CAST(id / 16 AS LONG) AS b")
+    rows = df.select("a", "b", zvalue(F.col("a"), F.col("b"), bits=4).alias("z")).collect()
+    # bijective on the 4-bit x 4-bit grid, and matches the Python interleave
+    zs = {r.z for r in rows}
+    assert len(zs) == 256 and min(zs) == 0 and max(zs) == 255
+    for r in rows:
+        expect = sum(((r.a >> i) & 1) << (2 * i + 1) | ((r.b >> i) & 1) << (2 * i) for i in range(4))
+        assert r.z == expect
+
+
+def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
+    # uniform 2-d grid so clustering quality is measurable
+    df = spark.range(64_000).selectExpr(
+        "id AS rowid", "CAST(id % 256 AS LONG) AS x", "CAST((id * 37) % 256 AS LONG) AS y"
+    )
+    zdir = str(tmp_path / "zorder")
+    write_zordered(df, zdir, "x", "y", num_files=16, bits=8)
+    sdir = str(tmp_path / "sorted_x")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+    # nothing lost
+    assert spark.read.parquet(zdir).count() == 64_000
+
+    for col in ("x", "y"):
+        zr = _file_ranges(zdir, col)
+        assert len(zr) == 16
+        # a 1/8th-of-domain filter must skip files on BOTH columns
+        assert _files_matching(zr, 0, 31) < 16, col
+    # the x-sorted layout prunes x but CANNOT prune y (every file spans y)
+    sr_y = _file_ranges(sdir, "y")
+    assert _files_matching(sr_y, 0, 31) == len(sr_y)
+    # z-order beats it on y
+    assert _files_matching(_file_ranges(zdir, "y"), 0, 31) < len(sr_y)

@@ -79,6 +79,7 @@ def test_retired_set_is_the_expected_one():
         "orders_above_avg",
         "orders_profile",
         "orders_quality_checks",
+        "orders_zorder_key",
         "supplier_customer_pagerank",
         "token_vocab_coverage",
         "top_shingles_corpus",
