@@ -385,6 +385,48 @@ def repetition_signals(
     return out.withColumn("repetitive", flag)
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (``tf * ln(n_docs / df)``,
+    raw term counts, no sublinear scaling — the portable textbook form).
+
+    Shapes: one explode + partial-agg count for per-(doc, term) tf; one
+    partial-agg distinct-doc count per term for df (shuffle key is the
+    term, values pre-reduced map-side); n_docs is a 1-row broadcast;
+    ranking is a per-doc window (partitioned — no global window) with
+    round-then-(term)-tiebreak so the top-k set is deterministic on any
+    engine. IDF uses n_docs/df unsmoothed: every df <= n_docs here, and
+    the oracle replays ln() bit-for-bit.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )
+
+
 def token_vocab(
     docs: DataFrame, top_v: int = 100, text_col: str = "text"
 ) -> DataFrame:

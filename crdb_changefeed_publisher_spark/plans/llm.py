@@ -1247,6 +1247,36 @@ def doc_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_tfidf_top_terms",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN dft USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, tfidf, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="TF-IDF top-5 terms per document (textbook tf * ln(N/df)): one "
+    "explode + per-(doc,term) partial-agg count, per-term distinct-doc "
+    "count, 1-row broadcast corpus size, per-doc ranking window with "
+    "round-then-term tiebreak (operators/text.py::tfidf_top_terms).",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@query(
     "doc_budget_selection",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""

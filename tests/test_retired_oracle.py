@@ -56,6 +56,7 @@ def test_retired_set_is_the_expected_one():
         "doc_pii_scrub",
         "doc_seq_packing",
         "doc_shuffle_layout",
+        "doc_tfidf_top_terms",
         "doc_train_split",
         "doc_weighted_sample",
         "domain_mixture_sample",
