@@ -427,6 +427,112 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag-of-words query.
+
+    ``score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * |d|/avgdl))``
+    with the standard smoothed idf ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+
+    Shapes: the query is a HANDFUL of terms, so the per-(doc, term) tf
+    frame filters to query terms BEFORE any shuffle (predicate on the
+    exploded stream — at 100 TB this is the difference between indexing
+    the corpus and scoring a query); doc lengths are one partial agg;
+    (N, avgdl, df per query term) are broadcast-sized. Scores round to 6
+    with an id tiebreak for a deterministic top-k on any engine.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("term"),
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qw = words.filter(F.col("term").isin(query_terms))
+    tf = qw.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = qw.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def boilerplate_report(
+    docs: DataFrame,
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate detection (the C4-style curation gate): a sentence is
+    boilerplate when its normalized form appears in >= `min_docs` DISTINCT
+    documents (license headers, nav text, templated intros). Output: one
+    row per document — sentence count, boilerplate-sentence count, and
+    the boilerplate fraction a curation pipeline thresholds on.
+
+    Shapes: one explode on '. ' + lowercase/trim normalize; the
+    distinct-doc count per sentence groups on sha2 of the sentence (the
+    32-byte-key trick — at 100 TB the shuffle carries hashes, not
+    sentences); the flagged set joins back by the same hash. Two
+    partial-agg shuffles + one equi-join, nothing quadratic.
+    """
+    sent = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\\. ")).alias("_s"),
+    ).select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("_s"))), 256).alias("_sk")
+    )
+    hot = (
+        sent.select("doc_id", "_sk")
+        .distinct()
+        .groupBy("_sk")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_sk", F.lit(1).alias("_hot"))
+    )
+    return (
+        sent.join(hot, "_sk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_sentences"), 4).alias("boiler_frac"),
+        )
+    )
+
+
 def token_vocab(
     docs: DataFrame, top_v: int = 100, text_col: str = "text"
 ) -> DataFrame:

@@ -1277,6 +1277,73 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_boilerplate_report",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH sent AS (
+        SELECT doc_id, lower(trim(s)) AS sk
+        FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM documents)
+    ),
+    hot AS (
+        SELECT sk FROM (
+            SELECT sk, count(DISTINCT doc_id) AS nd FROM sent GROUP BY 1
+        ) WHERE nd >= 10
+    )
+    SELECT s.doc_id,
+           count(*) AS n_sentences,
+           CAST(sum(CASE WHEN h.sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+           round(sum(CASE WHEN h.sk IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS boiler_frac
+    FROM sent s LEFT JOIN hot h ON h.sk = s.sk
+    GROUP BY s.doc_id
+    """,
+    doc="Boilerplate detection (C4-style gate): sentences whose normalized "
+    "form appears in >= 10 distinct documents are flagged; per-doc "
+    "boilerplate fraction for threshold-based dropping. Sentence identity "
+    "shuffles as sha2 hashes, never the text "
+    "(operators/text.py::boilerplate_report).",
+)
+def doc_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.boilerplate_report(load_table(spark, sf_dir, "documents"), min_docs=10)
+
+
+@query(
+    "doc_bm25_search",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qw AS (SELECT * FROM words WHERE term IN ('merge', 'join', 'hash')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qw GROUP BY 1, 2),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM qw GROUP BY 1),
+    per_term AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * (1.2 + 1))
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), 6) AS score
+    FROM per_term GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="Okapi BM25 retrieval (query 'merge join hash', k1=1.2 b=0.75, "
+    "smoothed idf): query-term filter lands BEFORE any shuffle on the "
+    "exploded stream, doc lengths partial-agg, (N, avgdl, df) broadcast; "
+    "deterministic top-10 via round + id tiebreak "
+    "(operators/text.py::bm25_scores).",
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_scores(
+        load_table(spark, sf_dir, "documents"), ["merge", "join", "hash"], k=10
+    )
+
+
+@query(
     "doc_budget_selection",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""

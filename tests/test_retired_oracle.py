@@ -52,6 +52,8 @@ def test_retired_set_is_the_expected_one():
         "cdc_upsert_view",
         "dedup_incremental",
         "dedup_minhash_lsh",
+        "doc_bm25_search",
+        "doc_boilerplate_report",
         "doc_budget_selection",
         "doc_pii_scrub",
         "doc_seq_packing",
