@@ -184,6 +184,64 @@ def test_funnel_ordering_semantics(spark):
     assert got == {1: 2, 2: 2, 3: 1}
 
 
+def test_funnel_property_vs_python_reference(spark):
+    """Random event tapes vs a straightforward per-user greedy simulation:
+    step counts must agree for both the unwindowed and gap-windowed forms
+    (ties, duplicate events, and missing steps included)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from crdb_changefeed_publisher_spark.operators.funnel import funnel_counts
+
+    STEPS = ["view", "click", "purchase"]
+    ev_st = st.tuples(
+        st.integers(0, 3),                            # user
+        st.integers(0, 20),                           # second offset
+        st.sampled_from(STEPS + ["other"]),           # type
+    )
+
+    def ref(events, max_gap):
+        from collections import defaultdict
+
+        per_user = defaultdict(list)
+        for u, t, ty in events:
+            per_user[u].append((t, ty))
+        counts = [0] * len(STEPS)
+        for evs in per_user.values():
+            prev_t = None
+            for i, step in enumerate(STEPS):
+                cand = [
+                    t
+                    for t, ty in evs
+                    if ty == step
+                    and (prev_t is None
+                         or (t > prev_t and (max_gap is None or t - prev_t <= max_gap)))
+                ]
+                if not cand:
+                    break
+                prev_t = min(cand)
+                counts[i] += 1
+        return {i + 1: c for i, c in enumerate(counts) if c > 0}
+
+    @given(st.lists(ev_st, min_size=1, max_size=25), st.sampled_from([None, 5]))
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    def check(events, max_gap):
+        rows = [
+            (i, u, ty, float(t))  # ts carried via value seconds below
+            for i, (u, t, ty) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, sec double"
+        ).withColumn("ts", F.timestamp_seconds(F.col("sec") + 3600)).drop("sec")
+        got = {
+            r.step: r.users
+            for r in funnel_counts(df, STEPS, max_gap_seconds=max_gap).collect()
+            if r.users > 0
+        }
+        assert got == ref(events, max_gap)
+
+    check()
+
+
 def test_funnel_gap_window_drops_late_steps(spark):
     """A step completed outside the max-gap window does not advance the
     funnel, and the greedy-earliest anchor is the one the gap measures
