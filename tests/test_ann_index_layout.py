@@ -11,6 +11,44 @@ from pyspark.sql import functions as F
 from tools.build_ann_index import build_index, load_index
 
 
+def test_ivf_query_served_from_disk_index_matches_in_memory(spark, tmp_path):
+    """The full story: the SAME IVF top-k query answered from the on-disk
+    cell-partitioned index must return exactly the rows the in-memory
+    encode pass produces — the layout changes where bytes live, never the
+    answer."""
+    from crdb_changefeed_publisher_spark.functions.codebooks import (
+        CELL_CENTROIDS,
+        PQ_CODEBOOKS,
+    )
+    from crdb_changefeed_publisher_spark.operators.similarity import (
+        encode_learned,
+        ivf_topk,
+    )
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = str(tmp_path / "idx")
+    build_index(spark, sf_dir, out)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    mem_idx = encode_learned(emb, CELL_CENTROIDS, PQ_CODEBOOKS)
+    want = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.score)
+        for r in ivf_topk(
+            queries, emb, k=5, n_probe=4,
+            cell_centroids=CELL_CENTROIDS, encoded=mem_idx,
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.score)
+        for r in ivf_topk(
+            queries, emb, k=5, n_probe=4,
+            cell_centroids=CELL_CENTROIDS, encoded=load_index(spark, out),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_index_roundtrip_and_partition_pruned_probe(spark, tmp_path):
     out = str(tmp_path / "ann_index")
     sf_dir = "/root/testdata/sf0.001"
