@@ -197,3 +197,35 @@ def semi_structured_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("json_type").alias("kind"), "key", "n_events", "avg_val", "max_val")
     )
     return map_side.unionByName(json_side)
+
+
+@query(
+    "events_variant_stats",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="VARIANT-native semi-structured access (Spark 4 VariantType): props "
+    "parse once into the binary variant encoding and fields extract with "
+    "typed variant_get — the engine path that replaces repeated "
+    "get_json_object string re-parses; downstream aggregation is ordinary "
+    "codegen. The oracle reads the same JSON with DuckDB's JSON functions.",
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
