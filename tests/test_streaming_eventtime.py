@@ -12,6 +12,7 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -316,6 +317,35 @@ def test_streaming_incremental_dedup_on_ingest(spark, sf_dir, tmp_path):
     # same CONTENT set survives (which copy's doc_id wins differs by batch
     # arrival order — content identity is the dedup contract)
     assert got_keys == want_keys and len(want_keys) > 0
+
+
+def test_batch_session_window_matches_gaps_and_islands(spark, sf_dir):
+    """Cross-validate the repo's gaps-and-islands sessionization against
+    Spark's native session_window in BATCH mode. Boundary semantics
+    differ by one instant — session_window starts a new session when the
+    gap >= the window size, the registered query when it is strictly
+    greater — so the reference here uses the >= rule; on gaps that never
+    land exactly on 1800.000000 s the two agree everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("double")).over(w)
+    manual = (
+        ev.withColumn(
+            "new_s",
+            F.when(prev.isNull() | ((F.col("ts").cast("double") - prev) >= 1800), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in native.collect()}
+    want = {r.user_id: (r.n_sessions, r.n_events) for r in manual.collect()}
+    assert got == want and len(want) > 0
 
 
 def test_stream_static_dimension_enrichment(spark, sf_dir, events_stream_dir):
