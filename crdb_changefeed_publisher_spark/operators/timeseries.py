@@ -65,6 +65,52 @@ def resample_locf(
     )
 
 
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """EXACT weighted median per group: the smallest value whose cumulative
+    weight (in ascending value order) reaches half the group's total — the
+    robust center a quality pipeline uses when observations carry
+    importance weights (e.g. token counts) and approx_percentile's error
+    bound is not acceptable.
+
+    Shape: one shuffle on the group key; the cumulative weight is a
+    partition-local window over the group (groups are assumed
+    window-partition-sized — for a single 100 TB group use the two-phase
+    range construction in functions/ranks.py, same as pack_sequences).
+    Deterministic tiebreak: ascending (value, then any stable column) via
+    min() over qualifying rows.
+
+    Output: (group, total_weight, weighted_median).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(group_col)
+    cum = F.sum(weight_col).over(w)
+    total = F.sum(weight_col).over(tot)
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(value_col),
+            cum.alias("_cum"),
+            total.alias("_tot"),
+        )
+        .filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(group_col)
+        .agg(
+            F.min(value_col).alias("weighted_median"),
+            F.min("_tot").alias("total_weight"),
+        )
+        .select(group_col, "total_weight", "weighted_median")
+    )
+
+
 def rolling_zscore(
     events: DataFrame,
     window_rows: int = 20,

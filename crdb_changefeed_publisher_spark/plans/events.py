@@ -490,6 +490,44 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_weighted_median",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH base AS (
+        SELECT event_type, value,
+               CAST(json_extract_string(props, '$.k') AS INT) + 1 AS w
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, value,
+               sum(w) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(w) OVER (PARTITION BY event_type) AS tot
+        FROM base
+    )
+    SELECT event_type, CAST(min(tot) AS BIGINT) AS total_weight,
+           min(value) AS weighted_median
+    FROM c WHERE cum * 2 >= tot GROUP BY event_type
+    """,
+    doc="Exact weighted median per event type (weight = props.k + 1): the "
+    "smallest value whose cumulative weight reaches half the group total "
+    "— one shuffle on the group key, a group-local cumulative-weight "
+    "window, tie-invariant by construction "
+    "(operators/timeseries.py::weighted_median).",
+)
+def events_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.timeseries import weighted_median
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        (F.get_json_object("props", "$.k").cast("int") + 1).alias("w"),
+    )
+    return weighted_median(base, "event_type", "value", "w")
+
+
+@query(
     "events_rolling_zscore",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""

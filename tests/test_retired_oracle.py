@@ -75,6 +75,7 @@ def test_retired_set_is_the_expected_one():
         "events_retention_cohorts",
         "events_rolling_zscore",
         "events_variant_stats",
+        "events_weighted_median",
         "grouping_sets_revenue",
         "lang_mixture_weights",
         "multimodal_fake_features",

@@ -707,6 +707,27 @@ def test_resample_locf_handcrafted_gaps(spark):
     }
 
 
+def test_weighted_median_handcrafted(spark):
+    """Known answers: weights pull the median toward the heavy value; a
+    group where half the weight sits exactly on the boundary picks the
+    boundary value (cum*2 >= tot, smallest qualifying)."""
+    from pyspark.sql import Row
+    from crdb_changefeed_publisher_spark.operators.timeseries import weighted_median
+
+    rows = [
+        # group a: values 1,2,3 weights 1,1,10 -> median 3 (10/12 of weight)
+        Row(g="a", v=1.0, w=1), Row(g="a", v=2.0, w=1), Row(g="a", v=3.0, w=10),
+        # group b: values 1,2 weights 1,1 -> cum at v=1 is 1, tot 2 -> 1 qualifies
+        Row(g="b", v=1.0, w=1), Row(g="b", v=2.0, w=1),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.g: (r.total_weight, r.weighted_median)
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    assert got == {"a": (12, 3.0), "b": (2, 1.0)}
+
+
 def test_rolling_zscore_handcrafted(spark):
     """Cold start -> NULL; constant window -> NULL (zero variance); a spike
     after a stable run -> flagged; the window excludes the current row."""
