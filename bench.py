@@ -54,6 +54,50 @@ def calibration_probe(spark) -> float:
     return min(once(), once(), once())
 
 
+# Idle costs of the round-6 probes (same measurement protocol as
+# CALIBRATION_IDLE_SEC: min over repeats in a quiet window, local[32]).
+# Round 5's lesson: a suite can run 1.6x slow UNIFORMLY (every sub-second
+# query, dedup and TPC-H alike) while the CPU probe reads 0.75 — the CPU
+# probe saturates all cores with one codegen'd job and so is blind to
+# per-job scheduling latency and Python-worker/Arrow round-trip cost, which
+# dominate sub-second queries. Three probes = three failure axes readable
+# separately (docs/SCALE.md "Round-6 measured A/B").
+JOB_OVERHEAD_IDLE_SEC = 0.04  # per tiny 32-task job (measured r6: 0.040-0.047)
+PYWORKER_IDLE_SEC = 0.60  # fixed pandas-UDF job (measured r6: 0.59-0.63 warm)
+
+
+def job_overhead_probe(spark) -> float:
+    """Average wall cost of a tiny 32-task job (scheduler + dispatch latency,
+    ~zero compute): 10 consecutive noop writes of a 320-row range."""
+    t0 = time.time()
+    for _ in range(10):
+        materialize(spark.range(0, 320, 1, 32))
+    return (time.time() - t0) / 10
+
+
+def pyworker_probe(spark) -> float:
+    """Fixed Arrow/Python-worker job: poly_hash (the dedup family's hot
+    pandas UDF) over 300k deterministic synthetic strings, aggregated.
+    Measures worker spawn + Arrow serialization + numpy throughput —
+    the axis the JVM-only CPU probe cannot see.  min-of-2."""
+    from pyspark.sql import functions as F
+
+    from crdb_changefeed_publisher_spark.functions.phash import poly_hash
+
+    def once() -> float:
+        t0 = time.time()
+        materialize(
+            spark.range(0, 300_000, 1, 32)
+            .select(F.concat(F.lit("probe-"), (F.col("id") % 9973).cast("string")).alias("s"))
+            .select(poly_hash(F.col("s")).alias("h"))
+            .groupBy((F.col("h") % 97).alias("k"))
+            .count()
+        )
+        return time.time() - t0
+
+    return min(once(), once())
+
+
 def read_steal_jiffies() -> int:
     """Cumulative CPU-steal jiffies from /proc/stat (0 if unavailable)."""
     try:
@@ -84,12 +128,38 @@ def main() -> None:
     # not first-task startup.
     materialize(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
-    # Machine-weather instrumentation (VERDICT r4 items #1/#8): a fixed
-    # synthetic probe at suite start and end, plus steal/loadavg deltas, so a
-    # slow VM window reads as a calibration factor instead of a regression.
+    # Quiet-start gate (VERDICT r5 item #8): suite timings at loadavg 6+ carry
+    # ~+0.1 s noise on every small query. Wait for loadavg(1m) < 2 (retry once
+    # after a sleep); if still busy, proceed but record the violation.
+    loadavg_violation = False
+    if os.getloadavg()[0] > 2.0:
+        time.sleep(30)
+        loadavg_violation = os.getloadavg()[0] > 2.0
+
+    # Machine-weather instrumentation (VERDICT r4 items #1/#8): fixed
+    # synthetic probes at suite start and end, plus steal/loadavg deltas, so a
+    # slow VM window reads as calibration factors instead of a regression.
+    # THREE probes because round 5 proved one is not enough: CPU throughput
+    # (codegen+shuffle), per-job scheduling overhead, and the Python-worker/
+    # Arrow round-trip each drift independently across VM generations.
     steal_before = read_steal_jiffies()
     load_before = [round(x, 2) for x in os.getloadavg()]
     cal_start = calibration_probe(spark)
+    job_overhead = job_overhead_probe(spark)
+    pyworker = pyworker_probe(spark)
+
+    # Session-shared build passes, timed as explicit `_shared:<name>` rows
+    # (VERDICT r5 item #2): materializing them BEFORE the query loop makes
+    # every consumer row a MARGINAL cost independent of alphabetical order
+    # (previously corpus_curation_report paid the contamination pass and
+    # doc_decontamination read 0.04 s purely by running later).
+    from crdb_changefeed_publisher_spark.plans import llm as _llm
+
+    shared_timings: dict[str, float] = {}
+    for pass_name, pass_fn in _llm.SHARED_PASSES.items():
+        t0 = time.time()
+        materialize(pass_fn(spark, sf_dir))
+        shared_timings[f"_shared:{pass_name}"] = round(time.time() - t0, 2)
 
     def run_once(spec) -> float:
         t0 = time.time()
@@ -128,6 +198,7 @@ def main() -> None:
     load_after = [round(x, 2) for x in os.getloadavg()]
     cal_best = min(cal_start, cal_end)
 
+    timings.update(shared_timings)
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     # One COMPACT line: the driver captures a bounded output tail, and round
     # 1's 3 kB pretty-separated line overflowed it ("parsed": null in
@@ -145,8 +216,15 @@ def main() -> None:
                 "calibration_idle_sec": CALIBRATION_IDLE_SEC,
                 "calibration_factor": round(cal_best / CALIBRATION_IDLE_SEC, 2),
                 "calibration_start_end": [round(cal_start, 2), round(cal_end, 2)],
+                "job_overhead_sec": round(job_overhead, 3),
+                "job_overhead_idle_sec": JOB_OVERHEAD_IDLE_SEC,
+                "job_overhead_factor": round(job_overhead / JOB_OVERHEAD_IDLE_SEC, 2),
+                "pyworker_sec": round(pyworker, 2),
+                "pyworker_idle_sec": PYWORKER_IDLE_SEC,
+                "pyworker_factor": round(pyworker / PYWORKER_IDLE_SEC, 2),
                 "steal_jiffies_delta": steal_delta,
                 "loadavg_before_after": [load_before, load_after],
+                **({"loadavg_violation": True} if loadavg_violation else {}),
                 **({"bucketed": True} if bucketed else {}),
             },
             separators=(",", ":"),

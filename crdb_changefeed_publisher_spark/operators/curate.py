@@ -360,7 +360,7 @@ def curate_corpus(
     # Grouped/joined on sha2-256 of the text (32 B shuffle + broadcastable
     # key frame instead of moving the corpus text twice; same collision
     # contract as operators/dedup.py::exact_duplicates)
-    text_key = F.sha2(F.col(text_col), 256)
+    text_key = F.unhex(F.sha2(F.col(text_col), 256))  # raw 32 B: hex is lz4-incompressible (docs/SCALE.md)
     canon = docs.groupBy(text_key.alias("_tkey")).agg(F.min(id_col).alias("_canon_id"))
     with_canon = (
         docs.withColumn("_tkey", text_key)

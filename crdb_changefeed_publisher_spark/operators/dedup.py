@@ -78,9 +78,16 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     between shuffling the corpus and shuffling 32 B/doc. A sha-256
     collision (~2^-128) is the accepted exactness contract (the same one
     content-addressed stores rely on); results are otherwise identical to
-    grouping on the raw text, which the DuckDB oracle still does."""
+    grouping on the raw text, which the DuckDB oracle still does.
+
+    The key is the RAW 32-byte digest (unhex), not the 64-char hex string:
+    hex is random over a 16-symbol alphabet, which lz4 shuffle compression
+    cannot shrink, so the hex form costs 2x the wire bytes for nothing.
+    Measured A/B (wall + shuffle bytes, sf0.1 and 10x-unique corpus) in
+    docs/SCALE.md "Content-addressed shuffle keys"; tools/ab_shuffle_keys.py
+    reproduces it."""
     return (
-        docs.groupBy(F.sha2(F.col(text_col), 256).alias("_tkey"))
+        docs.groupBy(F.unhex(F.sha2(F.col(text_col), 256)).alias("_tkey"))
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -98,7 +105,7 @@ def normalized_duplicates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     return (
-        docs.groupBy(F.sha2(normalized_text(F.col(text_col)), 256).alias("_tkey"))
+        docs.groupBy(F.unhex(F.sha2(normalized_text(F.col(text_col)), 256)).alias("_tkey"))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("keep_id", "n_copies")
     )
@@ -740,7 +747,7 @@ def incremental_dedup_report(
     shuffled — only its hashes.
     """
     shard_keeps = (
-        shard.groupBy(F.sha2(F.col(text_col), 256).alias("_tkey"))
+        shard.groupBy(F.unhex(F.sha2(F.col(text_col), 256)).alias("_tkey"))
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -750,7 +757,7 @@ def incremental_dedup_report(
         )
     )
     corpus_keys = corpus.select(
-        F.sha2(F.col(text_col), 256).alias("_tkey"), F.lit(1).alias("_exact")
+        F.unhex(F.sha2(F.col(text_col), 256)).alias("_tkey"), F.lit(1).alias("_exact")
     ).distinct()
 
     def _bands(df: DataFrame, id_alias: str) -> DataFrame:

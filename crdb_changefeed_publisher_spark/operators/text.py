@@ -507,7 +507,7 @@ def boilerplate_report(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), "\\. ")).alias("_s"),
     ).select(
-        "doc_id", F.sha2(F.lower(F.trim(F.col("_s"))), 256).alias("_sk")
+        "doc_id", F.unhex(F.sha2(F.lower(F.trim(F.col("_s"))), 256)).alias("_sk")
     )
     hot = (
         sent.select("doc_id", "_sk")
@@ -625,7 +625,7 @@ def benchmark_contamination(
                 F.transform(idxs, lambda i: F.array_join(F.slice(w, i, n), " "))
             ).alias("g"),
         )
-        .select("doc_id", F.sha2(F.col("g"), 256).alias("gk"))
+        .select("doc_id", F.unhex(F.sha2(F.col("g"), 256)).alias("gk"))
         .distinct()
     )
     bench = grams.filter(F.col("doc_id") % bench_mod == 0).select("gk").distinct()
