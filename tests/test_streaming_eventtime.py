@@ -444,14 +444,18 @@ def test_transform_with_state_running_user_totals(spark, events_stream_dir):
         from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     except ImportError:  # pragma: no cover - older Spark
         _pytest.skip("transformWithStateInPandas not available")
+    # the TWS state-server protocol needs protobuf IN THE SPARK-SPAWNED
+    # WORKERS: either a real install, or the Cloud-SDK runtime wired in by
+    # vendor/pbshim/sitecustomize.py via PYTHONPATH (set in conftest.py
+    # before the JVM started)
     try:
-        # the TWS state-server protocol needs protobuf; this container ships
-        # a broken google.protobuf (probed: the driver worker dies with
-        # "cannot import name 'descriptor'"), same class of environment
-        # limit as the live CRDB/RabbitMQ connectors
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
-        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+        import os as _os
+
+        shimmed = "vendor" + _os.sep + "pbshim" in _os.environ.get("PYTHONPATH", "")
+        if not shimmed:
+            _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -477,8 +481,28 @@ def test_transform_with_state_running_user_totals(spark, events_stream_dir):
         outputMode="Update",
         timeMode="None",
     )
-    q = out.writeStream.format("memory").queryName("tws_totals").outputMode("update").start()
-    drain(q)
+    # TWS state lives in named column families, which the default
+    # HDFS-backed provider can't create — RocksDB (bundled rocksdbjni) is
+    # the production provider for TWS. Scoped to this query; restored after.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .start()
+        )
+        drain(q)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     got = {
         r.user_id: (r.n_events, round(r.total_value, 6))
         for r in spark.sql(
