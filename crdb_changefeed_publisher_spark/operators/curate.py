@@ -225,9 +225,26 @@ def weighted_sample_k(
     tiebreak, so the selected set is reproducible on any engine despite
     libm ln() differing in the last ulp.
 
+    u construction (exact IEEE, any engine): the 60-bit seeded hash's top
+    52 bits plus a half-offset, scaled by 2^-52 — every step (floor-div by
+    256, +0.5, divide by 2^52) is exactly representable in a double, so
+    u is uniform on 2^52 equally spaced atoms STRICTLY inside (0,1).
+    The previous form ``(h+1)/float(2^60+1)`` let doubles within 64 ulps
+    of 2^60 round u to exactly 1.0, making the priority 0 regardless of
+    weight (ADVICE r5). Note a naive fix of dividing by 2^61 would bias
+    the race: u ~ U(0,1/2) adds a weight-dependent ln(2)/w term to the
+    exponential key, breaking the A-ES property — the offset-and-scale
+    form keeps u ~ U(0,1).
+
     Output: the sampled rows with their ``priority`` appended.
     """
-    u = (_seeded_hash(seed, id_col).cast("double") + 1.0) / float(2**60 + 1)
+    # shiftright (not `/ 256` + floor): division would first round the
+    # 60-bit long to a double, smearing the top values across a 2^52-atom
+    # boundary; the integer shift is exact, and a 52-bit integer casts to
+    # double losslessly.
+    u = (F.shiftright(_seeded_hash(seed, id_col), 8).cast("double") + 0.5) / F.lit(
+        float(2**52)
+    )
     pri = F.round(-F.log(u) / weight, 10)
     return (
         docs.withColumn("priority", pri)

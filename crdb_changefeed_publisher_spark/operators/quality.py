@@ -37,26 +37,33 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
             return F.date_format(expr, "yyyy-MM-dd HH:mm:ss")
         return expr.cast("string")
 
+    # Aggregate outputs get POSITIONAL aliases (m0, m1, ...) — raw column
+    # names never enter a parsed SQL string or an alias, so names containing
+    # quotes/backticks/dots cannot break or inject anything (ADVICE r5); the
+    # (column, metric) labels re-enter as typed literals below.
+    metrics = ("n_rows", "n_null", "n_distinct", "min", "max")
     aggs = []
     for c in cols:
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n_rows"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
-            F.countDistinct(c).alias(f"{c}__n_distinct"),
-            render(c, F.min(c)).alias(f"{c}__min"),
-            render(c, F.max(c)).alias(f"{c}__max"),
+            F.count(F.lit(1)),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)),
+            F.countDistinct(c),
+            render(c, F.min(c)),
+            render(c, F.max(c)),
         ]
-    wide = df.agg(*aggs)
-    # unpivot the single wide row into (column, metric, value) — stack is
-    # a row-local expression over the 1-row aggregate, cost-free
-    pairs = []
-    for c in cols:
-        for m in ("n_rows", "n_null", "n_distinct", "min", "max"):
-            pairs += [f"'{c}'", f"'{m}'", f"cast(`{c}__{m}` as string)"]
-    n = len(pairs) // 3
-    return wide.selectExpr(
-        f"stack({n}, {', '.join(pairs)}) as (column_name, metric, value)"
-    )
+    wide = df.agg(*[a.alias(f"m{i}") for i, a in enumerate(aggs)])
+    # unpivot the single wide row into (column, metric, value) — explode of
+    # a literal struct array over the 1-row aggregate, cost-free
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.lit(m).alias("metric"),
+            F.col(f"m{i * len(metrics) + j}").cast("string").alias("value"),
+        )
+        for i, c in enumerate(cols)
+        for j, m in enumerate(metrics)
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
 
 
 def quality_checks(
@@ -73,7 +80,15 @@ def quality_checks(
     aggregation pass; uniqueness counts rows beyond the first per key;
     containment counts orphans via a broadcast-able left-anti join against
     the (distinct) parent keys.
+
+    Consistency caveat: `total` comes from an eager count that is a
+    SEPARATE scan from the violation-count jobs, so on a non-static source
+    (a stream-updated table, a path being appended to) the total can
+    disagree with the violation counts. Run against a snapshot (or a
+    cached frame) when that matters.
     """
+    if not any((unique_cols, not_null_cols, enum_domains, non_negative_cols, contained_in)):
+        raise ValueError("quality_checks: no constraints declared")
     total = df.count()
     rows: list[DataFrame] = []
 

@@ -26,7 +26,19 @@ def cms_build(
 
     The aggregation is Spark's built-in `count_min_sketch` (JVM-side,
     partial-agg mergeable); only the final kilobytes-sized grid reaches
-    the driver."""
+    the driver.
+
+    Integral keys only (enforced): `cms_estimate` / `heavy_hitter_
+    estimates` hash the probe key driver-side via the JVM sketch's long
+    path and render a `long` output schema — a string-keyed sketch would
+    build fine here and then mis-hash or fail at estimate time (ADVICE
+    r5). Hash string keys to a long (xxhash64) upstream if needed."""
+    dt = dict(df.dtypes)[col]
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"cms_build: column '{col}' has type {dt}; only integral key "
+            "columns are supported (hash strings to a long upstream)"
+        )
     row = df.agg(
         F.expr(f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})").alias("s")
     ).collect()[0]

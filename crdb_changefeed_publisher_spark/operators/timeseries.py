@@ -180,6 +180,16 @@ def resample_interpolate(
     disagree on which way those round (measured: 171 flips at sf0.01).
     Integer half-up is exact on any engine (same device as the as-of join's
     integer-µs gap arithmetic).
+
+    Magnitude bound: the division itself runs as IEEE double in both
+    engines (Spark ``/`` on longs and DuckDB ``/`` both promote), so the
+    "exact" claim holds only while ``|2*num + den| < 2^53`` — i.e.
+    |scaled value| * gap-length-in-buckets below ~4.5e15, or values under
+    ~10^8 across gaps up to ~4.5e3 buckets at the 1e4 scaling. Beyond that
+    the two engines still agree with EACH OTHER (same double semantics);
+    only the half-up tie behavior can degrade. A true cross-engine integer
+    division is not used because Spark's ``div`` truncates toward zero
+    while floor semantics are needed for negative lerps.
     """
     step_us = int(every_seconds) * 1_000_000
     bucket = F.floor(F.unix_micros(F.col(ts_col)) / step_us).cast("long")

@@ -1705,7 +1705,8 @@ def doc_shuffle_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p AS (
         SELECT doc_id, n_tokens,
-               round(-ln(({_seeded_hash_fold('s')} + 1.0) / {float(2**60 + 1)!r})
+               round(-ln(((({_seeded_hash_fold('s')}) // 256) + 0.5)
+                         / {float(2**52)!r})
                      / n_tokens, 10) AS priority
         FROM seeded
     )

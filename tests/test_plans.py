@@ -151,3 +151,66 @@ def test_no_plan_smells_across_entire_registry(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_plan_digest_drift_gate_rotating_subset(spark):
+    """Drift gate for docs/PLANS.md (VERDICT r5 item #7): the committed
+    digest was regenerated manually, so a silent plan regression could
+    outlive a round. Re-audit a date-rotated subset of ~10 specs per run
+    (sha256(name:ISO-week) selection — over a few weeks of runs the whole
+    registry cycles through) and diff the live digest against the committed
+    table row for row. On mismatch the fix is either the operator (a real
+    regression) or, for an intended change, regenerating the digest:
+    `python tools/plan_audit.py --retired --md docs/PLANS.md` at sf0.01.
+
+    The digest is computed at the SAME sf as the committed table (AQE final
+    plans are data-dependent, so comparing across sf would be noise, and
+    sf0.001 collapses several exchanges)."""
+    import datetime
+    import hashlib
+    import os
+    import re
+
+    from tools.plan_audit import MARKS, digest
+
+    md_path = os.path.join(os.path.dirname(__file__), "..", "docs", "PLANS.md")
+    with open(md_path) as fh:
+        text = fh.read()
+    sf_match = re.search(r"Scale factor dir: `([^`]+)`", text)
+    assert sf_match, "docs/PLANS.md missing its scale-factor header"
+    digest_sf = sf_match.group(1)
+    committed: dict[str, dict[str, int]] = {}
+    for m in re.finditer(r"^\| (\w+) \| (\d+(?: \| \d+)*) \|$", text, re.M):
+        vals = [int(v) for v in m.group(2).split(" | ")]
+        committed[m.group(1)] = dict(zip([n for n, _ in MARKS], vals))
+    assert len(committed) > 80, f"parsed only {len(committed)} digest rows"
+
+    every_spec = {**plans.all_specs(), **plans.retired_specs()}
+    missing = sorted(set(every_spec) - set(committed))
+    assert not missing, f"specs with no committed digest row (regenerate PLANS.md): {missing}"
+
+    week = datetime.date.today().isocalendar()
+    salt = f"{week.year}-{week.week}"
+    ranked = sorted(
+        committed, key=lambda n: hashlib.sha256(f"{n}:{salt}".encode()).hexdigest()
+    )
+    subset = [n for n in ranked if n in every_spec][:10]
+
+    drift = {}
+    for name in subset:
+        df = every_spec[name].fn(spark, digest_sf)
+        df.collect()  # drive AQE to its final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        live = digest(plan)
+        if live != committed[name]:
+            delta = {
+                k: (committed[name][k], live[k])
+                for k in live
+                if live[k] != committed[name][k]
+            }
+            drift[name] = delta
+    assert not drift, (
+        f"plan digests drifted from docs/PLANS.md (committed, live): {drift} — "
+        "if intended, regenerate with tools/plan_audit.py --retired --md docs/PLANS.md"
+    )
