@@ -162,6 +162,7 @@ def make_foreach_batch(
     amqp_queue: str | None = None,
     fan_out_tables: bool = False,
     idempotent: bool = False,
+    on_batch_timing: Callable[[int, float, float], None] | None = None,
 ):
     """foreachBatch function: demux the micro-batch via the shared transform,
     publish change-envelopes (with key for ordering) to the selected queue,
@@ -172,6 +173,9 @@ def make_foreach_batch(
     '9.x' > '10.x' as strings)."""
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        _body_start = _time.time()
         from crdb_changefeed_publisher_spark.operators.changefeed import (
             decode_changefeed,
             envelope_col,
@@ -211,6 +215,12 @@ def make_foreach_batch(
         ]
         if resolved and cursor_store is not None:
             cursor_store.set(resolved[-1])
+        if on_batch_timing is not None:
+            # (batch_id, body_start, body_end): the gap between one batch's
+            # body_end and the next's body_start is the per-epoch overhead
+            # OUTSIDE the work — source offset planning, epoch commit,
+            # scheduling — the quantity the soak reports a p95 for
+            on_batch_timing(batch_id, _body_start, _time.time())
         if on_batch is not None:
             n = MESSAGES_SENT.value
             on_batch(batch_id, n, resolved)
@@ -232,6 +242,7 @@ def run_pipeline(
     fan_out_tables: bool = False,
     idempotent: bool = False,
     on_batch: Callable[[int, int, list[str]], None] | None = None,
+    on_batch_timing: Callable[[int, float, float], None] | None = None,
 ):
     """Wire a changefeed-shaped streaming DataFrame to the publish sink.
 
@@ -263,6 +274,7 @@ def run_pipeline(
             amqp_queue=amqp_queue,
             fan_out_tables=fan_out_tables,
             idempotent=idempotent,
+            on_batch_timing=on_batch_timing,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now and not drain_all:

@@ -27,10 +27,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def write_feed(path: str, n: int, resolved_every: int = 1000) -> int:
+def write_feed(
+    path: str, n: int, resolved_every: int = 1000, tables: tuple[str, ...] = ("orders",)
+) -> int:
     """Synthesize a changefeed recording shaped like the reference's wire
     tuples (README.md:29-38): JSON-array PK key, {"after": {...}} value,
-    periodic resolved rows. Returns the number of CHANGE rows."""
+    periodic resolved rows. Returns the number of CHANGE rows.
+
+    `tables` > 1 interleaves change rows across table names round-robin —
+    the mixed multi-table feed the fan-out sink (pipeline.publish_batch
+    table_col routing) demuxes to one destination per table. Row ids stay
+    globally unique across tables, so pooled distinct-key accounting still
+    equals the change-row count."""
     changes = 0
     with open(path, "w", encoding="utf-8") as f:
         for i in range(n):
@@ -41,7 +49,7 @@ def write_feed(path: str, n: int, resolved_every: int = 1000) -> int:
                 f.write(
                     json.dumps(
                         [
-                            "orders",
+                            tables[i % len(tables)],
                             f"[{i}]",
                             json.dumps({"after": {"o_orderkey": i, "o_totalprice": i * 1.5}}),
                         ]

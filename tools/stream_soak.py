@@ -50,17 +50,49 @@ class SoakKill(RuntimeError):
     """Injected mid-run fault."""
 
 
+SOAK_TABLES = ("orders", "lineitem", "customer", "part", "supplier", "nation", "events", "region")
+
+
 def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int,
              read_partitions: int, resolved_every: int, idempotent: bool = False,
-             double_kill: bool = False) -> dict:
+             double_kill: bool = False, tables: int = 1) -> dict:
     from crdb_changefeed_publisher_spark.streaming.pipeline import run_pipeline
     from crdb_changefeed_publisher_spark.streaming.queues import DirQueue
 
     label = f"{mode}{'-idem' if idempotent else ''}"
+    table_names = SOAK_TABLES[: max(1, tables)]
+    fan_out = len(table_names) > 1
     half = rows // 2
-    n_changes_first = write_feed(feed, half, resolved_every)
+    n_changes_first = write_feed(feed, half, resolved_every, tables=table_names)
     out_dir = os.path.join(work, f"out_{label}")
     ckpt = os.path.join(work, f"ckpt_{label}")
+
+    def read_published() -> list[bytes]:
+        """All published messages; under fan-out each table has its own
+        destination directory (pipeline.publish_batch table routing)."""
+        if not fan_out:
+            return DirQueue.read_all(out_dir) if os.path.isdir(out_dir) else []
+        out: list[bytes] = []
+        for t in table_names:
+            d = os.path.join(out_dir, t)
+            if os.path.isdir(d):
+                out.extend(DirQueue.read_all(d))
+        return out
+
+    # Per-epoch overhead: the gap between one batch body's END and the next
+    # body's START within the same query run — offset planning + epoch
+    # commit + scheduling, the cost the partitioned reader's planner adds
+    # per epoch. Collected per phase (gaps never span a query restart).
+    epoch_gaps: list[float] = []
+    _last_end: list[float | None] = [None]
+
+    def timing(batch_id: int, body_start: float, body_end: float) -> None:
+        if _last_end[0] is not None:
+            epoch_gaps.append(body_start - _last_end[0])
+        _last_end[0] = body_end
+
+    def new_phase() -> None:
+        _last_end[0] = None
 
     def reader():
         r = (
@@ -77,8 +109,9 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
 
     t0 = time.time()
     # phase 1: clean drain of the first half
-    run_pipeline(reader(), out_dir, ckpt, drain_all=True, idempotent=idempotent)
-    published_phase1 = len(DirQueue.read_all(out_dir))
+    run_pipeline(reader(), out_dir, ckpt, drain_all=True, idempotent=idempotent,
+                 fan_out_tables=fan_out, on_batch_timing=timing)
+    published_phase1 = len(read_published())
     assert published_phase1 == n_changes_first, (published_phase1, n_changes_first)
 
     # phase 2: append the rest, crash after the first publishing epoch.
@@ -86,14 +119,16 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
     # the crash trigger is a delta from the value captured right here.
     from crdb_changefeed_publisher_spark.streaming.metrics import MESSAGES_SENT
 
-    n_changes_total = write_feed(feed, rows, resolved_every)
+    n_changes_total = write_feed(feed, rows, resolved_every, tables=table_names)
+    new_phase()
     sent_before = MESSAGES_SENT.value
 
     def crash_once(batch_id: int, sent_total: int, resolved: list[str]) -> None:
         if sent_total > sent_before:
             raise SoakKill(f"injected kill after batch {batch_id}")
 
-    q = run_pipeline(reader(), out_dir, ckpt, on_batch=crash_once, idempotent=idempotent)
+    q = run_pipeline(reader(), out_dir, ckpt, on_batch=crash_once, idempotent=idempotent,
+                     fan_out_tables=fan_out, on_batch_timing=timing)
     crashed = False
     try:
         q.processAllAvailable()
@@ -105,7 +140,7 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
         except Exception:  # noqa: BLE001
             pass
     assert crashed, "fault injection did not fire"
-    published_at_crash = len(DirQueue.read_all(out_dir))
+    published_at_crash = len(read_published())
     dup_window = published_at_crash - published_phase1
     assert dup_window > 0, "crashed epoch published nothing"
 
@@ -121,7 +156,9 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
             if sent_total > sent_before2:
                 raise SoakKill(f"injected second kill after batch {batch_id}")
 
-        q2 = run_pipeline(reader(), out_dir, ckpt, on_batch=crash_again, idempotent=idempotent)
+        new_phase()
+        q2 = run_pipeline(reader(), out_dir, ckpt, on_batch=crash_again, idempotent=idempotent,
+                          fan_out_tables=fan_out, on_batch_timing=timing)
         crashed2 = False
         try:
             q2.processAllAvailable()
@@ -135,14 +172,16 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
         assert crashed2, "second fault injection did not fire"
         if not idempotent:
             # the replayed epoch published a second copy before dying
-            dup_window += len(DirQueue.read_all(out_dir)) - published_at_crash
+            dup_window += len(read_published()) - published_at_crash
         n_kills = 2
 
     # final phase: resume from the same checkpoint, drain to the end
-    run_pipeline(reader(), out_dir, ckpt, drain_all=True, idempotent=idempotent)
+    new_phase()
+    run_pipeline(reader(), out_dir, ckpt, drain_all=True, idempotent=idempotent,
+                 fan_out_tables=fan_out, on_batch_timing=timing)
     wall = time.time() - t0
 
-    msgs = DirQueue.read_all(out_dir)
+    msgs = read_published()
     keys = [json.loads(m)["key"] for m in msgs]
     distinct = len(set(keys))
     dups = len(msgs) - distinct
@@ -168,6 +207,20 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
         "replayed_after_crash": dup_window,
         "duplicates_after_resume": dups,
         "wall_sec": round(wall, 2),
+        "tables": len(table_names),
+        "fan_out": fan_out,
+        "epochs": len(epoch_gaps) + 1,
+        # planning + epoch-commit + scheduling cost between consecutive
+        # batch bodies; the partitioned reader's per-epoch planner work
+        # (offset index scan, byte-aware range split) lives in here
+        "p95_epoch_overhead_sec": (
+            round(sorted(epoch_gaps)[max(0, int(len(epoch_gaps) * 0.95) - 1)], 3)
+            if epoch_gaps
+            else None
+        ),
+        "mean_epoch_overhead_sec": (
+            round(sum(epoch_gaps) / len(epoch_gaps), 3) if epoch_gaps else None
+        ),
         **({"batch_limit": batch_limit} if mode == "simple" else
            {"read_partitions": read_partitions or "auto"}),
     }
@@ -185,6 +238,11 @@ def main() -> None:
         default="simple,partitioned",
         help="comma list; suffix a mode with -idem for the idempotent "
         "batch-keyed sink (asserts ZERO duplicates after crash+resume)",
+    )
+    ap.add_argument(
+        "--tables", type=int, default=1,
+        help="N > 1 interleaves change rows across N tables and publishes "
+        "through the fan-out sink (one destination per table)",
     )
     ap.add_argument(
         "--double-kill",
@@ -212,7 +270,7 @@ def main() -> None:
                         spark, feed, work, mode, args.rows,
                         args.batch_limit, args.read_partitions,
                         args.resolved_every, idempotent=idem,
-                        double_kill=args.double_kill,
+                        double_kill=args.double_kill, tables=args.tables,
                     )
                 )
             )
