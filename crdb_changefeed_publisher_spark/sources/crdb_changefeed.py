@@ -320,13 +320,18 @@ class ChangefeedPartitionedStreamReader(DataSourceStreamReader):
     floor — the pre-floor rows are lost, loudly, exactly like the
     reference's ignore_cursor fallback (src/main.rs:175).
 
-    Offsets are {"pos": <line count>}; each micro-batch claims ALL lines
-    available at planning time (the Python stream API exposes no ReadLimit,
-    and any driver-side cap would need the committed offset to be safe
-    across checkpoint restarts — a stateful latestOffset that forgets the
-    committed position on restart can hand Spark an offset BEHIND the
-    checkpoint). `batch_limit` is a simple-reader option; it is ignored
-    here.
+    Offsets are {"pos": <line count>}; by default each micro-batch claims
+    ALL lines available at planning time. `epoch_rows` caps the rows
+    ADMITTED per micro-batch (the maxOffsetsPerTrigger analog the Python
+    stream API lacks a ReadLimit hook for): latestOffset advances an
+    internal high-water mark by at most epoch_rows per plan. The mark is
+    reset on restart — a stateful cap that forgot the committed position
+    could hand Spark an offset BEHIND the checkpoint — so the FIRST epoch
+    after a restart is unbounded (one catch-up batch covering the gap);
+    every steady-state epoch is bounded, which is what bounds the
+    at-least-once replay window and the per-epoch commit/state cost on a
+    long-running query. `batch_limit` is a simple-reader option; it is
+    ignored here.
 
     Driver memory: the line index stores one byte offset per `index_stride`
     lines (default 256) — O(lines/stride), not O(lines) — and that strided
@@ -360,6 +365,10 @@ class ChangefeedPartitionedStreamReader(DataSourceStreamReader):
             1, int(options.get("read_partitions", str(default_parts)) or default_parts)
         )
         self._stride = max(1, int(options.get("index_stride", "256") or 256))
+        # admission control: max lines per planned micro-batch (0 = all
+        # available); see class docstring for the restart semantics
+        self.epoch_rows = int(options.get("epoch_rows", "0") or 0)
+        self._hwm: int | None = None  # last planned end offset (this run)
         # _stride_bytes[j] = byte offset of line (j * stride)'s start
         self._stride_bytes: list[int] = [0]
         self._n_lines = 0
@@ -390,16 +399,27 @@ class ChangefeedPartitionedStreamReader(DataSourceStreamReader):
         return f.tell()
 
     def initialOffset(self) -> dict:
+        # only called on a FRESH start (a restart resumes from the
+        # checkpoint instead) — so arming the admission cap here bounds
+        # every epoch of a clean run, while a restarted run keeps its
+        # first (catch-up) epoch unbounded because _hwm is still None
+        self._hwm = 0
         return {"pos": 0}
 
     def latestOffset(self) -> dict:
         self._extend_index()
+        if self.epoch_rows > 0 and self._hwm is not None:
+            return {"pos": min(self._n_lines, self._hwm + self.epoch_rows)}
         return {"pos": self._n_lines}
 
     def partitions(self, start: dict, end: dict):
         import bisect
 
         s, e = start["pos"], end["pos"]
+        # high-water mark for epoch_rows admission: the next latestOffset
+        # advances from this batch's planned end (monotone within a run;
+        # reset to None by restart, which re-creates the reader)
+        self._hwm = max(self._hwm or 0, e)
         if s < self.gc_floor:
             import logging
 

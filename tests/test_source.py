@@ -396,3 +396,45 @@ def test_partitioned_reader_checkpoint_resume(spark, tmp_path):
     assert len(msgs) == 90  # 45 new, zero replayed
     ids = sorted(int(json.loads(m)["key"][1:-1]) for m in msgs)
     assert ids == [i for i in range(100) if i % 10 != 0]
+
+
+def test_partitioned_reader_epoch_rows_admission(tmp_path):
+    """epoch_rows bounds every steady-state micro-batch of a CLEAN run
+    (initialOffset arms the high-water mark at 0) but leaves the first
+    epoch of a RESTARTED run unbounded (no initialOffset call -> the cap
+    cannot hand Spark an offset behind the checkpoint; the catch-up batch
+    covers the whole gap instead)."""
+    from crdb_changefeed_publisher_spark.sources.crdb_changefeed import (
+        ChangefeedPartitionedStreamReader,
+    )
+
+    feed = str(tmp_path / "feed.jsonl")
+    write_feed(feed, 100, 10)
+
+    # clean start: epochs advance epoch_rows at a time
+    r = ChangefeedPartitionedStreamReader(
+        {"replay": feed, "read_partitions": "2", "epoch_rows": "30"}
+    )
+    assert r.initialOffset() == {"pos": 0}
+    e1 = r.latestOffset()
+    assert e1 == {"pos": 30}
+    r.partitions({"pos": 0}, e1)
+    e2 = r.latestOffset()
+    assert e2 == {"pos": 60}
+    r.partitions({"pos": 30}, e2)
+    # drains to the end, never beyond what exists
+    assert r.latestOffset() == {"pos": 90}
+    r.partitions({"pos": 60}, {"pos": 90})
+    assert r.latestOffset() == {"pos": 100}
+    r.partitions({"pos": 90}, {"pos": 100})
+    assert r.latestOffset() == {"pos": 100}  # no new data: no progress
+
+    # restart (fresh reader, checkpoint at 40): Spark does NOT call
+    # initialOffset, so the first latestOffset claims everything available
+    r2 = ChangefeedPartitionedStreamReader(
+        {"replay": feed, "read_partitions": "2", "epoch_rows": "30"}
+    )
+    assert r2.latestOffset() == {"pos": 100}
+    r2.partitions({"pos": 40}, {"pos": 100})
+    # ...and the cap re-arms from the planned end
+    assert r2.latestOffset() == {"pos": 100}

@@ -641,3 +641,113 @@ def test_upsert_view_composes_with_typed_changes(spark, sf_dir):
     for k, r in rows.items():
         assert r.last_event == want[k], k
         assert f"[{r.user_id}]" == k
+
+
+def _tws_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        import os
+
+        return "vendor" + os.sep + "pbshim" in os.environ.get("PYTHONPATH", "")
+
+
+def test_tws_dedup_on_ingest_survives_across_batches(spark, sf_dir, tmp_path):
+    """streaming/stateful.dedup_on_ingest: TWS ValueState keyed on the
+    content hash — the first arrival of each DISTINCT content is emitted,
+    every later copy is swallowed, INCLUDING copies arriving in a later
+    micro-batch (the case dropDuplicatesWithinWatermark forgets once the
+    watermark passes — here there is no watermark; state is for life)."""
+    import pytest as _pytest
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        dedup_on_ingest,
+        rocksdb_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = str(tmp_path / "arrivals")
+    # batch 1: the even-id half (contains its own duplicate contents)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(d)
+
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(d)
+    out = dedup_on_ingest(sdf)
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_dedup")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        n_after_b1 = spark.sql("select count(*) n from tws_dedup").collect()[0].n
+        # batch 2: the FULL corpus re-arrives — every content already seen
+        # in batch 1 must be swallowed by state, not re-emitted
+        docs.coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        q.stop()
+
+    got = spark.sql("select * from tws_dedup").collect()
+    even_contents = {
+        r.k
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.sha2("text", 256).alias("k"))
+        .distinct()
+        .collect()
+    }
+    all_contents = {
+        r.k for r in docs.select(F.sha2("text", 256).alias("k")).distinct().collect()
+    }
+    assert n_after_b1 == len(even_contents)
+    # exactly one row per distinct content across the whole stream history
+    assert len(got) == len(all_contents)
+    assert {r.content_key for r in got} == all_contents
+    # batch-2 emissions are only the contents batch 1 had never seen
+    assert len(got) - n_after_b1 == len(all_contents - even_contents)
+
+
+def test_tws_running_totals_library_operator(spark, events_stream_dir):
+    """streaming/stateful.running_totals equals the batch aggregate at end
+    of stream (the library-grade form of the inline processor above)."""
+    import pytest as _pytest
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        rocksdb_state,
+        running_totals,
+    )
+
+    sdf = read_stream(spark, events_stream_dir)
+    out = running_totals(sdf, key_col="user_id", value_col="value")
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_lib_totals")
+            .outputMode("update")
+            .start()
+        )
+        drain(q)
+    got = {
+        r.key: (r.n, round(r.total, 6))
+        for r in spark.sql(
+            """
+            select key, n, total from (
+              select *, row_number() over (partition by key order by n desc) rn
+              from tws_lib_totals
+            ) where rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == batch

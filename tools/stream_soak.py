@@ -55,7 +55,7 @@ SOAK_TABLES = ("orders", "lineitem", "customer", "part", "supplier", "nation", "
 
 def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int,
              read_partitions: int, resolved_every: int, idempotent: bool = False,
-             double_kill: bool = False, tables: int = 1) -> dict:
+             double_kill: bool = False, tables: int = 1, epoch_rows: int = 0) -> dict:
     from crdb_changefeed_publisher_spark.streaming.pipeline import run_pipeline
     from crdb_changefeed_publisher_spark.streaming.queues import DirQueue
 
@@ -105,6 +105,8 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
             r = r.option("partitioned", "true")
             if read_partitions > 0:
                 r = r.option("read_partitions", str(read_partitions))
+            if epoch_rows > 0:
+                r = r.option("epoch_rows", str(epoch_rows))
         return r.load()
 
     t0 = time.time()
@@ -222,7 +224,8 @@ def run_soak(spark, feed: str, work: str, mode: str, rows: int, batch_limit: int
             round(sum(epoch_gaps) / len(epoch_gaps), 3) if epoch_gaps else None
         ),
         **({"batch_limit": batch_limit} if mode == "simple" else
-           {"read_partitions": read_partitions or "auto"}),
+           {"read_partitions": read_partitions or "auto",
+            **({"epoch_rows": epoch_rows} if epoch_rows else {})}),
     }
 
 
@@ -238,6 +241,12 @@ def main() -> None:
         default="simple,partitioned",
         help="comma list; suffix a mode with -idem for the idempotent "
         "batch-keyed sink (asserts ZERO duplicates after crash+resume)",
+    )
+    ap.add_argument(
+        "--epoch-rows", type=int, default=0,
+        help="partitioned-reader admission cap: max lines per steady-state "
+        "micro-batch (0 = all available; the post-crash catch-up epoch is "
+        "always unbounded by design)",
     )
     ap.add_argument(
         "--tables", type=int, default=1,
@@ -271,6 +280,7 @@ def main() -> None:
                         args.batch_limit, args.read_partitions,
                         args.resolved_every, idempotent=idem,
                         double_kill=args.double_kill, tables=args.tables,
+                        epoch_rows=args.epoch_rows,
                     )
                 )
             )
