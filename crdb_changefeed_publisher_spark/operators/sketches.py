@@ -75,3 +75,88 @@ def heavy_hitter_estimates(
     return spark.createDataFrame(
         [(int(k), est[k]) for k in candidates], f"{col} long, est_count long"
     )
+
+
+def hll_build(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog sketches (Apache DataSketches HLL_4 via Spark's
+    built-in `hll_sketch_agg` — JVM-side, partial-agg mergeable): one
+    kilobytes-sized binary per group that answers distinct-count questions
+    AFTER the fact and merges with any other sketch of the same lg_k.
+
+    The 100 TB property: a distinct count per shard/day/source costs one
+    scan with map-side combine (the shuffle carries sketches, never
+    values), and the resulting sketch TABLE is a persistable artifact —
+    cross-shard/global distincts then come from `hll_merge_estimate`
+    without ever rescanning the data. Standard error ~1.04/sqrt(2^lg_k)
+    (~1.6% at the lg_k=12 default)."""
+    keys = [F.col(c) for c in (group_cols or [])]
+    agg = F.expr(f"hll_sketch_agg({col}, {lg_k})").alias("sketch")
+    if keys:
+        return df.groupBy(*keys).agg(agg)
+    return df.agg(agg)
+
+
+def hll_merge_estimate(sketches: DataFrame, sketch_col: str = "sketch") -> int:
+    """Union all sketch rows (hll_union_agg — also mergeable/partial-agg)
+    and return the distinct estimate of the COMBINED underlying sets.
+    Input is a sketch table, typically kilobytes — this never touches the
+    original data."""
+    row = sketches.agg(
+        F.expr(f"hll_sketch_estimate(hll_union_agg({sketch_col}, true))").alias("est")
+    ).collect()[0]
+    return int(row.est)
+
+
+def cross_shard_distinct_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    lg_k: int = 12,
+) -> DataFrame:
+    """The operational question HLL exists for at corpus scale: "how much
+    cross-shard duplication is there?" without any corpus-wide shuffle.
+
+    Per shard (id hash mod n_shards): row count + an HLL sketch of the
+    content hash. The global distinct comes from the UNION of the shard
+    sketches — so the output's `global` row is computed from n_shards
+    kilobyte sketches, not from the documents. Output: one row per shard
+    (shard, n_rows, est_distinct) plus a ('global', total_rows,
+    est_distinct_union) row; sum(shard est_distinct) - global est ≈ the
+    number of contents present in more than one shard (the incremental-
+    dedup pressure between shards).
+
+    Content key: sha2-256 (the repo's content-address primitive) — the
+    sketch hashes the 64-hex string; estimates are deterministic for a
+    fixed lg_k."""
+    keyed = docs.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.sha2(F.col(text_col), 256).alias("_ck"),
+    )
+    per_shard = keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(f"hll_sketch_agg(_ck, {lg_k})").alias("sketch"),
+    )
+    per_shard = per_shard.select(
+        "shard",
+        "n_rows",
+        F.expr("hll_sketch_estimate(sketch)").cast("long").alias("est_distinct"),
+        "sketch",
+    ).cache()
+    global_row = per_shard.agg(
+        F.lit(-1).cast("int").alias("shard"),
+        F.sum("n_rows").alias("n_rows"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))")
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    return (
+        per_shard.select("shard", "n_rows", "est_distinct")
+        .unionByName(global_row)
+        .orderBy("shard")
+    )

@@ -45,3 +45,61 @@ def test_heavy_hitter_composition_covers_true_hitters(spark, sf_dir):
     assert true_hitters <= set(out)
     for k, e in out.items():
         assert e >= exact.get(k, 0)
+
+
+def test_hll_sketches_merge_and_estimate_within_error(spark, sf_dir):
+    """HLL family invariants on the real fixture:
+    1. per-shard estimates within the lg_k=12 error bound of exact;
+    2. the UNION of shard sketches estimates the GLOBAL distinct within
+       the same bound — the cross-shard property everything rests on;
+    3. union-of-parts == whole-corpus sketch estimate (merge soundness);
+    4. report accounting: rows sum, global row present."""
+    from crdb_changefeed_publisher_spark.operators.sketches import (
+        cross_shard_distinct_report,
+        hll_build,
+        hll_merge_estimate,
+    )
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = docs.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("shard"),
+        F.sha2("text", 256).alias("ck"),
+    ).cache()
+    exact_global = keyed.select("ck").distinct().count()
+    exact_per_shard = {
+        r.shard: r.n
+        for r in keyed.groupBy("shard").agg(F.countDistinct("ck").alias("n")).collect()
+    }
+
+    # rel error ~1.04/sqrt(2^12) = 1.6%; allow 5% (3 sigma + small-n noise)
+    tol = 0.05
+    shard_sketches = hll_build(keyed, "ck", group_cols=["shard"])
+    ests = {
+        r.shard: r.est
+        for r in shard_sketches.select(
+            "shard", F.expr("cast(hll_sketch_estimate(sketch) as long)").alias("est")
+        ).collect()
+    }
+    for s, exact in exact_per_shard.items():
+        assert abs(ests[s] - exact) <= max(2, tol * exact), (s, ests[s], exact)
+
+    merged = hll_merge_estimate(shard_sketches)
+    assert abs(merged - exact_global) <= max(2, tol * exact_global)
+
+    whole = hll_merge_estimate(hll_build(keyed, "ck"))
+    # merging shard sketches approximates sketching the whole corpus; the
+    # two are NOT bit-identical because DataSketches' streaming (HIP)
+    # estimator is lost on union and the composite estimator takes over
+    # (measured: 499 vs 504 on 490 exact) — both must sit inside the
+    # error bound of the exact answer
+    assert abs(whole - exact_global) <= max(2, tol * exact_global)
+    assert abs(merged - whole) <= max(2, tol * exact_global)
+
+    report = cross_shard_distinct_report(docs, n_shards=4).collect()
+    by_shard = {r.shard: r for r in report}
+    assert set(by_shard) == {-1, 0, 1, 2, 3}
+    assert by_shard[-1].n_rows == docs.count()
+    assert abs(by_shard[-1].est_distinct - exact_global) <= max(2, tol * exact_global)
+    # duplicate pressure: sum of per-shard distincts >= global distinct
+    assert sum(by_shard[s].est_distinct for s in (0, 1, 2, 3)) >= by_shard[-1].est_distinct
