@@ -19,6 +19,10 @@ here are the library-grade versions of what a 100 TB ingest actually runs:
 - `running_totals`: per-key running (count, sum) emitted every time a key
   appears in a batch — the canonical keyed-accumulator shape (per-user
   spend, per-table change counts) with exactly one ValueState row per key.
+- `sessionize`: event-time sessions via ListState + EVENT-TIME TIMERS — a
+  session emits exactly when the watermark passes last-event + gap
+  (cross-validated row for row against `F.session_window`); the template
+  for session logic the built-in cannot express.
 
 Both REQUIRE the RocksDB state store provider (TWS state lives in named
 column families, unsupported by the default HDFS-backed provider) — use
@@ -136,4 +140,103 @@ def running_totals(
         outputStructType="key long, n long, total double",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+class _EventTimeSessions(StatefulProcessor):
+    """ListState of open sessions (start_us, end_us, n, total) + one
+    event-time TIMER per session at end + gap: when the watermark passes a
+    session's close point the timer fires and the session row is emitted
+    and dropped. Input rows later than the watermark were already dropped
+    by TWS itself, so a merged session can never reopen after it fired —
+    the same guarantee session_window's append mode gives."""
+
+    def __init__(self, gap_us: int) -> None:
+        self._gap_us = gap_us
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sessions = handle.getListState(
+            "sessions", "start long, end long, n long, total double"
+        )
+
+    def _merge(self, spans: list[tuple]) -> list[tuple]:
+        spans.sort()
+        out: list[tuple] = []
+        for s in spans:
+            if out and s[0] <= out[-1][1] + self._gap_us:
+                p = out[-1]
+                out[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
+            else:
+                out.append(s)
+        return out
+
+    def handleInputRows(self, key, rows, timerValues):
+        spans = [tuple(t) for t in self._sessions.get()] if self._sessions.exists() else []
+        for pdf in rows:
+            us = (pdf["ts"].astype("int64") // 1000).astype("int64")  # ns -> us
+            for t, v in zip(us, pdf["value"]):
+                spans.append((int(t), int(t), 1, float(v)))
+        spans = self._merge(spans)
+        self._sessions.put(spans)
+        for s in spans:
+            # ms precision: round UP so the timer never fires before the
+            # exact close point
+            self._handle.registerTimer(-(-(s[1] + self._gap_us) // 1000))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+        spans = [tuple(t) for t in self._sessions.get()] if self._sessions.exists() else []
+        ripe = [s for s in spans if s[1] + self._gap_us <= wm_us]
+        rest = [s for s in spans if s[1] + self._gap_us > wm_us]
+        if rest:
+            self._sessions.put(rest)
+        else:
+            self._sessions.clear()
+        for s in ripe:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [s[0]],
+                    "session_end": [s[1]],
+                    "n_events": [s[2]],
+                    "total_value": [s[3]],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize(
+    stream_df: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time sessionization as an explicit TWS stateful operator —
+    the timer-driven form of `F.session_window` (which stays the
+    declarative fast path; this exists for session logic the built-in
+    cannot express: per-session custom payloads, early heartbeats,
+    side outputs). Sessions close when the WATERMARK passes last-event +
+    gap, exactly like session_window's append mode; the test
+    cross-validates the two row for row.
+
+    Input must carry a watermark on `ts_col`. Output times are integer
+    MICROSECONDS (cross-engine exact; cast with timestamp_micros)."""
+    keyed = stream_df.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        _EventTimeSessions(gap_minutes * 60_000_000),
+        outputStructType=(
+            "user_id long, session_start long, session_end long, "
+            "n_events long, total_value double"
+        ),
+        outputMode="Append",
+        timeMode="EventTime",
     )

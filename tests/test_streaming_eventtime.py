@@ -751,3 +751,87 @@ def test_tws_running_totals_library_operator(spark, events_stream_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_tws_event_time_sessionize_with_timers(spark, tmp_path):
+    """streaming/stateful.sessionize: ListState sessions + EVENT-TIME TIMERS
+    — a session row is emitted exactly when the watermark passes its
+    last-event + gap. Cross-validated row for row against the built-in
+    session_window batch aggregation on the same events (session_window's
+    window.end == last event + gap by definition)."""
+    import pytest as _pytest
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from datetime import datetime
+
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        rocksdb_state,
+        sessionize,
+    )
+
+    base = datetime(2024, 1, 1)
+    real = [
+        # user 1, session A: 10:00 + 10:10 ; session B: 12:00
+        (1, base.replace(hour=10, minute=0), 2.0),
+        (1, base.replace(hour=10, minute=10), 3.0),
+        (1, base.replace(hour=12, minute=0), 5.0),
+        # user 2: one session, one event
+        (2, base.replace(hour=10, minute=5), 7.0),
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    d = str(tmp_path / "sess_stream")
+    spark.createDataFrame(real, schema).coalesce(1).write.mode("overwrite").parquet(d)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .withWatermark("ts", "1 hour")
+    )
+    out = sessionize(sdf, gap_minutes=30)
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_sessions")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        # watermark advances between batches: two sentinel waves (far-future
+        # events for a throwaway user) push it past every real session close
+        for h, mi in ((20, 0), (20, 1)):
+            spark.createDataFrame(
+                [(99, base.replace(hour=h, minute=mi), 0.0)], schema
+            ).coalesce(1).write.mode("append").parquet(d)
+            q.processAllAvailable()
+        q.stop()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in spark.sql("select * from tws_sessions").collect()
+    }
+    batch = spark.createDataFrame(real, schema)
+    want = {
+        (
+            r.user_id,
+            r.w.start.replace(tzinfo=None),
+            r.w.end.replace(tzinfo=None),
+            r.n,
+            round(r.total, 6),
+        )
+        for r in batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    # our session_end is the LAST EVENT time (micros); session_window.end is
+    # last event + gap — normalize both to (start_us, last_event_us)
+    import calendar
+
+    def us(dt):
+        return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
+
+    want_norm = {
+        (u, us(s), us(e) - 30 * 60_000_000, n, t) for (u, s, e, n, t) in want
+    }
+    assert got == want_norm
+    assert len(got) == 3  # 1A, 1B, 2
