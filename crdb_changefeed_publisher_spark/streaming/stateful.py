@@ -68,10 +68,19 @@ def rocksdb_state(spark):
 class _FirstSeen(StatefulProcessor):
     """ValueState per content key: n = copies seen so far. Emits the first
     arrival (with is_first_copy=true) and NOTHING for later copies — the
-    count still advances so a side query could expose duplicate pressure."""
+    count still advances so a side query could expose duplicate pressure.
+
+    Initial-state bootstrap (handleInitialState): keys present in the
+    supplied corpus index start with n=1 BEFORE the first micro-batch, so
+    contents already in the corpus never emit — the streaming form of
+    `incremental_dedup_report`'s exact tier, without ever replaying the
+    corpus through the stream."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._n = handle.getValueState("n", "n long")
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self._n.update((1,))
 
     def handleInputRows(self, key, rows, timerValues):
         seen = self._n.get()[0] if self._n.exists() else 0
@@ -92,21 +101,40 @@ class _FirstSeen(StatefulProcessor):
 
 
 def dedup_on_ingest(
-    stream_df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming exact dedup across the whole stream history: one output row
     per DISTINCT content, carrying the first-arriving id and how many copies
     landed in its first batch. Grouping key = raw 32-byte sha2 of the text
-    (the shuffle-key trade measured in docs/SCALE.md)."""
+    (the shuffle-key trade measured in docs/SCALE.md).
+
+    `corpus` (a BATCH DataFrame with the same text column) bootstraps the
+    seen-set via TWS initial state: the corpus's distinct content hashes
+    are loaded into the state store before the first micro-batch, so
+    contents already in the corpus are swallowed from the start — the
+    streaming twin of operators/dedup.py::incremental_dedup_report's
+    exact tier. At scale the production input here is the PERSISTED
+    content-hash index (32 B/doc), not the corpus itself."""
     keyed = stream_df.select(
         F.sha2(F.col(text_col), 256).alias("content_key"),
         F.col(id_col).alias("doc_id"),
     )
+    initial = None
+    if corpus is not None:
+        initial = (
+            corpus.select(F.sha2(F.col(text_col), 256).alias("content_key"))
+            .distinct()
+            .groupBy("content_key")
+        )
     return keyed.groupBy("content_key").transformWithStateInPandas(
         _FirstSeen(),
         outputStructType="content_key string, doc_id long, batch_copies long",
         outputMode="Append",
         timeMode="None",
+        initialState=initial,
     )
 
 

@@ -835,3 +835,54 @@ def test_tws_event_time_sessionize_with_timers(spark, tmp_path):
     }
     assert got == want_norm
     assert len(got) == 3  # 1A, 1B, 2
+
+
+def test_tws_dedup_on_ingest_with_corpus_bootstrap(spark, sf_dir, tmp_path):
+    """dedup_on_ingest(corpus=...): TWS initial state loads the corpus's
+    content hashes into the state store BEFORE the first micro-batch —
+    streamed documents whose content already exists in the corpus are
+    swallowed; only genuinely-new contents emit. The streaming twin of
+    incremental_dedup_report's exact tier."""
+    import pytest as _pytest
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        dedup_on_ingest,
+        rocksdb_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    # the arriving shard: the %5==0 docs PLUS re-arrivals of 20 corpus
+    # texts under new ids (guaranteed corpus overlap at any fixture SF)
+    rearrivals = corpus.orderBy("doc_id").limit(20).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    shard = docs.filter(F.col("doc_id") % 5 == 0).unionByName(rearrivals)
+    d = str(tmp_path / "shard_arrivals")
+    shard.coalesce(1).write.mode("overwrite").parquet(d)
+
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(d)
+    out = dedup_on_ingest(sdf, corpus=corpus)
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_bootstrap_dedup")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    got = {r.content_key for r in spark.sql("select * from tws_bootstrap_dedup").collect()}
+    corpus_keys = {
+        r.k for r in corpus.select(F.sha2("text", 256).alias("k")).distinct().collect()
+    }
+    shard_keys = {
+        r.k for r in shard.select(F.sha2("text", 256).alias("k")).distinct().collect()
+    }
+    want = shard_keys - corpus_keys
+    assert got == want and len(want) > 0
+    # sanity: the bootstrap actually suppressed something
+    assert len(shard_keys & corpus_keys) > 0
