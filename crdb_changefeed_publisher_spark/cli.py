@@ -46,6 +46,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument("--read-partitions", type=int, default=4)
     p.add_argument(
+        "--epoch-rows",
+        type=int,
+        default=0,
+        help="partitioned-reader admission cap: max feed lines per steady-"
+        "state micro-batch (0 = all available; bounds the at-least-once "
+        "replay window and per-epoch state cost — the first epoch after a "
+        "checkpoint restart is always unbounded)",
+    )
+    p.add_argument(
         "--idempotent",
         action="store_true",
         help="exactly-once-ish publish: batch-keyed truncating files for "
@@ -95,6 +104,8 @@ def main(argv: list[str] | None = None) -> int:
             reader = reader.option("partitioned", "true").option(
                 "read_partitions", str(args.read_partitions)
             )
+            if args.epoch_rows > 0:
+                reader = reader.option("epoch_rows", str(args.epoch_rows))
     elif args.partitioned:
         print("--partitioned requires --replay (live changefeeds are one serial cursor)", file=sys.stderr)
         return 2
