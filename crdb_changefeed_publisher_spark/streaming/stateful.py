@@ -23,8 +23,13 @@ here are the library-grade versions of what a 100 TB ingest actually runs:
   session emits exactly when the watermark passes last-event + gap
   (cross-validated row for row against `F.session_window`); the template
   for session logic the built-in cannot express.
+- `keyed_category_counts`: MapState sub-keyed accumulators (category ->
+  count per key) — the state type for per-key maps that a ValueState
+  struct would rewrite wholesale on every update.
 
-Both REQUIRE the RocksDB state store provider (TWS state lives in named
+Together the four exercise every TWS state primitive (ValueState,
+ListState, MapState, event-time timers, initial-state bootstrap). All
+REQUIRE the RocksDB state store provider (TWS state lives in named
 column families, unsupported by the default HDFS-backed provider) — use
 `rocksdb_state(spark)` around query start, and the protobuf runtime in the
 Spark workers (vendor/pbshim/sitecustomize.py wires the container's SDK
@@ -267,4 +272,51 @@ def sessionize(
         ),
         outputMode="Append",
         timeMode="EventTime",
+    )
+
+
+class _CategoryCounts(StatefulProcessor):
+    """MapState per key: category -> running count. Each batch emits the
+    UPDATED categories' current totals (Update-mode downstream keeps the
+    max per (key, category))."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("counts", "cat string", "n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        batch: dict[str, int] = {}
+        for pdf in rows:
+            for c, n in pdf["cat"].value_counts().items():
+                batch[str(c)] = batch.get(str(c), 0) + int(n)
+        out_c, out_n = [], []
+        for c, n in batch.items():
+            prev = self._counts.getValue((c,))[0] if self._counts.containsKey((c,)) else 0
+            self._counts.updateValue((c,), (prev + n,))
+            out_c.append(c)
+            out_n.append(prev + n)
+        yield pd.DataFrame({"key": [key[0]] * len(out_c), "cat": out_c, "n": out_n})
+
+    def close(self) -> None:
+        pass
+
+
+def keyed_category_counts(
+    stream_df: DataFrame, key_col: str = "user_id", cat_col: str = "event_type"
+) -> DataFrame:
+    """Per-key per-category running counts in a MapState (one map row per
+    (key, category) in the state store — the state type for sub-keyed
+    accumulators, where a ValueState would force rewriting the whole
+    accumulator struct on every update and a per-(key,category) grouping
+    would explode the shuffle key space). Emits updated categories' running
+    totals each batch; Update-mode consumers keep the latest per
+    (key, category)."""
+    keyed = stream_df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(cat_col).cast("string").alias("cat"),
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        _CategoryCounts(),
+        outputStructType="key long, cat string, n long",
+        outputMode="Update",
+        timeMode="None",
     )

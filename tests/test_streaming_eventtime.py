@@ -886,3 +886,47 @@ def test_tws_dedup_on_ingest_with_corpus_bootstrap(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
     # sanity: the bootstrap actually suppressed something
     assert len(shard_keys & corpus_keys) > 0
+
+
+def test_tws_mapstate_category_counts(spark, events_stream_dir):
+    """streaming/stateful.keyed_category_counts: MapState category->count
+    per user; final per-(user, event_type) totals equal the batch
+    groupBy count."""
+    import pytest as _pytest
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        keyed_category_counts,
+        rocksdb_state,
+    )
+
+    sdf = read_stream(spark, events_stream_dir)
+    out = keyed_category_counts(sdf)
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_cat_counts")
+            .outputMode("update")
+            .start()
+        )
+        drain(q)
+    got = {
+        (r.key, r.cat): r.n
+        for r in spark.sql(
+            """
+            select key, cat, n from (
+              select *, row_number() over (partition by key, cat order by n desc) rn
+              from tws_cat_counts
+            ) where rn = 1
+            """
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
