@@ -198,8 +198,16 @@ def main() -> None:
     load_after = [round(x, 2) for x in os.getloadavg()]
     cal_best = min(cal_start, cal_end)
 
+    # _shared rows are REPORTED but excluded from the headline total: prior
+    # rounds' totals never contained the one-time build cost either (min-of-2
+    # always measured the warm second run), so including it now would read as
+    # a 4 s regression that is really an accounting change. Consumers' rows
+    # are all-marginal; shared_total_sec carries the build cost explicitly.
     timings.update(shared_timings)
-    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    total = round(
+        sum(t for k, t in timings.items() if t >= 0 and not k.startswith("_shared:")), 2
+    )
+    shared_total = round(sum(shared_timings.values()), 2)
     # One COMPACT line: the driver captures a bounded output tail, and round
     # 1's 3 kB pretty-separated line overflowed it ("parsed": null in
     # BENCH_r01.json) — compact separators + 2-decimal times keep the full
@@ -215,6 +223,7 @@ def main() -> None:
                 "calibration_sec": round(cal_best, 2),
                 "calibration_idle_sec": CALIBRATION_IDLE_SEC,
                 "calibration_factor": round(cal_best / CALIBRATION_IDLE_SEC, 2),
+                "shared_total_sec": shared_total,
                 "calibration_start_end": [round(cal_start, 2), round(cal_end, 2)],
                 "job_overhead_sec": round(job_overhead, 3),
                 "job_overhead_idle_sec": JOB_OVERHEAD_IDLE_SEC,
