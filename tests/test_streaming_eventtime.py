@@ -930,3 +930,47 @@ def test_tws_mapstate_category_counts(spark, events_stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_tws_session_merge_property_vs_bruteforce():
+    """The sessionizer's pure interval-merge (_EventTimeSessions._merge)
+    against a brute-force union-find over the 'within gap' relation:
+    identical session spans, counts and totals for random span sets —
+    including chains where A-B and B-C are within gap but A-C is not."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crdb_changefeed_publisher_spark.streaming.stateful import _EventTimeSessions
+
+    gap = 100
+
+    def brute(spans):
+        items = [list(s) for s in spans]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    a, b = items[i], items[j]
+                    if a and b and not (b[0] > a[1] + gap or a[0] > b[1] + gap):
+                        a[0], a[1] = min(a[0], b[0]), max(a[1], b[1])
+                        a[2] += b[2]
+                        a[3] += b[3]
+                        items[j] = []
+                        changed = True
+        return sorted(tuple(x) for x in items if x)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 2000), st.integers(0, 50), st.integers(1, 3)),
+            max_size=12,
+        )
+    )
+    def check(raw):
+        spans = [(t, t + w, n, float(n)) for (t, w, n) in raw]
+        proc = _EventTimeSessions(gap)
+        got = sorted(tuple(s) for s in proc._merge(list(spans)))
+        assert got == brute(spans)
+
+    check()
