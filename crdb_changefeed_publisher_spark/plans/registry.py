@@ -55,9 +55,9 @@ COST_HINTS: dict[str, float] = {
     "semi_structured_events": 0.68,
     "order_price_percentiles": 0.61,
     "doc_fingerprints": 0.96,
-    "dedup_minhash_portable": 1.13,
-    "dedup_ngram_jaccard": 1.32,
-    "dedup_simhash": 1.39,
+    "dedup_minhash_portable": 1.1,  # r6: signature table materialized
+    "dedup_ngram_jaccard": 1.75,  # r6 idle measure
+    "dedup_simhash": 2.0,  # r6 idle measure
     "doc_chunks": 0.6,
     "doc_decontamination": 1.0,
     "salted_skew_agg": 0.8,
