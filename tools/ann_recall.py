@@ -141,6 +141,48 @@ def main() -> int:
                 ),
             }
         )
+    # PCA-prefilter path on the SAME fixture: frozen components for the
+    # driver fixture, retrained (same math as tools/train_pca.py: mean +
+    # covariance eigh, sign-fixed, rounded) for the clustered one. The
+    # recall dial here is n_candidates (coarse 4-dim scan keeps the top-N,
+    # exact cosine reranks), reported as candidate fraction of the corpus.
+    import numpy as np
+
+    from crdb_changefeed_publisher_spark.operators import linalg
+
+    if args.fixture == "clustered":
+        X = np.array(
+            [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+        )
+        mu = X.mean(axis=0)
+        evals, evecs = np.linalg.eigh(np.cov(X, rowvar=False, bias=True))
+        comps = evecs[:, np.argsort(evals)[::-1][:4]].T
+        for c in comps:
+            if c[np.argmax(np.abs(c))] < 0:
+                c *= -1
+        pca_mean = [round(float(x), 4) for x in mu]
+        pca_comps = [[round(float(x), 4) for x in c] for c in comps]
+    else:
+        from crdb_changefeed_publisher_spark.functions import pca_components as pc
+
+        pca_mean, pca_comps = pc.PCA_MEAN, pc.PCA_COMPONENTS
+
+    n_corpus = emb.count()
+    pca_rows = []
+    for n_cand in (25, 50, 100):
+        approx = topk_set(
+            linalg.pca_prefilter_topk(
+                queries, emb, pca_comps, pca_mean, k=args.k, n_candidates=n_cand
+            )
+        )
+        pca_rows.append(
+            {
+                "n_candidates": n_cand,
+                "candidate_fraction": round(n_cand / n_corpus, 4),
+                "pca_recall": recall(approx, exact),
+            }
+        )
+
     print(
         json.dumps(
             {
@@ -151,6 +193,7 @@ def main() -> int:
                 "n_queries": len(exact),
                 "n_cells": len(cell_centroids),
                 "rows": rows,
+                "pca_rows": pca_rows,
             }
         )
     )
