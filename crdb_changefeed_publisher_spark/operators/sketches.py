@@ -160,3 +160,50 @@ def cross_shard_distinct_report(
         .unionByName(global_row)
         .orderBy("shard")
     )
+
+
+def hll_shard_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 4,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pairwise cross-shard overlap estimates by inclusion-exclusion over
+    the shard sketches: est|A ∩ B| = est|A| + est|B| - est|A ∪ B|, where
+    the union estimate comes from merging the two shards' sketches — no
+    data beyond the KB sketch table is touched for any pair, so the full
+    n^2 shard-overlap matrix costs n^2 sketch merges, not n^2 data joins.
+
+    Output: one row per unordered shard pair (shard_a < shard_b) with the
+    three estimates and est_overlap (clamped at 0 — inclusion-exclusion
+    on ~1.6%-error estimates can go slightly negative on disjoint sets).
+    The tool for 'which shards should an incremental dedup pass compare
+    first' at corpus scale."""
+    keyed = docs.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.sha2(F.col(text_col), 256).alias("_ck"),
+    )
+    per_shard = keyed.groupBy("shard").agg(
+        F.expr(f"hll_sketch_agg(_ck, {lg_k})").alias("sketch")
+    )
+    a = per_shard.select(F.col("shard").alias("shard_a"), F.col("sketch").alias("sk_a"))
+    b = per_shard.select(F.col("shard").alias("shard_b"), F.col("sketch").alias("sk_b"))
+    est = lambda c: F.expr(f"cast(hll_sketch_estimate({c}) as long)")  # noqa: E731
+    return (
+        a.join(b, F.col("shard_a") < F.col("shard_b"))
+        .select(
+            "shard_a",
+            "shard_b",
+            est("sk_a").alias("est_a"),
+            est("sk_b").alias("est_b"),
+            F.expr("cast(hll_sketch_estimate(hll_union(sk_a, sk_b, true)) as long)").alias(
+                "est_union"
+            ),
+        )
+        .withColumn(
+            "est_overlap",
+            F.greatest(F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)),
+        )
+        .orderBy("shard_a", "shard_b")
+    )

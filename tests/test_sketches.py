@@ -103,3 +103,43 @@ def test_hll_sketches_merge_and_estimate_within_error(spark, sf_dir):
     assert abs(by_shard[-1].est_distinct - exact_global) <= max(2, tol * exact_global)
     # duplicate pressure: sum of per-shard distincts >= global distinct
     assert sum(by_shard[s].est_distinct for s in (0, 1, 2, 3)) >= by_shard[-1].est_distinct
+
+
+def test_hll_shard_overlap_matrix_inclusion_exclusion(spark, sf_dir):
+    """Overlap matrix vs exact pairwise intersections: with a corpus where
+    every shard shares a known block of contents, the inclusion-exclusion
+    estimate must land within the HLL error bound of the exact overlap,
+    and disjoint pairs must clamp to ~0."""
+    from crdb_changefeed_publisher_spark.operators.sketches import (
+        hll_shard_overlap_matrix,
+    )
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # inject overlap: duplicate the first 100 docs' TEXTS under ids that
+    # hash into other shards
+    dups = docs.orderBy("doc_id").limit(100).select(
+        (F.col("doc_id") + 7_000_001).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups).cache()
+
+    out = {(r.shard_a, r.shard_b): r for r in hll_shard_overlap_matrix(corpus).collect()}
+    assert len(out) == 6  # C(4,2)
+
+    keyed = corpus.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("shard"),
+        F.sha2("text", 256).alias("ck"),
+    ).cache()
+    import itertools
+
+    shard_sets = {
+        s: {r.ck for r in keyed.filter(F.col("shard") == s).select("ck").distinct().collect()}
+        for s in range(4)
+    }
+    for sa, sb in itertools.combinations(range(4), 2):
+        exact = len(shard_sets[sa] & shard_sets[sb])
+        est = out[(sa, sb)].est_overlap
+        # inclusion-exclusion compounds three ~1.6% estimates; allow
+        # 3-sigma-ish of the UNION size plus a small absolute floor
+        tol = max(10, 0.10 * len(shard_sets[sa] | shard_sets[sb]))
+        assert abs(est - exact) <= tol, (sa, sb, est, exact)
