@@ -340,7 +340,8 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_funnel",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r6 registry swap: promoted into the driver registry (left_join_order_counts
+    # retired to free the slot — the funnel is the stronger operator to verify)
     oracle="""
     WITH v AS (
         SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1

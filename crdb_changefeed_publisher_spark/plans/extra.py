@@ -38,6 +38,7 @@ def pivot_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "left_join_order_counts",
+    retired=True,  # r6 swap: outer-join family keeps full_outer_nation_activity
     oracle="""
     SELECT c.c_custkey,
            count(o.o_orderkey)                         AS n_orders,
@@ -364,7 +365,8 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_quality_checks",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r6 registry swap: promoted (doc_text_stats retired — the Deequ-style
+    # declared-constraint family is the stronger operator to driver-verify)
     oracle="""
     WITH t AS (SELECT count(*) AS total FROM orders)
     SELECT 'not_null:o_custkey' AS check, CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,

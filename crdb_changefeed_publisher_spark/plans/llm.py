@@ -199,7 +199,8 @@ def _banded_sql(src: str, p: str) -> str:
 
 @query(
     "dedup_incremental",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r6 registry swap: promoted (math_funcs_lineitem retired — incremental
+    # shard-vs-corpus dedup is the flagship scale story; it deserves a driver row)
     oracle=f"""
     WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
     shard AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
@@ -1011,6 +1012,7 @@ def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_text_stats",
+    retired=True,  # r6 swap: overlaps repetition/perplexity/fingerprint rows
     oracle="""
     WITH q AS (
         SELECT doc_id, lang, text,

@@ -73,6 +73,10 @@ COST_HINTS: dict[str, float] = {
     "corpus_curation_report": 2.5,
     "multimodal_real_features": 0.6,
     "doc_repetition_signals": 2.0,
+    # r6 registry-swap promotions (hints from prior retired-harness timings)
+    "events_funnel": 0.6,
+    "orders_quality_checks": 0.7,
+    "dedup_incremental": 2.2,
 }
 
 

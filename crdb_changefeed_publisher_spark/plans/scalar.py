@@ -91,6 +91,7 @@ def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "math_funcs_lineitem",
+    retired=True,  # r6 swap: scalar library keeps string/date/array/json rows
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(sqrt(l_extendedprice), 6)            AS price_sqrt,

@@ -50,7 +50,6 @@ def test_retired_set_is_the_expected_one():
         "best_order_per_customer",
         "cdc_envelopes_orders",
         "cdc_upsert_view",
-        "dedup_incremental",
         "dedup_minhash_lsh",
         "doc_bm25_search",
         "doc_boilerplate_report",
@@ -58,6 +57,7 @@ def test_retired_set_is_the_expected_one():
         "doc_pii_scrub",
         "doc_seq_packing",
         "doc_shuffle_layout",
+        "doc_text_stats",
         "doc_tfidf_top_terms",
         "doc_train_split",
         "doc_weighted_sample",
@@ -67,7 +67,6 @@ def test_retired_set_is_the_expected_one():
         "embedding_pca_project",
         "embedding_topk_pca",
         "embedding_topk_pq",
-        "events_funnel",
         "events_funnel_windowed",
         "events_hourly_interp",
         "events_hourly_locf",
@@ -78,12 +77,13 @@ def test_retired_set_is_the_expected_one():
         "events_weighted_median",
         "grouping_sets_revenue",
         "lang_mixture_weights",
+        "left_join_order_counts",
+        "math_funcs_lineitem",
         "multimodal_fake_features",
         "multimodal_image_quality",
         "order_value_buckets",
         "orders_above_avg",
         "orders_profile",
-        "orders_quality_checks",
         "orders_zorder_key",
         "supplier_customer_pagerank",
         "token_vocab_coverage",
