@@ -15,7 +15,7 @@ Estimates are deterministic for a fixed seed and one-sided:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -207,3 +207,154 @@ def hll_shard_overlap_matrix(
         )
         .orderBy("shard_a", "shard_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-style distinct sketches (bottom-k of a portable hash)
+# ---------------------------------------------------------------------------
+#
+# HLL (above) is the right distinct sketch when only cardinalities and
+# unions matter; the KMV ("k minimum values") sketch keeps the k smallest
+# DISTINCT hash values of a column instead. That buys two things HLL can't
+# offer here:
+#
+# 1. Theta-style SET OPERATIONS: intersections (and differences) estimate
+#    directly from the retained samples — no inclusion-exclusion over
+#    ~1.6%-error union estimates, whose error explodes for small overlaps.
+# 2. ENGINE-EXACT reproducibility: the hash is the repo's portable
+#    sha2-256 construction and the estimator is pure integer arithmetic,
+#    so any engine (the DuckDB oracle included) reproduces the sketch AND
+#    the estimate bit-for-bit. HLL estimates are only testable to error
+#    bounds; KMV rows are value-verified like any exact query.
+#
+# Estimator (Bar-Yossef et al. 2002): with h_(k) the k-th smallest of n
+# distinct uniform hashes in [0, R), E[h_(k)] = k/(n+1) * R, and
+# (k-1) * R / h_(k) is the unbiased cardinality estimate (relative std
+# error ~ 1/sqrt(k-2)). When fewer than k distinct hashes exist the
+# sketch IS the distinct set and the count is exact.
+
+KMV_BITS = 52
+KMV_RANGE = 1 << KMV_BITS  # hashes in [0, 2^52): 13 hex digits of sha2-256.
+# 52 bits (not the curation family's 60) keeps (k-1) * KMV_RANGE inside a
+# BIGINT for any k <= 2048, so the estimate divides EXACTLY in int64 on
+# every engine — no double rounding anywhere in the pipeline.
+KMV_DEFAULT_K = 64
+KMV_SEED = "kmv-v1"
+
+
+def kmv_hash(col: Column, seed: str = KMV_SEED) -> Column:
+    """Portable uniform hash in [0, 2^52): first 13 hex digits of sha2-256
+    over ``seed || ':' || value`` (same construction as curate._seeded_hash,
+    narrowed to 52 bits for exact integer estimator arithmetic)."""
+    hx = F.substring(F.sha2(F.concat(F.lit(seed + ":"), col.cast("string")), 256), 1, 13)
+    return F.conv(hx, 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    k: int = KMV_DEFAULT_K,
+    seed: str = KMV_SEED,
+    salt_parts: int = 8,
+) -> DataFrame:
+    """Per-group KMV sketch: (group..., n_rows, ks) where ``ks`` is the
+    ascending array of the k smallest distinct ``kmv_hash`` values.
+
+    Scale shape (the same two-phase salted prune as
+    curate.domain_quota_sample_scaled): values shuffle as 8-byte hashes,
+    never as content; phase 1 dedups + rank-filters per (group, salt) cell
+    — groupBy dedup partial-aggregates map-side, and every window input is
+    one salt cell, salt_parts-way parallel per group; phase 2 takes the
+    exact bottom-k over <= salt_parts * k survivors per group, so the
+    final per-group state is bounded by the dials, not the data."""
+    keys = list(group_cols or [])
+    hashed = df.select(*keys, kmv_hash(F.col(col), seed).alias("_h"))
+    counts = hashed.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    cells = hashed.withColumn("_salt", F.pmod(F.col("_h"), F.lit(salt_parts)))
+    distinct_cells = cells.groupBy(*keys, "_salt", "_h").agg(F.lit(1).alias("_one"))
+    w = Window.partitionBy(*(keys + ["_salt"])).orderBy("_h")
+    survivors = (
+        distinct_cells.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", "_one", "_salt")
+    )
+    sketch = survivors.groupBy(*keys).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("ks")
+    )
+    if keys:
+        return counts.join(sketch, keys).select(*keys, "n_rows", "ks")
+    return counts.crossJoin(sketch).select("n_rows", "ks")
+
+
+def kmv_estimate(ks: str, k: int = KMV_DEFAULT_K) -> Column:
+    """Distinct-count estimate from a KMV array column (by NAME, so the
+    whole estimator is one SQL expression) — pure int64 arithmetic.
+
+    Exhaustive sketches (< k retained hashes) ARE the distinct set: exact
+    count. Otherwise (k-1) * 2^52 div h_(k), exactly representable for
+    k <= 2048 (see KMV_BITS note)."""
+    return F.expr(
+        f"case when size({ks}) < {k} then cast(size({ks}) as bigint) "
+        f"else {(k - 1) * KMV_RANGE}L div greatest(element_at({ks}, {k}), 1L) end"
+    )
+
+
+def kmv_union(ks_a: Column, ks_b: Column, k: int = KMV_DEFAULT_K) -> Column:
+    """KMV of the UNION of two sketched sets: merge, dedup, re-take the
+    bottom k — closed under union like any bottom-k sketch (array ops only,
+    fine for sketch tables; the arrays are <= k elements)."""
+    return F.slice(F.array_sort(F.array_union(ks_a, ks_b)), 1, k)
+
+
+def kmv_intersection_estimate(ks_a: str, ks_b: str, k: int = KMV_DEFAULT_K) -> Column:
+    """Theta-style intersection estimate |A ∩ B| from two KMV sketch array
+    columns (by NAME — one SQL expression, exact int64 arithmetic).
+
+    theta = min over the two sketches of each one's effective sampling
+    threshold (its k-th smallest hash, or 2^52 when exhaustive); every
+    retained hash below theta is a uniform 1-in-(2^52/theta) sample of its
+    set, so |{h in ks_a ∩ ks_b : h < theta}| * 2^52 div theta estimates
+    the intersection — and is EXACT when both sketches are exhaustive."""
+
+    def theta(ks: str) -> str:
+        return (
+            f"(case when size({ks}) < {k} then {KMV_RANGE}L "
+            f"else element_at({ks}, {k}) end)"
+        )
+
+    th = f"least({theta(ks_a)}, {theta(ks_b)})"
+    common = f"size(filter(array_intersect({ks_a}, {ks_b}), h -> h < {th}))"
+    return F.expr(
+        f"cast({common} as bigint) * {KMV_RANGE}L div greatest({th}, 1L)"
+    )
+
+
+def kmv_shard_distinct_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 4,
+    k: int = KMV_DEFAULT_K,
+) -> DataFrame:
+    """KMV twin of cross_shard_distinct_report: per-shard distinct-content
+    estimates plus the global union row (shard = -1), every number exactly
+    reproducible by the SQL oracle. Shards by ``id mod n_shards`` (portable,
+    unlike xxhash64). The global row is computed from the n_shards sketch
+    ARRAYS (kilobytes), never by rescanning the documents."""
+    sharded = docs.select(
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(text_col).alias("_t"),
+    )
+    sk = kmv_sketch(sharded, "_t", ["shard"], k=k).cache()
+    per_shard = sk.select("shard", "n_rows", kmv_estimate("ks", k).alias("est_distinct"))
+    merged = sk.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, k).alias("ks"),
+    )
+    global_row = merged.select(
+        F.lit(-1).cast("int").alias("shard"),
+        "n_rows",
+        kmv_estimate("ks", k).alias("est_distinct"),
+    )
+    return per_shard.unionByName(global_row).orderBy("shard")

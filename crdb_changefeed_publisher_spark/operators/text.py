@@ -646,3 +646,65 @@ def benchmark_contamination(
             (F.col("n_contaminated") == 0).alias("clean"),
         )
     )
+
+
+def duplicate_span_report(
+    docs: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN mass per document — the document-level
+    signal of exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"), at word-n-gram
+    granularity: a span is duplicated when the same n consecutive words
+    appear in at least one OTHER document. Emits, per document with >= n
+    words: distinct-gram count, duplicated-gram count, the duplicated
+    fraction, and a `mostly_duplicated` flag (fraction >= `threshold`) —
+    the rows a curation pass drops or rewrites.
+
+    Word n-grams at stride 1 are the alignment-invariant alternative to
+    fixed character windows: any duplicated word run of >= n words is
+    caught wherever it starts in either document (character windows at
+    stride > 1 miss differently-aligned copies; the suffix-array approach
+    of the paper needs a global sort no engine gives us for free).
+
+    Shape at 100 TB: gram construction mirrors benchmark_contamination
+    (split on single spaces after trim; < n words -> no rows); grams
+    shuffle ONCE as 32-byte sha2 keys for the per-gram document-frequency
+    window (cells are per-gram, tiny), then ONCE by doc_id for the report
+    aggregate. No join, no second scan of the text, nothing driver-side —
+    unlike boilerplate_report (sentence granularity, >= 10-doc threshold)
+    this flags ANY cross-document n-word repetition."""
+    w = F.split(F.trim(F.col(text_col)), " ")
+    idxs = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(idxs, lambda i: F.array_join(F.slice(w, i, n), " "))
+            ).alias("g"),
+        )
+        .select("doc_id", F.unhex(F.sha2(F.col("g"), 256)).alias("gk"))
+        .distinct()
+    )
+    # distinct (doc, gram) rows make count-over-gram == document frequency
+    doc_freq = Window.partitionBy("gk")
+    flagged = grams.withColumn("n_docs", F.count(F.lit(1)).over(doc_freq))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_dup").cast("long").alias("n_dup_grams"),
+            F.round(F.col("n_dup") / F.col("n_grams"), 4).alias("dup_fraction"),
+            ((F.col("n_dup") / F.col("n_grams")) >= threshold).alias("mostly_duplicated"),
+        )
+    )

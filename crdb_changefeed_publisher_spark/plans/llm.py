@@ -2001,3 +2001,98 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(F.broadcast(labels), "neighbor_id").select(
         "query_id", "neighbor_id", "neg_label", "score", "rnk"
     )
+
+
+# DuckDB twin of operators/sketches.py::kmv_hash — the first 13 hex digits
+# of sha2-256 over 'kmv-v1:' || value, folded to a BIGINT in [0, 2^52)
+# (13-digit variant of _seeded_hash_fold; 52 bits keep the KMV estimator
+# in exact int64 arithmetic on both engines).
+_KMV_FOLD52 = """list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 14),
+                                    i -> CAST(strpos('0123456789abcdef',
+                                                     substr(sha256('kmv-v1:' || text), i, 1)) - 1
+                                              AS BIGINT))),
+        (h, c) -> h * 16 + c)"""
+
+
+@query(
+    "kmv_shard_distinct",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH base AS (SELECT doc_id % 4 AS shard, {_KMV_FOLD52} AS h FROM documents),
+    n AS (SELECT shard, count(*) AS n_rows FROM base GROUP BY shard),
+    d AS (SELECT DISTINCT shard, h FROM base),
+    r AS (SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rk FROM d),
+    per AS (
+        SELECT shard,
+               CASE WHEN count(*) < 64 THEN count(*)
+                    ELSE 63 * 4503599627370496
+                         // greatest(max(CASE WHEN rk = 64 THEN h END), 1) END AS est_distinct
+        FROM r WHERE rk <= 64 GROUP BY shard),
+    gd AS (SELECT DISTINCT h FROM base),
+    gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM gd),
+    g AS (SELECT CAST(-1 AS INT) AS shard,
+                 (SELECT CAST(sum(n_rows) AS BIGINT) FROM n) AS n_rows,
+                 CASE WHEN count(*) < 64 THEN count(*)
+                      ELSE 63 * 4503599627370496
+                           // greatest(max(CASE WHEN rk = 64 THEN h END), 1) END AS est_distinct
+          FROM gr WHERE rk <= 64)
+    SELECT CAST(shard AS INT) AS shard, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(est_distinct AS BIGINT) AS est_distinct
+    FROM per JOIN n USING (shard)
+    UNION ALL SELECT shard, n_rows, CAST(est_distinct AS BIGINT) FROM g
+    ORDER BY shard
+    """,
+    doc="KMV (bottom-k) distinct sketch, the theta-sketch complement to the "
+    "HLL family: per-shard distinct-content estimates plus the global "
+    "union row (shard = -1) computed from the four sketch ARRAYS, never by "
+    "rescanning the corpus. Unlike HLL, the portable sha2-derived 52-bit "
+    "hash and pure-int64 estimator make every value reproducible by the "
+    "SQL oracle bit-for-bit — an exactness-verified approximate operator "
+    "(operators/sketches.py::kmv_shard_distinct_report; estimator "
+    "Bar-Yossef et al. 2002, rel std err ~1/sqrt(k-2) at k=64).",
+)
+def kmv_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import sketches
+
+    return sketches.kmv_shard_distinct_report(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_duplicate_spans",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+                                     i -> array_to_string(w[i:i+7], ' '))) AS g
+        FROM words
+    ),
+    f AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY g) AS n_docs FROM grams
+    ),
+    s AS (
+        SELECT doc_id, count(*) AS n_grams,
+               sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM f GROUP BY 1
+    )
+    SELECT doc_id, n_grams,
+           CAST(n_dup AS BIGINT) AS n_dup_grams,
+           round(n_dup / n_grams, 4) AS dup_fraction,
+           (n_dup / n_grams) >= 0.5 AS mostly_duplicated
+    FROM s
+    """,
+    doc="Per-document duplicated-span mass (exact-substring-dedup signal, "
+    "Lee et al. 2021, at word-8-gram granularity): the fraction of each "
+    "document's distinct 8-grams that appear in at least one other "
+    "document, with a mostly_duplicated flag at 50%. One shuffle of "
+    "32-byte gram digests for the per-gram document-frequency window + "
+    "one per-doc aggregate — no join, no second text scan "
+    "(operators/text.py::duplicate_span_report).",
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.duplicate_span_report(load_table(spark, sf_dir, "documents"))

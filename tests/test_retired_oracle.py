@@ -54,6 +54,7 @@ def test_retired_set_is_the_expected_one():
         "doc_bm25_search",
         "doc_boilerplate_report",
         "doc_budget_selection",
+        "doc_duplicate_spans",
         "doc_pii_scrub",
         "doc_seq_packing",
         "doc_shuffle_layout",
@@ -76,6 +77,7 @@ def test_retired_set_is_the_expected_one():
         "events_variant_stats",
         "events_weighted_median",
         "grouping_sets_revenue",
+        "kmv_shard_distinct",
         "lang_mixture_weights",
         "left_join_order_counts",
         "math_funcs_lineitem",

@@ -977,3 +977,36 @@ def test_repetition_signals_empty_and_whitespace_docs(spark):
         r = got[i]
         assert (r.top2_char_frac, r.dup5_char_frac) == (0.0, 0.0)
         assert r.repetitive is False
+
+
+def test_duplicate_span_report_handcrafted(spark):
+    """Hand-checked semantics of the cross-doc duplicated-span detector
+    (n=3 for a small example):
+    - doc 1 and doc 2 share one 5-word run -> three shared 3-grams each;
+    - doc 3 shares nothing;
+    - doc 4 (a verbatim copy of doc 1) makes EVERY doc-1 gram duplicated;
+    - doc 5 has fewer than n words -> no row."""
+    from crdb_changefeed_publisher_spark.operators.text import duplicate_span_report
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog"),   # 9 words, 7 grams
+        (2, "once upon the quick brown fox jumps again ok"),  # shares 5-word run
+        (3, "completely different text with no overlap at all"),
+        (4, "the quick brown fox jumps over a lazy dog"),   # exact copy of 1
+        (5, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_span_report(docs, n=3).collect()}
+
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: all 7 grams duplicated (doc 4 copies all; docs 2 shares 3)
+    assert out[1].n_grams == 7 and out[1].n_dup_grams == 7
+    assert out[1].mostly_duplicated
+    # doc 2: 7 grams; shared run "the quick brown fox jumps" gives 3 dup grams
+    assert out[2].n_grams == 7 and out[2].n_dup_grams == 3
+    assert out[2].dup_fraction == round(3 / 7, 4)
+    assert not out[2].mostly_duplicated
+    # doc 3: clean
+    assert out[3].n_dup_grams == 0 and out[3].dup_fraction == 0.0
+    # doc 4 mirrors doc 1
+    assert out[4].n_dup_grams == 7 and out[4].mostly_duplicated

@@ -143,3 +143,104 @@ def test_hll_shard_overlap_matrix_inclusion_exclusion(spark, sf_dir):
         # 3-sigma-ish of the UNION size plus a small absolute floor
         tol = max(10, 0.10 * len(shard_sets[sa] | shard_sets[sb]))
         assert abs(est - exact) <= tol, (sa, sb, est, exact)
+
+
+def test_kmv_sketch_properties(spark, sf_dir):
+    """KMV family invariants:
+    1. exhaustive sketches (distinct < k) give EXACT counts;
+    2. estimates on a big distinct set sit within 5x the theoretical
+       relative std error (1/sqrt(k-2)) — deterministic, so this is a
+       fixed-fact check, not a flaky statistical one;
+    3. layout invariance: repartitioning never changes the sketch;
+    4. union closure: bottom-k of two merged sketches == the sketch of
+       the concatenated data, bit-for-bit (the property that makes KMV
+       sketch tables composable artifacts)."""
+    from crdb_changefeed_publisher_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+        kmv_union,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_distinct = docs.select("text").distinct().count()
+
+    # 1: k above the distinct count -> the sketch IS the set
+    big_k = 2048
+    exact_est = (
+        kmv_sketch(docs.limit(300), "text", k=big_k)
+        .select(kmv_estimate("ks", big_k).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert exact_est == docs.limit(300).select("text").distinct().count()
+
+    # 2: estimation mode on a wide synthetic set
+    wide = spark.range(30000).select(F.concat(F.lit("v-"), F.col("id")).alias("text"))
+    for k in (64, 256):
+        est = (
+            kmv_sketch(wide, "text", k=k)
+            .select(kmv_estimate("ks", k).alias("e"))
+            .collect()[0]
+            .e
+        )
+        assert abs(est - 30000) <= 5 * (1.0 / (k - 2) ** 0.5) * 30000, (k, est)
+
+    # 3: layout invariance
+    a = kmv_sketch(docs, "text", k=64).collect()[0].ks
+    b = kmv_sketch(docs.repartition(13), "text", k=64).collect()[0].ks
+    assert a == b
+
+    # 4: union closure (split corpus by id parity, merge the two sketches)
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    sk_l = kmv_sketch(left, "text", k=64).select(F.col("ks").alias("ks_l"))
+    sk_r = kmv_sketch(right, "text", k=64).select(F.col("ks").alias("ks_r"))
+    merged = sk_l.crossJoin(sk_r).select(kmv_union(F.col("ks_l"), F.col("ks_r"), 64).alias("ks"))
+    whole = kmv_sketch(docs, "text", k=64)
+    assert merged.collect()[0].ks == whole.collect()[0].ks
+    # and the merged estimate is the whole-corpus estimate
+    est_merged = merged.select(kmv_estimate("ks", 64).alias("e")).collect()[0].e
+    est_whole = whole.select(kmv_estimate("ks", 64).alias("e")).collect()[0].e
+    assert est_merged == est_whole
+    assert n_distinct > 0  # fixture sanity
+
+
+def test_kmv_intersection_estimate(spark, sf_dir):
+    """Theta-style intersections from KMV sketches:
+    1. EXACT when both sketches are exhaustive (k above both set sizes);
+    2. estimation mode lands within a loose multiple of the theoretical
+       error on a large known overlap;
+    3. disjoint sets estimate ~0."""
+    from crdb_changefeed_publisher_spark.operators.sketches import (
+        kmv_intersection_estimate,
+        kmv_sketch,
+    )
+
+    def pair_est(df_a, df_b, k):
+        sk_a = kmv_sketch(df_a, "text", k=k).select(F.col("ks").alias("ks_a"))
+        sk_b = kmv_sketch(df_b, "text", k=k).select(F.col("ks").alias("ks_b"))
+        return (
+            sk_a.crossJoin(sk_b)
+            .select(kmv_intersection_estimate("ks_a", "ks_b", k).alias("e"))
+            .collect()[0]
+            .e
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+
+    # 1: exhaustive -> exact intersection of the DISTINCT text sets
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 != 1)
+    exact = a.select("text").intersect(b.select("text")).count()
+    assert pair_est(a, b, k=4096) == exact
+
+    # 2: estimation mode — two synthetic sets sharing exactly 10000 values
+    base = spark.range(30000).select(F.concat(F.lit("s-"), F.col("id")).alias("text"))
+    sa = base.filter(F.col("text") >= "s-0")  # all 30000
+    sb = spark.range(20000, 50000).select(F.concat(F.lit("s-"), F.col("id")).alias("text"))
+    est = pair_est(sa, sb, k=256)
+    assert abs(est - 10000) <= 0.5 * 10000, est  # theta intersections are noisier
+
+    # 3: disjoint
+    sc = spark.range(90000, 120000).select(F.concat(F.lit("s-"), F.col("id")).alias("text"))
+    assert pair_est(sa, sc, k=256) <= 300
