@@ -1,0 +1,115 @@
+"""Snapshot-vs-replica reconciliation — the audit a CDC pipeline runs to
+prove a downstream materialized copy still matches the source of truth
+(the operational closer of the changefeed loop: publish -> apply ->
+RECONCILE).
+
+Two-tier design, sized for 100 TB:
+
+1. JVM fast path: both sides reduce to (key, fingerprint) where the
+   fingerprint is sha2-256 over the compared columns (canonicalized,
+   null-tagged). A full-outer equi-join on the key classifies every key as
+   match / missing / suspect with 40-byte shuffle rows — the overwhelming
+   match mass never leaves the JVM and never reaches Python.
+2. Cogrouped applyInPandas detail pass: ONLY suspect keys (fingerprint
+   mismatch or one-sided) shuffle their full rows into
+   ``groupBy(key).cogroup(...).applyInPandas`` for the per-column diff.
+   Python cost is proportional to the DRIFT, not the table.
+
+The cogroup surface is the right tool here (and the one UDF surface the
+rest of the repo didn't exercise): the diff needs BOTH sides' rows for one
+key in one function call, which no single-input mapInPandas/applyInPandas
+shape provides without a pre-join that would re-widen every matching row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(cols: Iterable[str]):
+    # null-tagged, unit-separated canonical form: NULL and 'null' differ,
+    # and no value pair can collide across the separator
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols]
+    return F.sha2(F.concat_ws("\x1f", *parts), 256)
+
+
+def snapshot_reconcile(
+    snapshot: DataFrame,
+    replica: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Per-key drift report between a source-of-truth ``snapshot`` and a
+    CDC-maintained ``replica``: one row per DRIFTING key with
+    status in ('missing_in_replica', 'missing_in_snapshot', 'mismatch')
+    and, for mismatches, the comma-joined names of the differing columns
+    (sorted; compared as canonical strings, NULL-tagged). Matching keys
+    produce NO row — at scale the report is drift-sized, and so is the
+    Python stage that builds it."""
+    # every column re-aliased: a fresh exprId per side, so the downstream
+    # fingerprint join and cogroup stay legal even when snapshot and
+    # replica share a base table by lineage
+    snap = snapshot.select(
+        F.col(key_col).alias("key"), *[F.col(c).alias(c) for c in compare_cols]
+    )
+    repl = replica.select(
+        F.col(key_col).alias("key"), *[F.col(c).alias(c) for c in compare_cols]
+    )
+    # aliased + qualified: snapshot and replica frequently share a base
+    # table (a replica rebuilt from the snapshot's own CDC feed), so this
+    # is a self-join by lineage — qualify everything for the analyzer
+    snap_fp = snap.select("key", _fingerprint(compare_cols).alias("fp_s")).alias("s")
+    repl_fp = repl.select("key", _fingerprint(compare_cols).alias("fp_r")).alias("r")
+    verdict = snap_fp.join(
+        repl_fp, F.col("s.key") == F.col("r.key"), "full_outer"
+    ).select(
+        F.coalesce(F.col("s.key"), F.col("r.key")).alias("key"),
+        F.when(F.col("r.fp_r").isNull(), F.lit("missing_in_replica"))
+        .when(F.col("s.fp_s").isNull(), F.lit("missing_in_snapshot"))
+        .when(F.col("s.fp_s") != F.col("r.fp_r"), F.lit("mismatch"))
+        .alias("status"),
+    )
+    # Materialize the suspect-key list eagerly: it is drift-sized (tiny by
+    # contract), it is consumed by BOTH semi-joins below, and truncating
+    # its lineage here keeps the detail pass a clean self-join of the
+    # inputs (snapshot and replica frequently share a base table — e.g. a
+    # replica rebuilt from the snapshot's own CDC feed).
+    suspect_keys = (
+        verdict.filter(F.col("status").isNotNull()).select("key").localCheckpoint(eager=True)
+    )
+
+    # detail pass over suspect keys only (drift-sized on both sides)
+    snap_sus = snap.join(suspect_keys, "key", "left_semi")
+    repl_sus = repl.join(suspect_keys, "key", "left_semi")
+
+    out_schema = "key long, status string, diff_cols string"
+
+    def diff(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = int(left["key"].iloc[0]) if len(left) else int(right["key"].iloc[0])
+        if not len(right):
+            return pd.DataFrame(
+                {"key": [key], "status": ["missing_in_replica"], "diff_cols": [""]}
+            )
+        if not len(left):
+            return pd.DataFrame(
+                {"key": [key], "status": ["missing_in_snapshot"], "diff_cols": [""]}
+            )
+
+        def canon(pdf: pd.DataFrame, c: str) -> str:
+            v = pdf[c].iloc[0]
+            return "\x00NULL" if pd.isna(v) else str(v)
+
+        cols = sorted(c for c in compare_cols if canon(left, c) != canon(right, c))
+        return pd.DataFrame(
+            {"key": [key], "status": ["mismatch"], "diff_cols": [",".join(cols)]}
+        )
+
+    return (
+        snap_sus.groupBy("key")
+        .cogroup(repl_sus.groupBy("key"))
+        .applyInPandas(diff, out_schema)
+    )

@@ -219,3 +219,67 @@ def cdc_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crdb_changefeed_publisher_spark.operators.changefeed import latest_changes
 
     return latest_changes(_upsert_wire(spark, sf_dir))
+
+
+@query(
+    "orders_cdc_reconcile",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    repl AS (
+        -- the replica a CDC apply loop maintained, with injected drift:
+        -- every 997th key lost, every 499th price corrupted, plus alien rows
+        SELECT o_orderkey,
+               o_orderstatus,
+               CASE WHEN o_orderkey % 499 = 0 THEN round(o_totalprice + 1.0, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 997 <> 0
+        UNION ALL
+        SELECT o_orderkey + 30000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 991 = 0
+    )
+    SELECT coalesce(s.o_orderkey, r.o_orderkey) AS key,
+           CASE WHEN r.o_orderkey IS NULL THEN 'missing_in_replica'
+                WHEN s.o_orderkey IS NULL THEN 'missing_in_snapshot'
+                ELSE 'mismatch' END AS status,
+           CASE WHEN s.o_orderkey IS NULL OR r.o_orderkey IS NULL THEN ''
+                ELSE concat_ws(',',
+                     CASE WHEN s.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+                          THEN 'o_orderstatus' END,
+                     CASE WHEN s.o_totalprice IS DISTINCT FROM r.o_totalprice
+                          THEN 'o_totalprice' END) END AS diff_cols
+    FROM snap s FULL OUTER JOIN repl r ON s.o_orderkey = r.o_orderkey
+    WHERE r.o_orderkey IS NULL OR s.o_orderkey IS NULL
+       OR s.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+       OR s.o_totalprice IS DISTINCT FROM r.o_totalprice
+    """,
+    doc="CDC snapshot-vs-replica RECONCILIATION (the audit that closes the "
+    "changefeed loop): per-key drift report between the orders snapshot "
+    "and a replica with deterministic injected drift (lost keys, corrupted "
+    "prices, alien rows). Tier 1 classifies every key JVM-side from 40-byte "
+    "(key, sha2 fingerprint) rows; tier 2 diffs ONLY suspect keys through "
+    "groupBy().cogroup().applyInPandas() — the cogrouped-UDF surface, with "
+    "Python cost proportional to the drift, not the table "
+    "(operators/reconcile.py::snapshot_reconcile).",
+)
+def orders_cdc_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.reconcile import snapshot_reconcile
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    drifted = snap.filter(F.col("o_orderkey") % 997 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 499 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    alien = snap.filter(F.col("o_orderkey") % 991 == 0).select(
+        (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    repl = drifted.unionByName(alien)
+    return snapshot_reconcile(snap, repl, "o_orderkey", ["o_orderstatus", "o_totalprice"])

@@ -316,3 +316,57 @@ def test_benchmark_contamination_toy(spark):
     assert (got[1].n_grams, got[1].n_contaminated, got[1].clean) == (3, 1, False)
     assert got[1].contamination == 0.3333
     assert (got[2].n_contaminated, got[2].clean) == (0, True)
+
+
+def test_snapshot_reconcile_handcrafted(spark):
+    """operators/reconcile.snapshot_reconcile semantics on a hand-built
+    drift: matching keys emit NOTHING; lost, alien, and per-column
+    corrupted keys come back with the right status and diff_cols; NULL
+    vs value counts as a difference (null-tagged canonical form)."""
+    from crdb_changefeed_publisher_spark.operators.reconcile import snapshot_reconcile
+
+    snap = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "B", 20.0),
+            (3, "C", 30.0),   # lost in replica
+            (4, "D", 40.0),   # both columns corrupted
+            (5, None, 50.0),  # NULL in snapshot, value in replica
+        ],
+        "k long, status string, price double",
+    )
+    repl = spark.createDataFrame(
+        [
+            (1, "A", 10.0),        # match
+            (2, "B", 21.0),        # price drift
+            (4, "X", 41.0),        # both drift
+            (5, "E", 50.0),        # NULL vs E
+            (6, "F", 60.0),        # alien
+        ],
+        "k long, status string, price double",
+    )
+    out = {r.key: r for r in snapshot_reconcile(snap, repl, "k", ["status", "price"]).collect()}
+    assert set(out) == {2, 3, 4, 5, 6}
+    assert out[2].status == "mismatch" and out[2].diff_cols == "price"
+    assert out[3].status == "missing_in_replica"
+    assert out[4].status == "mismatch" and out[4].diff_cols == "price,status"
+    assert out[5].status == "mismatch" and out[5].diff_cols == "status"
+    assert out[6].status == "missing_in_snapshot"
+
+
+def test_snapshot_reconcile_python_stage_is_drift_sized(spark):
+    """The cogrouped detail pass must be fed by semi-joins on the suspect
+    keys — the physical plan carries FlatMapCoGroupsInPandas downstream of
+    the semi-joined sides, and a fully-matching reconcile returns ZERO
+    rows (the Python stage sees no data at all)."""
+    from crdb_changefeed_publisher_spark.operators.reconcile import snapshot_reconcile
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("status"),
+        (F.col("id") * 1.5).alias("price"),
+    )
+    out = snapshot_reconcile(df, df, "k", ["status", "price"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert out.count() == 0
