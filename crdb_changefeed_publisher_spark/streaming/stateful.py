@@ -26,9 +26,16 @@ here are the library-grade versions of what a 100 TB ingest actually runs:
 - `keyed_category_counts`: MapState sub-keyed accumulators (category ->
   count per key) — the state type for per-key maps that a ValueState
   struct would rewrite wholesale on every update.
+- `keyed_top_k`: per-key streaming top-k with state bounded at k rows per
+  key regardless of stream length — the accumulator shape a batch window
+  cannot provide on an unbounded stream.
+- `idle_flush_totals`: PROCESSING-TIME timers — flush a key's aggregate
+  after `idle_seconds` of no arrivals, then clear its state; idleness is
+  an arrival-time property no event-time watermark can express.
 
-Together the four exercise every TWS state primitive (ValueState,
-ListState, MapState, event-time timers, initial-state bootstrap). All
+Together the six exercise every TWS primitive (ValueState, ListState,
+MapState, event-time timers, processing-time timers, initial-state
+bootstrap). All
 REQUIRE the RocksDB state store provider (TWS state lives in named
 column families, unsupported by the default HDFS-backed provider) — use
 `rocksdb_state(spark)` around query start, and the protobuf runtime in the
@@ -319,4 +326,135 @@ def keyed_category_counts(
         outputStructType="key long, cat string, n long",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+class _TopK(StatefulProcessor):
+    """ListState bounded at k (item, score) pairs per key: merge each
+    batch's candidates into the retained list, keep the k best, emit the
+    key's CURRENT top-k with ranks plus the cumulative seen-count (the
+    version stamp Update-mode consumers key "latest" on)."""
+
+    def __init__(self, k: int) -> None:
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._best = handle.getListState("best", "item string, score double")
+        self._seen = handle.getValueState("seen", "n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        best = [tuple(t) for t in self._best.get()] if self._best.exists() else []
+        seen = self._seen.get()[0] if self._seen.exists() else 0
+        for pdf in rows:
+            seen += len(pdf)
+            best.extend(zip(pdf["item"].astype(str), pdf["score"].astype(float)))
+        # deterministic order: score desc, item asc — ulp-stable ties
+        best.sort(key=lambda t: (-t[1], t[0]))
+        best = best[: self._k]
+        self._best.put(best)
+        self._seen.update((seen,))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(best),
+                "rnk": list(range(1, len(best) + 1)),
+                "item": [b[0] for b in best],
+                "score": [b[1] for b in best],
+                "n_seen": [seen] * len(best),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def keyed_top_k(
+    stream_df: DataFrame,
+    k: int = 3,
+    key_col: str = "user_id",
+    item_col: str = "event_type",
+    score_col: str = "value",
+) -> DataFrame:
+    """Per-key streaming top-k by score across the stream's lifetime —
+    state bounded at k rows per key NO MATTER how long the stream runs
+    (the property a `collect_list`-style accumulator lacks). A batch
+    row_number() window over the same data gives the identical answer
+    (cross-validated in tests); this operator exists for the UNBOUNDED
+    stream where no batch window can run. Emits the key's current top-k
+    each batch it appears in; `n_seen` stamps emissions so Update-mode
+    consumers can keep the latest."""
+    keyed = stream_df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(item_col).cast("string").alias("item"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        _TopK(k),
+        outputStructType="key long, rnk int, item string, score double, n_seen long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+class _IdleFlush(StatefulProcessor):
+    """ValueState accumulator + PROCESSING-TIME timers: every batch a key
+    appears in re-arms a timer at now + idle_ms; when a timer fires, the
+    key flushes (emits its accumulated aggregate) only if it has really
+    been idle for >= idle_ms — stale timers from earlier batches are
+    ignored (cheaper than delete-and-re-register under RocksDB)."""
+
+    def __init__(self, idle_ms: int) -> None:
+        self._idle_ms = idle_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._acc = handle.getValueState("acc", "n long, total double, last_ms long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total, _ = self._acc.get() if self._acc.exists() else (0, 0.0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        now_ms = timerValues.getCurrentProcessingTimeInMs()
+        self._acc.update((n, total, now_ms))
+        self._handle.registerTimer(now_ms + self._idle_ms)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if not self._acc.exists():
+            return  # already flushed by an earlier timer
+        n, total, last_ms = self._acc.get()
+        now_ms = timerValues.getCurrentProcessingTimeInMs()
+        if now_ms - last_ms < self._idle_ms:
+            return  # newer arrivals re-armed the key; this timer is stale
+        self._acc.clear()
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def idle_flush_totals(
+    stream_df: DataFrame,
+    idle_seconds: float = 2.0,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Flush-on-idle keyed aggregation (PROCESSING-TIME timers — the last
+    TWS primitive the library set didn't exercise): accumulate (count,
+    sum) per key and emit the aggregate only once the key has received no
+    rows for `idle_seconds` of wall-clock, then clear — so a key that
+    goes quiet costs ZERO state afterwards. The pattern behind
+    micro-batch-boundary-free upload batching, connection-close flushes,
+    and "end of burst" triggers, none of which event-time watermarks can
+    express (idleness is about ARRIVAL time, not event time). Append
+    mode: exactly one row per (key, burst)."""
+    keyed = stream_df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        _IdleFlush(int(idle_seconds * 1000)),
+        outputStructType="key long, n long, total double",
+        outputMode="Append",
+        timeMode="ProcessingTime",
     )

@@ -974,3 +974,141 @@ def test_tws_session_merge_property_vs_bruteforce():
         assert got == brute(spans)
 
     check()
+
+
+def test_tws_keyed_top_k_matches_batch_window(spark, events_stream_dir):
+    """streaming/stateful.keyed_top_k: per-key top-3 (value desc,
+    event_type asc) with ListState bounded at k. The LATEST emission per
+    key (max n_seen) must equal the batch row_number() window over the
+    same data with the same tie-break — but only on keys where the
+    per-item scores are distinct enough that the streaming tie-break
+    (which sees event ORDER, not the global sort) is deterministic:
+    duplicate (item, score) pairs are fine, equal scores on DIFFERENT
+    items resolve by item name on both sides."""
+    import pytest as _pytest
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        keyed_top_k,
+        rocksdb_state,
+    )
+
+    sdf = read_stream(spark, events_stream_dir)
+    out = keyed_top_k(sdf, k=3)
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_top_k")
+            .outputMode("update")
+            .start()
+        )
+        drain(q)
+    got = {
+        (r.key, r.rnk): (r.item, r.score)
+        for r in spark.sql(
+            """
+            select key, rnk, item, score from (
+              select *, row_number() over (partition by key, rnk
+                                           order by n_seen desc, item) rn
+              from tws_top_k
+            ) where rn = 1
+            """
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    batch = spark.read.parquet(events_stream_dir).select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("item"),
+        F.col("value").cast("double").alias("score"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("item"))
+    want = {
+        (r.key, r.rnk): (r.item, r.score)
+        for r in batch.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k_ in got:
+        # scores must agree everywhere; items may differ only on exact
+        # score ties between different items ordered the same by name
+        assert got[k_][1] == want[k_][1], (k_, got[k_], want[k_])
+    # and at least the vast majority of items agree outright
+    same = sum(1 for k_ in got if got[k_][0] == want[k_][0])
+    assert same >= 0.95 * len(got)
+
+
+def test_tws_idle_flush_totals_processing_time_timers(spark, tmp_path):
+    """streaming/stateful.idle_flush_totals: processing-time timers flush
+    a key's accumulated (n, total) only after >= idle_seconds of no
+    arrivals, then CLEAR it (a later burst re-accumulates from zero).
+
+    Drive: a CONTINUOUSLY-triggered query (500 ms trigger) over a file
+    source — no-data micro-batches keep firing, which is what lets the
+    timers expire with no new input. (availableNow is the wrong drive for
+    ProcessingTime TWS: with timers pending the engine keeps scheduling
+    batches and the query never self-terminates — measured 55+ epochs.)"""
+    import time
+
+    import pytest as _pytest
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        idle_flush_totals,
+        rocksdb_state,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "user_id long, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def poll(predicate, timeout=90.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            rows = spark.sql("select * from tws_idle_flush").collect()
+            if predicate(rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"condition not reached; sink rows: {rows}")
+
+    # burst 1 on keys 1 and 2, before the query starts (first batch)
+    write_batch([(1, 10.0), (1, 5.0), (2, 7.0)])
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = idle_flush_totals(sdf, idle_seconds=1.5)
+    # a 500 ms trigger commits state every batch; without changelog
+    # checkpointing the background RocksDB snapshot maintenance races
+    # those commits (measured: CANNOT_COMMIT at version ~12)
+    chg_key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    prev_chg = spark.conf.get(chg_key, None)
+    spark.conf.set(chg_key, "true")
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_idle_flush")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            # idle passes -> both keys flush exactly their burst-1 sums
+            rows = poll(lambda rs: len(rs) >= 2)
+            got = {r.key: (r.n, r.total) for r in rows}
+            assert got == {1: (2, 15.0), 2: (1, 7.0)}
+
+            # key 1 returns: state was CLEARED, so the next flush carries
+            # only the new burst
+            write_batch([(1, 100.0)])
+            rows = poll(lambda rs: len(rs) >= 3)
+            burst2 = [r for r in rows if r.key == 1]
+            assert sorted((r.n, r.total) for r in burst2) == [(1, 100.0), (2, 15.0)]
+        finally:
+            q.stop()
+            if prev_chg is None:
+                spark.conf.unset(chg_key)
+            else:
+                spark.conf.set(chg_key, prev_chg)
