@@ -358,3 +358,52 @@ def kmv_shard_distinct_report(
         kmv_estimate("ks", k).alias("est_distinct"),
     )
     return per_shard.unionByName(global_row).orderBy("shard")
+
+
+def kmv_shard_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 4,
+    k: int = KMV_DEFAULT_K,
+) -> DataFrame:
+    """Pairwise shard-overlap estimates from the KMV sketch table — the
+    theta-style twin of `hll_shard_overlap_matrix`, with two upgrades the
+    samples buy: the intersection is estimated DIRECTLY (retained hashes
+    below the pair's theta), not by inclusion-exclusion over three noisy
+    union estimates, and with the portable hash + int64 estimator every
+    number is engine-exact (the SQL oracle reproduces the full matrix).
+
+    Shape: one sketch build over the corpus (hashes shuffle as 8 B/row),
+    then the n^2/2 pair rows join k-element ARRAYS — kilobytes of sketch,
+    no data beyond the sketch table touched for any pair. Output per
+    unordered pair (shard_a < shard_b): est_a, est_b, est_overlap."""
+    sharded = docs.select(
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(text_col).alias("_t"),
+    )
+    sk = kmv_sketch(sharded, "_t", ["shard"], k=k)
+    a = sk.select(
+        F.col("shard").alias("shard_a"),
+        F.col("ks").alias("ks_a"),
+        kmv_estimate("ks", k).alias("est_a"),
+    )
+    b = sk.select(
+        F.col("shard").alias("shard_b"),
+        F.col("ks").alias("ks_b"),
+        kmv_estimate("ks", k).alias("est_b"),
+    )
+    # the pair join is an inequality over the KB-sized sketch table:
+    # broadcast the right side so it plans as a BroadcastNestedLoopJoin
+    # over n rows, never a CartesianProduct over data
+    return (
+        a.join(F.broadcast(b), F.col("shard_a") < F.col("shard_b"))
+        .select(
+            "shard_a",
+            "shard_b",
+            "est_a",
+            "est_b",
+            kmv_intersection_estimate("ks_a", "ks_b", k).alias("est_overlap"),
+        )
+        .orderBy("shard_a", "shard_b")
+    )

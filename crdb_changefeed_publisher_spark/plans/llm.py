@@ -2096,3 +2096,60 @@ def kmv_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.duplicate_span_report(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "kmv_shard_overlap",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 7000001, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    base AS (SELECT doc_id % 4 AS shard, {_KMV_FOLD52.replace("sha256('kmv-v1:' || text)", "sha256('kmv-v1:' || text)")} AS h FROM corpus),
+    d AS (SELECT DISTINCT shard, h FROM base),
+    r AS (SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rk FROM d),
+    topk AS (SELECT shard, h, rk FROM r WHERE rk <= 64),
+    th AS (
+        SELECT shard,
+               CASE WHEN count(*) < 64 THEN 4503599627370496
+                    ELSE max(CASE WHEN rk = 64 THEN h END) END AS theta,
+               CASE WHEN count(*) < 64 THEN count(*)
+                    ELSE 63 * 4503599627370496
+                         // greatest(max(CASE WHEN rk = 64 THEN h END), 1) END AS est
+        FROM topk GROUP BY shard),
+    pairs AS (
+        SELECT a.shard AS shard_a, b.shard AS shard_b,
+               a.est AS est_a, b.est AS est_b, least(a.theta, b.theta) AS th_p
+        FROM th a JOIN th b ON a.shard < b.shard),
+    common AS (
+        SELECT p.shard_a, p.shard_b, count(*) AS m
+        FROM pairs p
+        JOIN topk ta ON ta.shard = p.shard_a AND ta.h < p.th_p
+        JOIN topk tb ON tb.shard = p.shard_b AND tb.h = ta.h
+        GROUP BY 1, 2)
+    SELECT p.shard_a AS shard_a, p.shard_b AS shard_b,
+           CAST(p.est_a AS BIGINT) AS est_a, CAST(p.est_b AS BIGINT) AS est_b,
+           CAST(coalesce(c.m, 0) * 4503599627370496 // greatest(p.th_p, 1) AS BIGINT)
+               AS est_overlap
+    FROM pairs p LEFT JOIN common c ON c.shard_a = p.shard_a AND c.shard_b = p.shard_b
+    ORDER BY 1, 2
+    """,
+    doc="Pairwise shard-overlap matrix from KMV sketches (theta-style "
+    "DIRECT intersection: retained hashes below the pair's theta, scaled "
+    "by the sampling rate — not HLL's inclusion-exclusion over three "
+    "noisy unions), over the documents corpus with deterministic injected "
+    "cross-shard duplicates (every 10th doc copied into the next shard). "
+    "Every estimate is engine-exact int64 arithmetic; n^2/2 pairs join "
+    "only k-element sketch arrays "
+    "(operators/sketches.py::kmv_shard_overlap_matrix).",
+)
+def kmv_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 7000001).alias("doc_id"), "text"
+    )
+    return sketches.kmv_shard_overlap_matrix(docs.unionByName(dups))

@@ -78,6 +78,7 @@ def test_retired_set_is_the_expected_one():
         "events_weighted_median",
         "grouping_sets_revenue",
         "kmv_shard_distinct",
+        "kmv_shard_overlap",
         "lang_mixture_weights",
         "left_join_order_counts",
         "math_funcs_lineitem",

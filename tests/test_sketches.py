@@ -244,3 +244,46 @@ def test_kmv_intersection_estimate(spark, sf_dir):
     # 3: disjoint
     sc = spark.range(90000, 120000).select(F.concat(F.lit("s-"), F.col("id")).alias("text"))
     assert pair_est(sa, sc, k=256) <= 300
+
+
+def test_kmv_shard_overlap_matrix_exact_when_exhaustive(spark, sf_dir):
+    """With k above every shard's distinct count the KMV sketches are the
+    distinct sets themselves, so the theta intersection must equal the
+    EXACT pairwise intersections of the injected cross-shard duplicates —
+    no tolerance at all (the property HLL can never offer). k=2048 is
+    the estimator's int64 ceiling ((k-1)*2^52 < 2^63) and exceeds every
+    shard's distinct count at all three fixture SFs."""
+    import itertools
+
+    from crdb_changefeed_publisher_spark.operators.sketches import (
+        kmv_shard_overlap_matrix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 7000001).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups).cache()
+
+    out = {
+        (r.shard_a, r.shard_b): r
+        for r in kmv_shard_overlap_matrix(corpus, k=2048).collect()
+    }
+    assert len(out) == 6
+
+    keyed = corpus.select(
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("shard"), "text"
+    ).cache()
+    shard_sets = {
+        s: {r.text for r in keyed.filter(F.col("shard") == s).select("text").distinct().collect()}
+        for s in range(4)
+    }
+    for sa, sb in itertools.combinations(range(4), 2):
+        r = out[(sa, sb)]
+        assert r.est_a == len(shard_sets[sa]), (sa, r.est_a)
+        assert r.est_b == len(shard_sets[sb]), (sb, r.est_b)
+        assert r.est_overlap == len(shard_sets[sa] & shard_sets[sb]), (sa, sb)
+    # doc_id % 10 == 0 implies an EVEN doc_id, so copies flow only
+    # shard 0 -> 1 and shard 2 -> 3: exactly those pairs overlap
+    assert sum(1 for p, r in out.items() if r.est_overlap > 0) >= 2
+    assert out[(0, 1)].est_overlap > 0 and out[(2, 3)].est_overlap > 0
