@@ -139,3 +139,64 @@ def quality_checks(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def distribution_drift_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    dim_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Categorical distribution drift between two table snapshots over one
+    dimension — the monitor a training-data pipeline runs per ingest to
+    catch composition shifts (language mix collapsing, a source flooding
+    the corpus) before they reach a training run.
+
+    One row per dimension value present in EITHER snapshot: counts, the
+    two shares, and the value's Population-Stability-Index contribution
+    psi = (p_cur - p_base) * ln(p_cur / p_base); sum(psi) is the standard
+    PSI statistic (rule of thumb: < 0.1 stable, > 0.25 action). Additive
+    smoothing keeps values absent from one side finite and makes the
+    report total-order stable.
+
+    Shape at 100 TB: each snapshot reduces with ONE partial-agg count
+    shuffle to ~cardinality(dim) rows; the join and the two total rows are
+    broadcasts. Nothing downstream of the first aggregates is data-sized.
+    All floats rounded to 6 — the report is engine-exact and diffable
+    across runs (the DuckDB oracle reproduces every row)."""
+    base_counts = baseline.groupBy(F.col(dim_col).alias("dim")).agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    cur_counts = current.groupBy(F.col(dim_col).alias("dim")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    joined = (
+        base_counts.join(cur_counts, "dim", "full_outer")
+        .select(
+            "dim",
+            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_base").alias("t_base"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("n_dims"),
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    # smoothed shares: (n + s) / (t + s * n_dims) — exact in double from
+    # exact integers, identical in any engine
+    p_base = (F.col("n_base") + F.lit(smoothing)) / (
+        F.col("t_base") + F.lit(smoothing) * F.col("n_dims")
+    )
+    p_cur = (F.col("n_cur") + F.lit(smoothing)) / (
+        F.col("t_cur") + F.lit(smoothing) * F.col("n_dims")
+    )
+    return j.select(
+        "dim",
+        "n_base",
+        "n_cur",
+        F.round(p_base, 6).alias("share_base"),
+        F.round(p_cur, 6).alias("share_cur"),
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias("psi"),
+    ).orderBy("dim")

@@ -2153,3 +2153,44 @@ def kmv_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 7000001).alias("doc_id"), "text"
     )
     return sketches.kmv_shard_overlap_matrix(docs.unionByName(dups))
+
+
+@query(
+    "corpus_lang_drift",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH base AS (SELECT lang AS dim, count(*) AS n_base FROM documents GROUP BY 1),
+    cur AS (
+        SELECT lang AS dim, count(*) AS n_cur FROM documents
+        WHERE NOT (lang = 'en' AND doc_id % 3 = 0) GROUP BY 1
+    ),
+    j AS (
+        SELECT coalesce(b.dim, c.dim) AS dim,
+               coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        FROM base b FULL OUTER JOIN cur c ON b.dim = c.dim
+    ),
+    t AS (SELECT sum(n_base) AS t_base, sum(n_cur) AS t_cur, count(*) AS n_dims FROM j)
+    SELECT dim, n_base, n_cur,
+           round((n_base + 0.5) / (t_base + 0.5 * n_dims), 6) AS share_base,
+           round((n_cur + 0.5) / (t_cur + 0.5 * n_dims), 6) AS share_cur,
+           round(((n_cur + 0.5) / (t_cur + 0.5 * n_dims)
+                  - (n_base + 0.5) / (t_base + 0.5 * n_dims))
+                 * ln(((n_cur + 0.5) / (t_cur + 0.5 * n_dims))
+                      / ((n_base + 0.5) / (t_base + 0.5 * n_dims))), 6) AS psi
+    FROM j CROSS JOIN t
+    ORDER BY dim
+    """,
+    doc="Categorical distribution-drift monitor (PSI) between two corpus "
+    "snapshots over the language dimension — here the full corpus vs a "
+    "deterministically downsampled one (every 3rd English doc removed), "
+    "the composition shift a per-ingest monitor must catch. One partial-"
+    "agg count shuffle per snapshot to ~cardinality(lang) rows, then "
+    "broadcast totals; per-value PSI contributions sum to the standard "
+    "statistic (operators/quality.py::distribution_drift_report).",
+)
+def corpus_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.quality import distribution_drift_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    current = docs.filter(~((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0)))
+    return distribution_drift_report(docs, current, "lang")

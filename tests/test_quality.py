@@ -72,3 +72,38 @@ def test_profile_is_one_aggregation_job(spark, sf_dir):
     plan = prof._jdf.queryExecution().executedPlan().toString()
     # one scan of orders feeds the whole profile (no per-column re-scans)
     assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
+
+
+def test_distribution_drift_report_handcrafted(spark):
+    """PSI semantics: identical snapshots -> psi 0 everywhere; a value
+    absent from one side stays finite via smoothing; growing shares get
+    positive psi, shrinking shares positive too (PSI contributions are
+    (p2-p1)*ln(p2/p1) >= 0 always); the summed statistic orders a big
+    shift above a small one."""
+    from crdb_changefeed_publisher_spark.operators.quality import (
+        distribution_drift_report,
+    )
+
+    base = spark.createDataFrame(
+        [("en",)] * 60 + [("fr",)] * 30 + [("de",)] * 10, "lang string"
+    )
+    # identical -> all psi 0
+    same = distribution_drift_report(base, base, "lang").collect()
+    assert all(r.psi == 0.0 for r in same)
+
+    # big shift: english halves, german triples, french vanishes
+    cur = spark.createDataFrame([("en",)] * 30 + [("de",)] * 30, "lang string")
+    out = {r.dim: r for r in distribution_drift_report(base, cur, "lang").collect()}
+    assert set(out) == {"en", "fr", "de"}
+    assert all(r.psi >= 0 for r in out.values())        # PSI terms are nonnegative
+    assert out["fr"].n_cur == 0 and out["fr"].psi > 0   # vanished, finite
+    big = sum(r.psi for r in out.values())
+
+    # small shift: one english doc becomes german
+    cur2 = spark.createDataFrame(
+        [("en",)] * 59 + [("fr",)] * 30 + [("de",)] * 11, "lang string"
+    )
+    small = sum(
+        r.psi for r in distribution_drift_report(base, cur2, "lang").collect()
+    )
+    assert small < 0.01 < 0.25 < big

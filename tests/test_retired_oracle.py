@@ -50,6 +50,7 @@ def test_retired_set_is_the_expected_one():
         "best_order_per_customer",
         "cdc_envelopes_orders",
         "cdc_upsert_view",
+        "corpus_lang_drift",
         "dedup_minhash_lsh",
         "doc_bm25_search",
         "doc_boilerplate_report",
