@@ -1112,3 +1112,47 @@ def test_tws_idle_flush_totals_processing_time_timers(spark, tmp_path):
                 spark.conf.unset(chg_key)
             else:
                 spark.conf.set(chg_key, prev_chg)
+
+
+def test_streaming_windowed_hll_distinct_equals_batch(spark, events_stream_dir):
+    """Sketches compose with streaming event-time windows: approx distinct
+    users per (1h tumbling window, event_type) via hll_sketch_agg in a
+    streaming aggregation. HLL register state is order-insensitive, so
+    the streaming estimates must equal the batch estimates EXACTLY — the
+    pattern for per-window cardinality monitoring on an unbounded feed
+    where exact distinct state would grow with the key space."""
+    sdf = read_stream(spark, events_stream_dir).withWatermark("ts", "1 hour")
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            F.expr("cast(hll_sketch_estimate(sk) as long)").alias("est_users"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_windows")
+        .outputMode("complete")
+        .start()
+    )
+    drain(q)
+    got = {
+        (r.w_start, r.event_type): r.est_users
+        for r in spark.sql("select * from hll_windows").collect()
+    }
+    want = {
+        (r.w_start, r.event_type): r.est_users
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            F.expr("cast(hll_sketch_estimate(sk) as long)").alias("est_users"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 10  # fixture spans many windows/types
