@@ -32,10 +32,13 @@ here are the library-grade versions of what a 100 TB ingest actually runs:
 - `idle_flush_totals`: PROCESSING-TIME timers — flush a key's aggregate
   after `idle_seconds` of no arrivals, then clear its state; idleness is
   an arrival-time property no event-time watermark can express.
+- `kmv_on_stream`: stream-lifetime per-key distinct estimation with a KMV
+  sketch in state (bounded at k longs per key forever) — estimates
+  bit-identical to the batch `kmv_sketch` over the same data.
 
-Together the six exercise every TWS primitive (ValueState, ListState,
-MapState, event-time timers, processing-time timers, initial-state
-bootstrap). All
+Together the operators exercise every TWS primitive (ValueState,
+ListState, MapState, event-time timers, processing-time timers,
+initial-state bootstrap). All
 REQUIRE the RocksDB state store provider (TWS state lives in named
 column families, unsupported by the default HDFS-backed provider) — use
 `rocksdb_state(spark)` around query start, and the protobuf runtime in the
@@ -457,4 +460,71 @@ def idle_flush_totals(
         outputStructType="key long, n long, total double",
         outputMode="Append",
         timeMode="ProcessingTime",
+    )
+
+
+class _KmvState(StatefulProcessor):
+    """ListState holding the bottom-k retained hashes per key (ascending,
+    <= k longs). Each batch merges the new hashes and re-truncates; the
+    emitted estimate uses the SAME exact int64 arithmetic as the batch
+    estimator, so stream-lifetime estimates are bit-identical to a batch
+    `kmv_sketch` over the same data."""
+
+    def __init__(self, k: int, kmv_range: int) -> None:
+        self._k = k
+        self._range = kmv_range
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._ks = handle.getListState("ks", "h long")
+        self._seen = handle.getValueState("seen", "n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        ks = [t[0] for t in self._ks.get()] if self._ks.exists() else []
+        seen = self._seen.get()[0] if self._seen.exists() else 0
+        merged = set(ks)
+        for pdf in rows:
+            seen += len(pdf)
+            merged.update(int(h) for h in pdf["h"])
+        ks = sorted(merged)[: self._k]
+        self._ks.put([(h,) for h in ks])
+        self._seen.update((seen,))
+        if len(ks) < self._k:
+            est = len(ks)
+        else:
+            est = (self._k - 1) * self._range // max(ks[-1], 1)
+        yield pd.DataFrame(
+            {"key": [key[0]], "est_distinct": [est], "n_seen": [seen]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def kmv_on_stream(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Stream-lifetime per-key distinct estimation via a KMV sketch in TWS
+    state — the streaming twin of `operators/sketches.kmv_sketch`, with
+    state bounded at k longs per key FOREVER (an exact streaming distinct
+    would grow with the value space; watermark-scoped dropDuplicates
+    forgets history). Values are hashed JVM-side with the SAME portable
+    `kmv_hash` before the shuffle (8 B/row on the wire, definition kept
+    in one place), and the Python merge + estimator use the same exact
+    int64 arithmetic — so the final streaming estimates are BIT-IDENTICAL
+    to the batch sketch over the same data (cross-validated in tests).
+    Update mode; `n_seen` stamps emissions so consumers keep the latest."""
+    from crdb_changefeed_publisher_spark.operators.sketches import KMV_RANGE, kmv_hash
+
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        kmv_hash(F.col(value_col)).alias("h"),
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        _KmvState(k, KMV_RANGE),
+        outputStructType="key string, est_distinct long, n_seen long",
+        outputMode="Update",
+        timeMode="None",
     )

@@ -1156,3 +1156,57 @@ def test_streaming_windowed_hll_distinct_equals_batch(spark, events_stream_dir):
     }
     assert got == want
     assert len(got) > 10  # fixture spans many windows/types
+
+
+def test_tws_kmv_on_stream_bit_identical_to_batch(spark, events_stream_dir):
+    """streaming/stateful.kmv_on_stream: stream-lifetime per-key distinct
+    estimation with KMV state. Same portable hash JVM-side, same exact
+    int64 estimator in the merge — so the LATEST emission per key must
+    equal operators/sketches.kmv_sketch + kmv_estimate over the same
+    data BIT-FOR-BIT, not within a tolerance."""
+    import pytest as _pytest
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        kmv_on_stream,
+        rocksdb_state,
+    )
+
+    sdf = read_stream(spark, events_stream_dir)
+    out = kmv_on_stream(sdf, key_col="event_type", value_col="user_id", k=64)
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_kmv")
+            .outputMode("update")
+            .start()
+        )
+        drain(q)
+    got = {
+        r.key: r.est_distinct
+        for r in spark.sql(
+            """
+            select key, est_distinct from (
+              select *, row_number() over (partition by key order by n_seen desc) rn
+              from tws_kmv
+            ) where rn = 1
+            """
+        ).collect()
+    }
+    batch = spark.read.parquet(events_stream_dir).select(
+        F.col("event_type").cast("string").alias("key"),
+        F.col("user_id").alias("v"),
+    )
+    want = {
+        r.key: r.est
+        for r in kmv_sketch(batch, "v", ["key"], k=64)
+        .select("key", kmv_estimate("ks", 64).alias("est"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 3
