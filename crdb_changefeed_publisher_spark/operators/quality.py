@@ -200,3 +200,46 @@ def distribution_drift_report(
         F.round(p_cur, 6).alias("share_cur"),
         F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias("psi"),
     ).orderBy("dim")
+
+
+def numeric_drift_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI drift for a CONTINUOUS column: fixed-width bins over [lo, hi]
+    (values outside clamp to the edge bins, NULLs get bin -1), then the
+    categorical machinery of `distribution_drift_report` over the bin id.
+
+    The bin edges must come from a FROZEN range — pass (lo, hi) from the
+    baseline snapshot's published stats, the same way the learned-operator
+    family freezes codebooks: recomputing the range per run would make
+    reports incomparable across runs (a new outlier would silently rebin
+    history). If omitted, the range is taken from the BASELINE's min/max
+    (one cheap agg) — fine for one-off comparisons, but pin it for a
+    monitoring series. Binning is exact integer arithmetic on both
+    engines; the report inherits the categorical form's engine-exactness."""
+    if lo is None or hi is None:
+        row = baseline.agg(
+            F.min(F.col(value_col)).alias("lo"), F.max(F.col(value_col)).alias("hi")
+        ).collect()[0]
+        lo = float(row.lo) if lo is None else lo
+        hi = float(row.hi) if hi is None else hi
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def binned(df: DataFrame) -> DataFrame:
+        b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long")
+        return df.select(
+            F.when(F.col(value_col).isNull(), F.lit(-1))
+            .otherwise(F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)))
+            .cast("long")
+            .alias("bin")
+        )
+
+    return distribution_drift_report(
+        binned(baseline), binned(current), "bin", smoothing=smoothing
+    ).withColumnsRenamed({"dim": "bin"})

@@ -423,3 +423,50 @@ def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         non_negative_cols=["o_totalprice"],
         contained_in={"o_custkey": (customer, "c_custkey")},
     )
+
+
+@query(
+    "orders_price_drift",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH b AS (
+        SELECT least(greatest(CAST(floor(o_totalprice / 60000.0) AS BIGINT), 0), 9) AS bin
+        FROM orders WHERE o_orderdate < DATE '1995-07-01'
+    ),
+    c AS (
+        SELECT least(greatest(CAST(floor(o_totalprice / 60000.0) AS BIGINT), 0), 9) AS bin
+        FROM orders WHERE o_orderdate >= DATE '1995-07-01'
+    ),
+    bc AS (SELECT bin, count(*) AS n_base FROM b GROUP BY 1),
+    cc AS (SELECT bin, count(*) AS n_cur FROM c GROUP BY 1),
+    j AS (
+        SELECT coalesce(bc.bin, cc.bin) AS bin,
+               coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        FROM bc FULL OUTER JOIN cc ON bc.bin = cc.bin
+    ),
+    t AS (SELECT sum(n_base) AS t_base, sum(n_cur) AS t_cur, count(*) AS n_dims FROM j)
+    SELECT bin, n_base, n_cur,
+           round((n_base + 0.5) / (t_base + 0.5 * n_dims), 6) AS share_base,
+           round((n_cur + 0.5) / (t_cur + 0.5 * n_dims), 6) AS share_cur,
+           round(((n_cur + 0.5) / (t_cur + 0.5 * n_dims)
+                  - (n_base + 0.5) / (t_base + 0.5 * n_dims))
+                 * ln(((n_cur + 0.5) / (t_cur + 0.5 * n_dims))
+                      / ((n_base + 0.5) / (t_base + 0.5 * n_dims))), 6) AS psi
+    FROM j CROSS JOIN t
+    ORDER BY bin
+    """,
+    doc="PSI drift for a CONTINUOUS column (order value distribution, "
+    "pre- vs post-1995-07 order halves): fixed-width bins over the FROZEN "
+    "range [0, 600000] (10 bins; edges pinned like the learned-operator "
+    "literals — recomputing the range per run would silently rebin "
+    "history), then the categorical PSI machinery over the bin id. "
+    "Binning is per-row codegen; everything downstream is "
+    "~n_bins-sized (operators/quality.py::numeric_drift_report).",
+)
+def orders_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.quality import numeric_drift_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1995-07-01")
+    cur = orders.filter(F.col("o_orderdate") >= "1995-07-01")
+    return numeric_drift_report(base, cur, "o_totalprice", n_bins=10, lo=0.0, hi=600000.0)

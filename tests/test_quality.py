@@ -107,3 +107,32 @@ def test_distribution_drift_report_handcrafted(spark):
         r.psi for r in distribution_drift_report(base, cur2, "lang").collect()
     )
     assert small < 0.01 < 0.25 < big
+
+
+def test_numeric_drift_report_handcrafted(spark):
+    """Binned-PSI semantics: identical snapshots -> zero PSI; NULLs land
+    in bin -1; out-of-range values clamp to the edge bins; a shifted
+    distribution produces a larger summed PSI than a matching one."""
+    from crdb_changefeed_publisher_spark.operators.quality import numeric_drift_report
+
+    base = spark.createDataFrame([(float(v),) for v in range(100)], "x double")
+    same = numeric_drift_report(base, base, "x", n_bins=5, lo=0.0, hi=100.0).collect()
+    assert all(r.psi == 0.0 for r in same)
+    assert {r.bin for r in same} == {0, 1, 2, 3, 4}
+
+    # clamping + NULL bin
+    cur = spark.createDataFrame(
+        [(-50.0,), (1e9,), (None,)] + [(float(v),) for v in range(100)], "x double"
+    )
+    out = {r.bin: r for r in numeric_drift_report(base, cur, "x", 5, 0.0, 100.0).collect()}
+    assert out[-1].n_cur == 1 and out[-1].n_base == 0    # NULL bin
+    assert out[0].n_cur == 21                            # -50 clamps into bin 0
+    assert out[4].n_cur == 21                            # 1e9 clamps into bin 4
+
+    # shift: everything moves up one bin width
+    shifted = spark.createDataFrame([(float(v) + 20,) for v in range(100)], "x double")
+    psi_shift = sum(
+        r.psi for r in numeric_drift_report(base, shifted, "x", 5, 0.0, 100.0).collect()
+    )
+    psi_same = sum(r.psi for r in same)
+    assert psi_shift > 0.25 > psi_same

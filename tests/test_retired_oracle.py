@@ -88,6 +88,7 @@ def test_retired_set_is_the_expected_one():
         "order_value_buckets",
         "orders_above_avg",
         "orders_cdc_reconcile",
+        "orders_price_drift",
         "orders_profile",
         "orders_zorder_key",
         "supplier_customer_pagerank",
