@@ -120,6 +120,9 @@ def test_plan_digest_ceilings_for_shape_critical_queries(spark, sf_dir):
         "doc_decontamination": (6, 1),    # benchmark set must broadcast
         "salted_skew_agg": (3, 0),        # two-phase salted agg
         "top_expensive_orders": (0, 0),   # TakeOrderedAndProject, no exchange
+        # r6 swap promotion: the incremental-dedup probes must broadcast
+        # the shard-side band/hash tables; digest row 8 exch / 3 bcast
+        "dedup_incremental": (10, 2),
     }
     problems = []
     for name, (max_exch, min_bcast) in ceilings.items():
