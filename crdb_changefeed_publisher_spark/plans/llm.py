@@ -167,7 +167,7 @@ _MINHASH_CTES = f"""words AS (SELECT doc_id, string_split(trim(text), ' ') AS w 
     "faster production path.",
 )
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_portable_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+    return _minhash_pairs(spark, sf_dir)
 
 
 def _banded_sql(src: str, p: str) -> str:
@@ -436,7 +436,7 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_portable_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     cc = dedup.connected_components(pairs, docs.select("doc_id"))
     return cc.select(
         "doc_id",
@@ -1181,7 +1181,30 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARED_PASSES = {
     "contamination": _contamination,
     "ann_encode": lambda spark, sf_dir: _encoded_index(spark, sf_dir),
+    "minhash_pairs": lambda spark, sf_dir: _minhash_pairs(spark, sf_dir),
 }
+
+
+# Shared portable MinHash+LSH candidate pairs: the signature + banding +
+# pair-join pipeline is the expensive stage of BOTH dedup_minhash_portable
+# (the pair report) and dedup_cluster_keep_list (pairs -> connected
+# components -> keep list). Built once per (session, sf_dir), persisted,
+# consumed by both — the production posture, where the near-dup pair table
+# is materialized once per corpus snapshot and the resolution/report
+# stages read it (same pattern as _contamination; bench times it as the
+# explicit `_shared:minhash_pairs` row).
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        df = dedup.minhash_portable_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.2
+        ).persist()
+        _PAIRS_CACHE[key] = df
+    return df
 
 
 @query(
