@@ -370,3 +370,25 @@ def test_snapshot_reconcile_python_stage_is_drift_sized(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
     assert out.count() == 0
+
+
+def test_dedup_candidate_quality_against_exact_jaccard(spark, sf_dir):
+    """Pin the candidate quality of the MinHash generators against EXACT
+    3-gram Jaccard ground truth (tools/dedup_quality.py's measure, scoped
+    to the two production-relevant detectors): the native LSH must stay
+    on the efficient frontier (precision 1.0 here) and the portable twin
+    must not miss true pairs. Deterministic per fixture."""
+    from tools.dedup_quality import exact_jaccard_pairs, pair_set
+
+    from crdb_changefeed_publisher_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+    truth = pair_set(exact_jaccard_pairs(docs, 0.2))
+    assert truth  # fixture must contain true near-dups
+
+    native = pair_set(dedup.minhash_lsh_pairs(docs, threshold=0.2))
+    portable = pair_set(dedup.minhash_portable_pairs(docs, threshold=0.2))
+
+    assert len(native & truth) / len(truth) >= 0.9       # native recall
+    assert len(native & truth) / max(len(native), 1) >= 0.9  # native precision
+    assert len(portable & truth) / len(truth) >= 0.95    # portable recall
