@@ -497,3 +497,62 @@ def curation_report(docs: DataFrame, curated: DataFrame, lang_col: str = "lang")
             "keep_rate", F.round(F.col("n_docs_kept") / F.col("n_docs_in"), 4)
         )
     )
+
+
+def source_scorecard(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    keep_quality: float = 0.7,
+    keep_dup_rate: float = 0.2,
+    review_quality: float = 0.5,
+) -> DataFrame:
+    """Per-SOURCE curation scorecard — the table a crawl-inclusion decision
+    actually reads: document and token volume, mean composite quality,
+    the source's corpus-duplicate rate (fraction of its documents whose
+    exact content appears more than once in the WHOLE corpus — a feed
+    that mostly re-serves content other sources already provide scores
+    high here), language breadth, and a thresholded keep/review/drop
+    verdict.
+
+    Shape at 100 TB: quality and token counts are per-row codegen; the
+    duplicate flags cost ONE shuffle of 32-byte content digests (per-
+    content window, cells are copy-count-sized); the scorecard itself is
+    a ~cardinality(source) partial-agg. Verdict thresholds compare
+    ROUNDED values so the cut is engine-stable."""
+    from crdb_changefeed_publisher_spark.operators.text import quality_score, word_count
+
+    enriched = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        quality_score(F.col(text_col)).alias("q"),
+        word_count(F.col(text_col)).alias("nt"),
+        F.sha2(F.col(text_col), 256).alias("ck"),
+    )
+    copies = Window.partitionBy("ck")
+    flagged = enriched.withColumn("n_copies", F.count(F.lit(1)).over(copies))
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.round(F.avg(F.when(F.col("n_copies") > 1, 1.0).otherwise(0.0)), 4).alias(
+            "dup_rate"
+        ),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "avg_quality",
+        "dup_rate",
+        "n_langs",
+        F.when(
+            (F.col("avg_quality") >= keep_quality) & (F.col("dup_rate") <= keep_dup_rate),
+            F.lit("keep"),
+        )
+        .when(F.col("avg_quality") >= review_quality, F.lit("review"))
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
+    ).orderBy("source")

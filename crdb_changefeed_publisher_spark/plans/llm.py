@@ -2217,3 +2217,55 @@ def corpus_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     current = docs.filter(~((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0)))
     return distribution_drift_report(docs, current, "lang")
+
+
+@query(
+    "source_scorecard",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH q AS (
+        SELECT source, lang,
+               round(0.4 * least(length(text) / 500.0, 1.0)
+                     + 0.3 * (CASE WHEN length(replace(trim(text), ' ', ''))
+                                        / len(string_split(trim(text), ' ')) >= 3
+                                    AND length(replace(trim(text), ' ', ''))
+                                        / len(string_split(trim(text), ' ')) <= 10
+                                   THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * greatest(0.0, 1.0 -
+                           ((length(text) - length(replace(text, '.', ''))) / 1.0
+                            + (length(text) - length(replace(text, ',', ''))) / 1.0)
+                           / greatest(len(string_split(trim(text), ' ')), 1)),
+                     4) AS q,
+               len(string_split(trim(text), ' ')) AS nt,
+               sha256(text) AS ck
+        FROM documents
+    ),
+    f AS (SELECT *, count(*) OVER (PARTITION BY ck) AS n_copies FROM q),
+    s AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               round(avg(q), 4) AS avg_quality,
+               round(avg(CASE WHEN n_copies > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_rate,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM f GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens, avg_quality, dup_rate, n_langs,
+           CASE WHEN avg_quality >= 0.7 AND dup_rate <= 0.2 THEN 'keep'
+                WHEN avg_quality >= 0.5 THEN 'review'
+                ELSE 'drop' END AS verdict
+    FROM s ORDER BY source
+    """,
+    doc="Per-SOURCE curation scorecard (the crawl-inclusion decision "
+    "table): doc/token volume, mean composite quality, corpus-duplicate "
+    "rate (fraction of the source's docs whose exact content appears "
+    "more than once in the whole corpus), language breadth, and a "
+    "thresholded keep/review/drop verdict on ROUNDED values. One "
+    "32-byte-digest shuffle for the duplicate flags + a "
+    "~cardinality(source) partial-agg "
+    "(operators/curate.py::source_scorecard).",
+)
+def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.curate import source_scorecard as _sc
+
+    return _sc(load_table(spark, sf_dir, "documents"))

@@ -315,3 +315,42 @@ def test_pack_sequences_composes_with_bpe_token_counts(spark):
     ws = t.pack_sequences(docs, capacity=512)
     ws_rows = {r.doc_id: r.bin_id for r in ws.collect()}
     assert any(ws_rows[i] != rows[i].bin_id for i in rows)
+
+
+def test_source_scorecard_verdict_semantics(spark):
+    """Hand-built sources pin the verdict thresholds: a high-quality
+    original source keeps, a mostly-duplicated one fails the dup gate
+    into review, and a junk source drops. Duplicate rate counts content
+    appearing >1x ANYWHERE in the corpus, not just within the source."""
+    from crdb_changefeed_publisher_spark.operators.curate import source_scorecard
+
+    # > 500 chars so the length band saturates; sparse punctuation
+    good = " ".join(["the quick brown fox jumps over a lazy dog running far afield"] * 9) + "."
+    junk = "x" * 40  # one 40-char word -> word-length sanity fails, low quality
+    rows = (
+        # clean source: 3 distinct good docs
+        [("clean", "en", good + f" variant {i}") for i in range(3)]
+        # reserver: same good docs VERBATIM (cross-source duplicates)
+        + [("reserver", "en", good + f" variant {i}") for i in range(3)]
+        # junker: unusable text (distinct per doc — dup gate stays clean)
+        + [("junker", "en", junk + str(i)) for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "source string, lang string, text string")
+    out = {r.source: r for r in source_scorecard(docs).collect()}
+
+    # both copies of each duplicated content count as duplicates, so the
+    # clean source ALSO shows dup pressure — the decision the scorecard
+    # exists to surface (some feed is re-serving the corpus)
+    assert out["clean"].dup_rate == 1.0 and out["reserver"].dup_rate == 1.0
+    assert out["clean"].verdict == "review"  # quality fine, dup gate fails
+    assert out["junker"].dup_rate == 0.0
+    assert out["junker"].verdict == "drop"
+    assert out["junker"].avg_quality < 0.5 < out["clean"].avg_quality
+
+    # a source with original content keeps
+    solo = spark.createDataFrame(
+        [("solo", "en", good + f" unique {i}") for i in range(3)],
+        "source string, lang string, text string",
+    )
+    kept = source_scorecard(solo).collect()[0]
+    assert kept.verdict == "keep" and kept.dup_rate == 0.0

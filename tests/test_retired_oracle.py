@@ -91,6 +91,7 @@ def test_retired_set_is_the_expected_one():
         "orders_price_drift",
         "orders_profile",
         "orders_zorder_key",
+        "source_scorecard",
         "supplier_customer_pagerank",
         "token_vocab_coverage",
         "top_shingles_corpus",
