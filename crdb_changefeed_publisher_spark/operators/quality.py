@@ -243,3 +243,29 @@ def numeric_drift_report(
     return distribution_drift_report(
         binned(baseline), binned(current), "bin", smoothing=smoothing
     ).withColumnsRenamed({"dim": "bin"})
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Skew diagnostic for a prospective shuffle/join key — the numbers
+    that decide between a plain equi-join, AQE skew-split, and explicit
+    salting BEFORE the expensive job runs: row/key counts, the frequency
+    of the heaviest key and its share of all rows, exact p50/p90/p99 of
+    the per-key frequency distribution, and the top key itself.
+
+    One partial-agg count shuffle to ~n_keys rows; the stats over the
+    (much smaller) frequency distribution run as a second ~n_keys-sized
+    aggregate. Deterministic: the top key breaks frequency ties by key
+    value, percentiles are exact (the frequency table is key-cardinality-
+    sized, not data-sized — percentile_approx is the swap if even that is
+    too wide)."""
+    freq = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    return freq.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_freq"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("max_share"),
+        F.percentile("n", F.lit(0.5)).cast("double").alias("p50_freq"),
+        F.percentile("n", F.lit(0.9)).cast("double").alias("p90_freq"),
+        F.percentile("n", F.lit(0.99)).cast("double").alias("p99_freq"),
+        F.max_by("key", F.struct(F.col("n"), F.col("key"))).alias("top_key"),
+    )

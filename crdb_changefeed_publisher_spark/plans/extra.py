@@ -470,3 +470,33 @@ def orders_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.filter(F.col("o_orderdate") < "1995-07-01")
     cur = orders.filter(F.col("o_orderdate") >= "1995-07-01")
     return numeric_drift_report(base, cur, "o_totalprice", n_bins=10, lo=0.0, hi=600000.0)
+
+
+@query(
+    "events_user_skew",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH freq AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1)
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           max(n) AS max_freq,
+           round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS max_share,
+           CAST(quantile_cont(n, 0.5) AS DOUBLE) AS p50_freq,
+           CAST(quantile_cont(n, 0.9) AS DOUBLE) AS p90_freq,
+           CAST(quantile_cont(n, 0.99) AS DOUBLE) AS p99_freq,
+           (SELECT key FROM freq ORDER BY n DESC, key DESC LIMIT 1) AS top_key
+    FROM freq
+    """,
+    doc="Join-key SKEW diagnostic over events.user_id — the pre-join "
+    "report that decides between a plain equi-join, AQE skew-split, and "
+    "explicit salting (the registered salted_skew_agg is the treatment; "
+    "this is the diagnosis): row/key counts, heaviest-key frequency and "
+    "share, exact p50/p90/p99 of the per-key frequency distribution, and "
+    "the top key (frequency ties broken by key). One partial-agg count "
+    "shuffle to ~n_keys rows + a key-cardinality-sized stats aggregate "
+    "(operators/quality.py::key_skew_report).",
+)
+def events_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.quality import key_skew_report
+
+    return key_skew_report(load_table(spark, sf_dir, "events"), "user_id")

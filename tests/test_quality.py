@@ -136,3 +136,22 @@ def test_numeric_drift_report_handcrafted(spark):
     )
     psi_same = sum(r.psi for r in same)
     assert psi_shift > 0.25 > psi_same
+
+
+def test_key_skew_report_handcrafted(spark):
+    """Skew numbers on a hand-built distribution: 1 key with 10 rows,
+    9 keys with 1 row each — 19 rows, 10 keys, max 10, share 10/19;
+    the top key wins by frequency, ties break by key value."""
+    from crdb_changefeed_publisher_spark.operators.quality import key_skew_report
+
+    rows = [(100,)] * 10 + [(i,) for i in range(9)]
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_report(df, "k").collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_freq) == (19, 10, 10)
+    assert r.max_share == round(10 / 19, 6)
+    assert r.p50_freq == 1.0 and r.p99_freq > 1.0
+    assert r.top_key == 100
+
+    # frequency tie: two keys at 5 rows -> larger key wins
+    tie = spark.createDataFrame([(1,)] * 5 + [(2,)] * 5, "k long")
+    assert key_skew_report(tie, "k").collect()[0].top_key == 2

@@ -75,6 +75,7 @@ def test_retired_set_is_the_expected_one():
         "events_purchase_click_pairs",
         "events_retention_cohorts",
         "events_rolling_zscore",
+        "events_user_skew",
         "events_variant_stats",
         "events_weighted_median",
         "grouping_sets_revenue",
