@@ -54,3 +54,68 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def list_data_files(spark, path: str, suffix: str = ".parquet") -> list[tuple[str, int]]:
+    """(file, bytes) for every data file directly under `path`, via the
+    Hadoop FileSystem API (works on any FS Spark can read: local, HDFS,
+    object stores). Metadata-only — no data is opened."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(suffix) and not name.startswith("_"):
+            out.append((st.getPath().toString(), int(st.getLen())))
+    return sorted(out)
+
+
+def compaction_plan(
+    spark, path: str, target_bytes: int = 128 << 20, suffix: str = ".parquet"
+) -> DataFrame:
+    """Small-file compaction PLAN for a parquet directory: group files
+    into bins of <= `target_bytes` via first-fit-decreasing, so each bin
+    becomes one coalesce-rewrite task. Only metadata moves here — the
+    plan is the KB-sized artifact a maintenance job executes (read each
+    bin's files, write one file, swap).
+
+    Why it matters at 100 TB: streaming sinks and fine-grained ingest
+    leave thousands of KB-sized files per partition; scan cost and
+    driver planning time scale with FILE COUNT, not bytes. The FFD bound
+    guarantees <= (11/9 OPT + 1) bins; singleton bins holding one
+    already-large file (>= target) are marked `already_compact` so the
+    executor skips them.
+
+    Per-partition-directory invocation is the intended scale path (one
+    plan per leaf directory, run from a foreachPartition over the leaf
+    list); a single call lists ONE directory, driver-side, which is the
+    correct cost model for a per-leaf maintenance task. Output one row
+    per bin: (bin_id, n_files, total_bytes, already_compact, files)."""
+    files = list_data_files(spark, path, suffix)
+    bins: list[list[tuple[str, int]]] = []
+    room: list[int] = []
+    for f, sz in sorted(files, key=lambda t: (-t[1], t[0])):
+        for i in range(len(bins)):
+            if room[i] >= sz:
+                bins[i].append((f, sz))
+                room[i] -= sz
+                break
+        else:
+            bins.append([(f, sz)])
+            room.append(max(target_bytes - sz, 0))
+    rows = [
+        (
+            i,
+            len(b),
+            sum(sz for _, sz in b),
+            len(b) == 1 and b[0][1] >= target_bytes,
+            [f for f, _ in b],
+        )
+        for i, b in enumerate(bins)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bin_id int, n_files int, total_bytes long, already_compact boolean, "
+        "files array<string>",
+    )

@@ -69,3 +69,55 @@ def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
     assert _files_matching(sr_y, 0, 31) == len(sr_y)
     # z-order beats it on y
     assert _files_matching(_file_ranges(zdir, "y"), 0, 31) < len(sr_y)
+
+
+def test_compaction_plan_properties(spark, tmp_path):
+    """FFD compaction plan on a real small-file mess: every data file
+    covered exactly once, no bin over target (except a singleton holding
+    one oversized file, marked already_compact), bin count sane vs the
+    volume lower bound, deterministic output, and executing one bin
+    (read files -> one file) preserves the rows."""
+    import math
+    import os
+
+    from crdb_changefeed_publisher_spark.operators.layout import (
+        compaction_plan,
+        list_data_files,
+    )
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    d = str(tmp_path / "mess")
+    # 24 tiny files from the orders fixture
+    load_table(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"), "orders") \
+        .repartition(24).write.mode("overwrite").parquet(d)
+
+    files = dict(list_data_files(spark, d))
+    assert len(files) == 24
+    target = 4 * max(files.values())  # force ~6 bins
+
+    plan = compaction_plan(spark, d, target_bytes=target).collect()
+    planned = [f for r in plan for f in r.files]
+    assert sorted(planned) == sorted(files)          # exact cover
+    for r in plan:
+        assert r.total_bytes == sum(files[f] for f in r.files)
+        if not r.already_compact:
+            assert r.total_bytes <= target
+        assert not (r.already_compact and r.n_files != 1)
+    total = sum(files.values())
+    assert len(plan) >= math.ceil(total / target)     # volume lower bound
+    assert len(plan) <= 24                            # never worse than input
+
+    # determinism
+    again = compaction_plan(spark, d, target_bytes=target).collect()
+    assert [r.files for r in again] == [r.files for r in plan]
+
+    # execute the largest bin: row-preserving coalesce rewrite
+    big = max(plan, key=lambda r: r.n_files)
+    out = str(tmp_path / "compacted")
+    spark.read.parquet(*big.files).coalesce(1).write.mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).count() == spark.read.parquet(*big.files).count()
+    assert len(list_data_files(spark, out)) == 1
+
+    # an oversized file stays a skip-marked singleton
+    plan_tight = compaction_plan(spark, d, target_bytes=1).collect()
+    assert all(r.already_compact and r.n_files == 1 for r in plan_tight)
