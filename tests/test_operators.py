@@ -392,3 +392,40 @@ def test_dedup_candidate_quality_against_exact_jaccard(spark, sf_dir):
     assert len(native & truth) / len(truth) >= 0.9       # native recall
     assert len(native & truth) / max(len(native), 1) >= 0.9  # native precision
     assert len(portable & truth) / len(truth) >= 0.95    # portable recall
+
+
+def test_cdc_apply_then_reconcile_end_to_end(spark):
+    """The full CDC apply-and-audit loop the reconcile operator exists
+    for: a change stream materializes into a replica via latest_changes
+    (the upsert apply), the audit against the source of truth comes back
+    CLEAN; then the replica suffers bit-rot (a lost key, a stale value)
+    and the audit reports exactly that drift and nothing else."""
+    from crdb_changefeed_publisher_spark.operators.changefeed import latest_changes
+    from crdb_changefeed_publisher_spark.operators.reconcile import snapshot_reconcile
+
+    # change stream: key 1..5 inserted at v1, keys 2,4 updated at v2
+    changes = spark.createDataFrame(
+        [("t", str(k), f"v1-{k}", 1) for k in range(1, 6)]
+        + [("t", "2", "v2-2", 2), ("t", "4", "v2-4", 2)],
+        "table string, key string, value string, version long",
+    )
+    replica = latest_changes(changes).select(
+        F.col("key").cast("long").alias("k"), F.col("value").alias("payload")
+    )
+    # source of truth: what the table looks like after those changes
+    truth = spark.createDataFrame(
+        [(1, "v1-1"), (2, "v2-2"), (3, "v1-3"), (4, "v2-4"), (5, "v1-5")],
+        "k long, payload string",
+    )
+    clean = snapshot_reconcile(truth, replica, "k", ["payload"]).collect()
+    assert clean == []  # applied replica matches the source exactly
+
+    # bit-rot: key 3 lost, key 5 stale
+    rotted = replica.filter(F.col("k") != 3).withColumn(
+        "payload",
+        F.when(F.col("k") == 5, F.lit("v0-5-stale")).otherwise(F.col("payload")),
+    )
+    drift = {r.key: r for r in snapshot_reconcile(truth, rotted, "k", ["payload"]).collect()}
+    assert set(drift) == {3, 5}
+    assert drift[3].status == "missing_in_replica"
+    assert drift[5].status == "mismatch" and drift[5].diff_cols == "payload"
