@@ -556,3 +556,43 @@ def source_scorecard(
         .otherwise(F.lit("drop"))
         .alias("verdict"),
     ).orderBy("source")
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    pairs: DataFrame,
+    seed: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EVAL-SET LEAKAGE audit: near-duplicate pairs that CROSS a split
+    boundary (a train document nearly identical to a val/test document
+    silently inflates eval scores — the leak every split pipeline must
+    check for after the fact, because hash_split assigns by id and
+    near-dups have different ids).
+
+    `pairs` is any near-dup pair frame (doc_a, doc_b, est_jaccard) —
+    at scale, the persisted pair table the dedup pass already built (the
+    `_shared:minhash_pairs` artifact), so the audit costs two broadcast-
+    sized joins of split labels onto the pair list, never a corpus scan.
+    Exact duplicates surface too (est_jaccard 1.0). Output: one row per
+    boundary-crossing pair, split names ordered (split_a <= split_b) so
+    the report is orientation-stable."""
+    labels = hash_split(docs.select(id_col), seed=seed, id_col=id_col).select(
+        F.col(id_col).alias("_id"), F.col("split").alias("_split")
+    )
+    a = labels.select(F.col("_id").alias("doc_a"), F.col("_split").alias("split_a"))
+    b = labels.select(F.col("_id").alias("doc_b"), F.col("_split").alias("split_b"))
+    crossed = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return crossed.select(
+        "doc_a",
+        "doc_b",
+        lo.alias("split_a"),
+        hi.alias("split_b"),
+        "est_jaccard",
+    ).orderBy("doc_a", "doc_b")

@@ -2269,3 +2269,45 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crdb_changefeed_publisher_spark.operators.curate import source_scorecard as _sc
 
     return _sc(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "split_leakage_pairs",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    pairs AS (SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.2),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     {_seeded_hash_fold("'split-v1:' || CAST(doc_id AS VARCHAR)")}
+                     % 10000 AS b
+              FROM documents)
+    )
+    SELECT p.doc_a, p.doc_b,
+           least(la.split, lb.split) AS split_a,
+           greatest(la.split, lb.split) AS split_b,
+           p.est_jaccard
+    FROM pairs p
+    JOIN lab la ON la.doc_id = p.doc_a
+    JOIN lab lb ON lb.doc_id = p.doc_b
+    WHERE la.split <> lb.split
+    ORDER BY p.doc_a, p.doc_b
+    """,
+    doc="EVAL-SET LEAKAGE audit: near-dup pairs that CROSS the "
+    "train/val/test boundary (near-dups have different ids, so the "
+    "id-hash split cannot keep them together — a train doc nearly "
+    "identical to an eval doc inflates eval scores). Consumes the "
+    "SHARED persisted MinHash pair table (_shared:minhash_pairs) and "
+    "the deterministic hash_split labels: two label joins onto the "
+    "pair list, never a corpus rescan "
+    "(operators/curate.py::split_leakage_report).",
+)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate.split_leakage_report(docs, _minhash_pairs(spark, sf_dir))

@@ -354,3 +354,34 @@ def test_source_scorecard_verdict_semantics(spark):
     )
     kept = source_scorecard(solo).collect()[0]
     assert kept.verdict == "keep" and kept.dup_rate == 0.0
+
+
+def test_split_leakage_report_semantics(spark):
+    """Hand-built pair list: only boundary-crossing pairs survive, split
+    names come out orientation-stable (split_a <= split_b), and the
+    est_jaccard passes through untouched."""
+    from crdb_changefeed_publisher_spark.operators.curate import (
+        hash_split,
+        split_leakage_report,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 200)], "doc_id long")
+    labels = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    trains = [k for k, s in labels.items() if s == "train"]
+    evals = [k for k, s in labels.items() if s != "train"]
+    assert len(trains) >= 2 and len(evals) >= 2
+
+    pairs = spark.createDataFrame(
+        [
+            (trains[0], trains[1], 0.9),   # same split -> excluded
+            (trains[0], evals[0], 0.8),    # crosses -> reported
+            (evals[0], trains[1], 1.0),    # crosses, reversed orientation
+        ],
+        "doc_a long, doc_b long, est_jaccard double",
+    )
+    out = split_leakage_report(docs, pairs).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.split_a <= r.split_b
+        assert (r.split_a, r.split_b) != ("train", "train")
+    assert {r.est_jaccard for r in out} == {0.8, 1.0}

@@ -93,6 +93,7 @@ def test_retired_set_is_the_expected_one():
         "orders_profile",
         "orders_zorder_key",
         "source_scorecard",
+        "split_leakage_pairs",
         "supplier_customer_pagerank",
         "token_vocab_coverage",
         "top_shingles_corpus",
