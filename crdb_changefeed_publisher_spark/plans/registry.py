@@ -55,7 +55,7 @@ COST_HINTS: dict[str, float] = {
     "semi_structured_events": 0.68,
     "order_price_percentiles": 0.61,
     "doc_fingerprints": 0.96,
-    "dedup_minhash_portable": 1.1,  # r6: signature table materialized
+    "dedup_minhash_portable": 0.1,  # r6: pairs now a session-shared pass
     "dedup_ngram_jaccard": 1.75,  # r6 idle measure
     "dedup_simhash": 2.0,  # r6 idle measure
     "doc_chunks": 0.6,
@@ -67,7 +67,7 @@ COST_HINTS: dict[str, float] = {
     # is ~0.9/1.2 s, first run pays the one-time index build
     "embedding_topk_ivf": 1.0,
     "embedding_topk_ivfpq": 1.3,
-    "dedup_cluster_keep_list": 1.8,
+    "dedup_cluster_keep_list": 0.6,  # r6: consumes the shared pair pass
     # r5 additions: curation pays the one-time contamination pass that
     # doc_decontamination then reuses (session-persisted)
     "corpus_curation_report": 2.5,
