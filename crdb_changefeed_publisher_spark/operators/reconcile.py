@@ -86,10 +86,22 @@ def snapshot_reconcile(
     snap_sus = snap.join(suspect_keys, "key", "left_semi")
     repl_sus = repl.join(suspect_keys, "key", "left_semi")
 
-    out_schema = "key long, status string, diff_cols string"
+    # key type derived from the snapshot schema, not hardcoded: string/UUID
+    # keys are common and a 'long' literal would fail (or mis-cast) at the
+    # Arrow boundary inside the worker (ADVICE r6)
+    key_type = snapshot.schema[key_col].dataType.simpleString()
+    out_schema = f"key {key_type}, status string, diff_cols string"
 
     def diff(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        key = int(left["key"].iloc[0]) if len(left) else int(right["key"].iloc[0])
+        # unique-key precondition, enforced where it would otherwise fail
+        # SILENTLY (iloc[0] would diff just the first row per side)
+        if len(left) > 1 or len(right) > 1:
+            k = left["key"].iloc[0] if len(left) else right["key"].iloc[0]
+            raise ValueError(
+                f"snapshot_reconcile requires unique keys; key {k!r} has "
+                f"{len(left)} snapshot row(s) and {len(right)} replica row(s)"
+            )
+        key = left["key"].iloc[0] if len(left) else right["key"].iloc[0]
         if not len(right):
             return pd.DataFrame(
                 {"key": [key], "status": ["missing_in_replica"], "diff_cols": [""]}

@@ -240,6 +240,19 @@ KMV_RANGE = 1 << KMV_BITS  # hashes in [0, 2^52): 13 hex digits of sha2-256.
 # every engine — no double rounding anywhere in the pipeline.
 KMV_DEFAULT_K = 64
 KMV_SEED = "kmv-v1"
+# int64 estimator ceiling: (k-1) * 2^52 must stay below 2^63, and the
+# intersection estimator's `common * 2^52` product is bounded by the same
+# retained-count ceiling. ANSI mode is off, so an overflow WRAPS silently
+# instead of erroring — enforce the ceiling up front (ADVICE r6).
+KMV_MAX_K = 2048
+
+
+def _check_k(k: int) -> None:
+    if not 1 <= k <= KMV_MAX_K:
+        raise ValueError(
+            f"KMV k={k} outside [1, {KMV_MAX_K}]: (k-1)*2^{KMV_BITS} must fit "
+            "in int64 or the estimator silently wraps (ANSI off)"
+        )
 
 
 def kmv_hash(col: Column, seed: str = KMV_SEED) -> Column:
@@ -268,6 +281,7 @@ def kmv_sketch(
     one salt cell, salt_parts-way parallel per group; phase 2 takes the
     exact bottom-k over <= salt_parts * k survivors per group, so the
     final per-group state is bounded by the dials, not the data."""
+    _check_k(k)
     keys = list(group_cols or [])
     hashed = df.select(*keys, kmv_hash(F.col(col), seed).alias("_h"))
     counts = hashed.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
@@ -294,6 +308,7 @@ def kmv_estimate(ks: str, k: int = KMV_DEFAULT_K) -> Column:
     Exhaustive sketches (< k retained hashes) ARE the distinct set: exact
     count. Otherwise (k-1) * 2^52 div h_(k), exactly representable for
     k <= 2048 (see KMV_BITS note)."""
+    _check_k(k)
     return F.expr(
         f"case when size({ks}) < {k} then cast(size({ks}) as bigint) "
         f"else {(k - 1) * KMV_RANGE}L div greatest(element_at({ks}, {k}), 1L) end"
@@ -316,6 +331,7 @@ def kmv_intersection_estimate(ks_a: str, ks_b: str, k: int = KMV_DEFAULT_K) -> C
     retained hash below theta is a uniform 1-in-(2^52/theta) sample of its
     set, so |{h in ks_a ∩ ks_b : h < theta}| * 2^52 div theta estimates
     the intersection — and is EXACT when both sketches are exhaustive."""
+    _check_k(k)
 
     def theta(ks: str) -> str:
         return (
@@ -348,9 +364,15 @@ def kmv_shard_distinct_report(
     )
     sk = kmv_sketch(sharded, "_t", ["shard"], k=k).cache()
     per_shard = sk.select("shard", "n_rows", kmv_estimate("ks", k).alias("est_distinct"))
+    # array_distinct BEFORE truncating: a hash present in several shards'
+    # bottom-k must occupy ONE merged slot (same semantics as kmv_union's
+    # array_union), or cross-shard duplicate contents bias the global
+    # estimate upward (ADVICE r6 — reproduced at +4.8% with injected dups)
     merged = sk.agg(
         F.sum("n_rows").alias("n_rows"),
-        F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, k).alias("ks"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("ks")))), 1, k
+        ).alias("ks"),
     )
     global_row = merged.select(
         F.lit(-1).cast("int").alias("shard"),

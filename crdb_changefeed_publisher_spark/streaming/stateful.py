@@ -61,23 +61,37 @@ from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_CHANGELOG_KEY = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
 
 
 @contextmanager
-def rocksdb_state(spark):
+def rocksdb_state(spark, changelog_checkpointing: bool = True):
     """Scope the RocksDB state-store provider to a `with` block (the
     provider is read at query START, so wrap the .start() call). Restores
-    the previous setting on exit — other queries in the session keep their
-    provider."""
+    the previous settings on exit — other queries in the session keep
+    their provider.
+
+    Changelog checkpointing defaults ON: without it, sub-second commit
+    cadence races RocksDB snapshot maintenance (measured CANNOT_COMMIT at
+    version ~12, docs/NEXT.md r6) — commits then upload a tiny changelog
+    instead of a full snapshot, which is also the posture you want on a
+    real cluster (faster commits, snapshot upload amortized in the
+    background). Pass changelog_checkpointing=False to measure the
+    snapshot-per-commit behavior deliberately."""
     prev = spark.conf.get(_PROVIDER_KEY, None)
+    prev_cl = spark.conf.get(_CHANGELOG_KEY, None)
     spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    spark.conf.set(_CHANGELOG_KEY, "true" if changelog_checkpointing else "false")
     try:
         yield
     finally:
-        if prev is None:
-            spark.conf.unset(_PROVIDER_KEY)
-        else:
-            spark.conf.set(_PROVIDER_KEY, prev)
+        for key, prev_val in ((_PROVIDER_KEY, prev), (_CHANGELOG_KEY, prev_cl)):
+            if prev_val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev_val)
 
 
 class _FirstSeen(StatefulProcessor):
@@ -144,9 +158,13 @@ def dedup_on_ingest(
             .distinct()
             .groupBy("content_key")
         )
+    # id type derived from the input, not hardcoded 'long': string ids are
+    # common in document stores, and a mismatched literal schema fails
+    # Arrow conversion inside the TWS worker, not at plan time (ADVICE r6)
+    id_type = stream_df.schema[id_col].dataType.simpleString()
     return keyed.groupBy("content_key").transformWithStateInPandas(
         _FirstSeen(),
-        outputStructType="content_key string, doc_id long, batch_copies long",
+        outputStructType=f"content_key string, doc_id {id_type}, batch_copies long",
         outputMode="Append",
         timeMode="None",
         initialState=initial,

@@ -5,6 +5,7 @@ heavy hitter."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crdb_changefeed_publisher_spark.operators.sketches import (
@@ -232,7 +233,11 @@ def test_kmv_intersection_estimate(spark, sf_dir):
     a = docs.filter(F.col("doc_id") % 3 != 0)
     b = docs.filter(F.col("doc_id") % 3 != 1)
     exact = a.select("text").intersect(b.select("text")).count()
-    assert pair_est(a, b, k=4096) == exact
+    # k=2048 is the enforced int64 ceiling and exceeds the fixture's 500
+    # distinct texts at every SF, so both sketches are exhaustive
+    assert pair_est(a, b, k=2048) == exact
+    with pytest.raises(ValueError, match="KMV k=4096"):
+        pair_est(a, b, k=4096)
 
     # 2: estimation mode — two synthetic sets sharing exactly 10000 values
     base = spark.range(30000).select(F.concat(F.lit("s-"), F.col("id")).alias("text"))
@@ -287,3 +292,42 @@ def test_kmv_shard_overlap_matrix_exact_when_exhaustive(spark, sf_dir):
     # shard 0 -> 1 and shard 2 -> 3: exactly those pairs overlap
     assert sum(1 for p, r in out.items() if r.est_overlap > 0) >= 2
     assert out[(0, 1)].est_overlap > 0 and out[(2, 3)].est_overlap > 0
+
+
+def test_kmv_shard_distinct_global_dedups_cross_shard(spark, sf_dir):
+    """The global (shard = -1) row merges shard sketches with
+    array_distinct-before-truncate semantics (kmv_union's array_union):
+    inject cross-shard duplicate CONTENTS (same text, ids landing in every
+    shard) and require the global estimate to equal the exact distinct
+    count — exhaustive sketches make this a zero-tolerance check. Without
+    the dedup, a hash retained by several shards occupies several merged
+    slots and the global row overcounts (ADVICE r6)."""
+    from crdb_changefeed_publisher_spark.operators.sketches import (
+        kmv_shard_distinct_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # replicate every 10th doc into ALL FOUR doc_id%4 shards (offsets
+    # 8M+1..8M+4 cover each residue) — heavy cross-shard duplication
+    dups = [
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") * 4 + 8_000_000 + r).alias("doc_id"), "text"
+        )
+        for r in range(4)
+    ]
+    corpus = docs
+    for d in dups:
+        corpus = corpus.unionByName(d)
+    corpus = corpus.cache()
+
+    exact_global = corpus.select("text").distinct().count()
+    out = {r.shard: r for r in kmv_shard_distinct_report(corpus, k=2048).collect()}
+    assert out[-1].est_distinct == exact_global
+    assert out[-1].n_rows == corpus.count()
+    # per-shard rows stay exact too (exhaustive sketches)
+    keyed = corpus.select(
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("shard"), "text"
+    )
+    for s in range(4):
+        exact_s = keyed.filter(F.col("shard") == s).select("text").distinct().count()
+        assert out[s].est_distinct == exact_s, s

@@ -1080,12 +1080,10 @@ def test_tws_idle_flush_totals_processing_time_timers(spark, tmp_path):
     write_batch([(1, 10.0), (1, 5.0), (2, 7.0)])
     sdf = spark.readStream.schema(schema).parquet(src)
     out = idle_flush_totals(sdf, idle_seconds=1.5)
-    # a 500 ms trigger commits state every batch; without changelog
-    # checkpointing the background RocksDB snapshot maintenance races
-    # those commits (measured: CANNOT_COMMIT at version ~12)
-    chg_key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    prev_chg = spark.conf.get(chg_key, None)
-    spark.conf.set(chg_key, "true")
+    # a 500 ms trigger commits state every batch; rocksdb_state() now
+    # defaults changelog checkpointing ON (r6 verdict #3), which is what
+    # keeps those commits from racing RocksDB snapshot maintenance
+    # (measured: CANNOT_COMMIT at version ~12 without it)
     with rocksdb_state(spark):
         q = (
             out.writeStream.format("memory")
@@ -1108,10 +1106,6 @@ def test_tws_idle_flush_totals_processing_time_timers(spark, tmp_path):
             assert sorted((r.n, r.total) for r in burst2) == [(1, 100.0), (2, 15.0)]
         finally:
             q.stop()
-            if prev_chg is None:
-                spark.conf.unset(chg_key)
-            else:
-                spark.conf.set(chg_key, prev_chg)
 
 
 def test_streaming_windowed_hll_distinct_equals_batch(spark, events_stream_dir):

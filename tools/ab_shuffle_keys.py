@@ -78,9 +78,16 @@ def dedup_raw_key(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def dedup_sha2_key(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    from crdb_changefeed_publisher_spark.operators import dedup
-
-    return dedup.exact_duplicates(docs, text_col)
+    """sha2 as 64 hex chars — inlined (NOT delegated to dedup.exact_duplicates,
+    which now groups on the raw binary digest itself; delegating would make
+    this cell measure the same plan as dedup_sha2_binary_key and the A/B
+    would stop reproducing the hex-vs-binary comparison in docs/SCALE.md —
+    ADVICE r6)."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("_k"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
 
 
 def dedup_sha2_binary_key(docs: DataFrame, text_col: str = "text") -> DataFrame:
