@@ -223,7 +223,6 @@ def cdc_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_cdc_reconcile",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""
     WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
     repl AS (

@@ -160,6 +160,7 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lineitem_stats_agg",
+    retired=True,  # swapped out r7 for kmv_shard_distinct; stat aggs stay oracle-verified here
     oracle="""
     SELECT l_returnflag,
            round(stddev_samp(l_extendedprice), 2)             AS price_stddev,

@@ -2041,7 +2041,6 @@ _KMV_FOLD52 = """list_reduce(
 
 @query(
     "kmv_shard_distinct",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle=f"""
     WITH base AS (SELECT doc_id % 4 AS shard, {_KMV_FOLD52} AS h FROM documents),
     n AS (SELECT shard, count(*) AS n_rows FROM base GROUP BY shard),
@@ -2180,7 +2179,6 @@ def kmv_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_lang_drift",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""
     WITH base AS (SELECT lang AS dim, count(*) AS n_base FROM documents GROUP BY 1),
     cur AS (

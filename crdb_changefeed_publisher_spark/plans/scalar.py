@@ -65,6 +65,7 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "date_funcs_orders",
+    retired=True,  # swapped out r7 for corpus_lang_drift; date scalars stay oracle-verified here
     oracle="""
     SELECT CAST(extract(year FROM o_orderdate) AS INT)  AS order_year,
            CAST(extract(month FROM o_orderdate) AS INT) AS order_month,

@@ -386,6 +386,7 @@ def nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "top_expensive_orders",
+    retired=True,  # swapped out r7: top-k surface covered by top_orders_per_customer
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders

@@ -119,14 +119,18 @@ def test_plan_digest_ceilings_for_shape_critical_queries(spark, sf_dir):
         "q5_region_revenue": (3, 4),      # star join: dims broadcast, never shuffled
         "doc_decontamination": (6, 1),    # benchmark set must broadcast
         "salted_skew_agg": (3, 0),        # two-phase salted agg
-        "top_expensive_orders": (0, 0),   # TakeOrderedAndProject, no exchange
+        # retired in the r7 swap but still shape-pinned: TakeOrderedAndProject
+        # with no exchange is the whole point of the spec
+        "top_expensive_orders": (0, 0),
         # r6 swap promotion: the incremental-dedup probes must broadcast
         # the shard-side band/hash tables; digest row 8 exch / 3 bcast
         "dedup_incremental": (10, 2),
     }
+    specs = dict(plans.all_specs())
+    specs.update(plans.retired_specs())
     problems = []
     for name, (max_exch, min_bcast) in ceilings.items():
-        df = plans.all_specs()[name].fn(spark, sf_dir)
+        df = specs[name].fn(spark, sf_dir)
         df.collect()  # drive AQE to the final plan
         plan = df._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==")[0]

@@ -50,7 +50,7 @@ def test_retired_set_is_the_expected_one():
         "best_order_per_customer",
         "cdc_envelopes_orders",
         "cdc_upsert_view",
-        "corpus_lang_drift",
+        "date_funcs_orders",
         "dedup_minhash_lsh",
         "doc_bm25_search",
         "doc_boilerplate_report",
@@ -79,16 +79,15 @@ def test_retired_set_is_the_expected_one():
         "events_variant_stats",
         "events_weighted_median",
         "grouping_sets_revenue",
-        "kmv_shard_distinct",
         "kmv_shard_overlap",
         "lang_mixture_weights",
         "left_join_order_counts",
+        "lineitem_stats_agg",
         "math_funcs_lineitem",
         "multimodal_fake_features",
         "multimodal_image_quality",
         "order_value_buckets",
         "orders_above_avg",
-        "orders_cdc_reconcile",
         "orders_price_drift",
         "orders_profile",
         "orders_zorder_key",
@@ -96,6 +95,7 @@ def test_retired_set_is_the_expected_one():
         "split_leakage_pairs",
         "supplier_customer_pagerank",
         "token_vocab_coverage",
+        "top_expensive_orders",
         "top_shingles_corpus",
     ]
 
