@@ -35,6 +35,10 @@ here are the library-grade versions of what a 100 TB ingest actually runs:
 - `kmv_on_stream`: stream-lifetime per-key distinct estimation with a KMV
   sketch in state (bounded at k longs per key forever) — estimates
   bit-identical to the batch `kmv_sketch` over the same data.
+- `streaming_funnel`: watermark-finalized greedy funnel (ListState buffer
+  + event-time timers) — emissions equal the batch `funnel_counts` chain
+  exactly on a drained stream; state per user is the chain plus only the
+  not-yet-ripe buffer (bounded by watermark lag x event rate).
 
 Together the operators exercise every TWS primitive (ValueState,
 ListState, MapState, event-time timers, processing-time timers,
@@ -545,4 +549,135 @@ def kmv_on_stream(
         outputStructType="key string, est_distinct long, n_seen long",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+class _WatermarkFunnel(StatefulProcessor):
+    """Watermark-finalized greedy funnel (the streaming twin of
+    operators/funnel.py::funnel_counts).
+
+    The correctness lever: greedy-earliest over a TIME-SORTED final event
+    stream never revises a decision — step i is the FIRST qualifying
+    event after t_{i-1}, and later events are never earlier. So the exact
+    streaming form is to buffer per-user events until the watermark
+    passes them, then fold the ripe ones (ts <= W) into the chain in ts
+    order. Ripe events are complete (TWS EventTime mode drops rows behind
+    the watermark before they reach this processor), so every chain entry
+    set during a fold is FINAL the moment it is set — emissions are
+    append-mode clean, no retraction ever needed.
+
+    Retention/pruning rule (the design question from docs/NEXT.md r6):
+    state per user = the chain (<= n_steps timestamps, kept forever) plus
+    ONLY the not-yet-ripe buffer (ts > W) — folded events are discarded
+    in the same commit, so buffered state is bounded by the watermark lag
+    times the user's event rate, independent of stream length. An
+    event-time timer at the earliest pending ts guarantees the fold runs
+    when the watermark advances past it even if the user never appears in
+    another batch."""
+
+    def __init__(self, n_steps: int, gap_us: int | None) -> None:
+        self._n = n_steps
+        self._gap = gap_us
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._buf = handle.getListState("buf", "ts long, step int")
+        self._chain = handle.getListState("chain", "step int, ts long")
+
+    def _fold(self, key, wm_us: int):
+        buf = [tuple(t) for t in self._buf.get()] if self._buf.exists() else []
+        chain = (
+            {int(s): int(t) for s, t in self._chain.get()}
+            if self._chain.exists()
+            else {}
+        )
+        ripe = sorted((b for b in buf if b[0] <= wm_us))
+        pending = [b for b in buf if b[0] > wm_us]
+        new: list[tuple[int, int]] = []
+        for ts, step in ripe:
+            if step in chain:
+                continue
+            if step == 1:
+                chain[1] = ts
+                new.append((1, ts))
+            else:
+                prev_t = chain.get(step - 1)
+                if (
+                    prev_t is not None
+                    and ts > prev_t
+                    and (self._gap is None or ts - prev_t <= self._gap)
+                ):
+                    chain[step] = ts
+                    new.append((step, ts))
+        if pending:
+            self._buf.put(pending)
+            # ceil to ms so the timer never fires before the event is ripe
+            self._handle.registerTimer(-(-min(p[0] for p in pending) // 1000))
+        else:
+            self._buf.clear()
+        if new:
+            self._chain.put(sorted(chain.items()))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(new),
+                    "step": [s for s, _ in new],
+                    "reached_ts": [t for _, t in new],
+                }
+            )
+
+    def handleInputRows(self, key, rows, timerValues):
+        add = []
+        for pdf in rows:
+            us = (pdf["ts"].astype("int64") // 1000).astype("int64")  # ns -> us
+            for t, s in zip(us, pdf["step"]):
+                add.append((int(t), int(s)))
+        if add:
+            self._buf.appendList(add)
+        yield from self._fold(key, timerValues.getCurrentWatermarkInMs() * 1000)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        yield from self._fold(key, timerValues.getCurrentWatermarkInMs() * 1000)
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_funnel(
+    stream_df: DataFrame,
+    steps: list[str],
+    max_gap_seconds: int | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming funnel over a watermarked event stream: one APPEND row per
+    (user, step) the moment the watermark finalizes that step — semantics
+    identical to the batch `funnel_counts` chain (greedy-earliest, strict
+    ts ordering, optional max-gap), cross-validated in tests on a drained
+    stream. Downstream per-step user counts are `groupBy(step).count()`
+    over the sink.
+
+    Input must carry a watermark on `ts_col`. Non-step event types are
+    filtered before the shuffle (the watermark node upstream still sees
+    them, so sentinel/heartbeat events advance the clock without entering
+    state). Output `reached_ts` is integer MICROSECONDS."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    step_idx = F.create_map(
+        *[x for i, et in enumerate(steps) for x in (F.lit(et), F.lit(i + 1))]
+    )
+    keyed = (
+        stream_df.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(key_col).cast("long").alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            step_idx[F.col(type_col)].cast("int").alias("step"),
+        )
+    )
+    gap_us = None if max_gap_seconds is None else max_gap_seconds * 1_000_000
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        _WatermarkFunnel(len(steps), gap_us),
+        outputStructType="user_id long, step int, reached_ts long",
+        outputMode="Append",
+        timeMode="EventTime",
     )

@@ -1257,3 +1257,110 @@ def test_streaming_psi_drift_monitor_stream_static(spark, events_stream_dir):
     assert got_counts
     for dim, (nb, nc) in got_counts.items():
         assert (want[dim].n_base, want[dim].n_cur) == (nb, nc), dim
+
+
+def test_tws_streaming_funnel_equals_batch(spark, sf_dir, tmp_path):
+    """streaming/stateful.streaming_funnel vs operators/funnel.funnel_counts
+    on a drained stream of the REAL events fixture: greedy-earliest over a
+    time-sorted final stream never revises a decision, so the watermark-
+    finalized streaming chain must equal the batch chain exactly — both
+    per-step user counts AND every (user, step, reached_ts) row, for the
+    plain funnel and the max-gap variant.
+
+    Arrival order: events are chunked by ts into 8 files (so the watermark
+    advances across batches and the pending buffer + event-time timers do
+    real work) but SHUFFLED within each chunk (so the in-fold ts sort does
+    real work too)."""
+    import pytest as _pytest
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.operators.funnel import funnel_counts
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        rocksdb_state,
+        streaming_funnel,
+    )
+
+    steps = ["view", "click", "purchase"]
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    pdf = events.orderBy("ts").toPandas()
+    d = str(tmp_path / "funnel_stream")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    n_chunks = 8
+    chunk = -(-len(pdf) // n_chunks)
+    for i in range(n_chunks):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk].sample(frac=1.0, random_state=i)
+        spark.createDataFrame(part, schema).coalesce(1).write.mode("append").parquet(d)
+
+    for gap in (None, 6 * 3600):
+        name = f"tws_funnel_{'nogap' if gap is None else 'gap'}"
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "1 hour")
+        )
+        out = streaming_funnel(sdf, steps, max_gap_seconds=gap)
+        with rocksdb_state(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            # sentinel waves: far-future non-step events advance the
+            # watermark past every buffered event (the type filter sits
+            # AFTER the watermark node, so they never enter state)
+            base = pdf["ts"].max()
+            for k in (1, 2):
+                late = pd.DataFrame(
+                    {
+                        "event_id": [10_000_000 + k],
+                        "ts": [base + pd.Timedelta(days=30 * k)],
+                        "user_id": [999_999],
+                        "event_type": ["sentinel"],
+                    }
+                )
+                spark.createDataFrame(late, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(d)
+                q.processAllAvailable()
+            q.stop()
+
+        got = spark.sql(f"select * from {name}").toPandas()
+        # 1) per-step user counts == batch funnel_counts
+        batch = {
+            r.step: r.users
+            for r in funnel_counts(events, steps, max_gap_seconds=gap).collect()
+        }
+        stream_counts = got.groupby("step")["user_id"].nunique().to_dict()
+        assert {s: stream_counts.get(s, 0) for s in batch} == batch
+        # no duplicate emissions either
+        assert len(got) == len(got[["user_id", "step"]].drop_duplicates())
+
+        # 2) every (user, step, reached_ts) matches a pandas re-derivation
+        # of the greedy chain over the full sorted event list
+        want = set()
+        for uid, g in pdf[pdf["event_type"].isin(steps)].groupby("user_id"):
+            g = g.sort_values("ts")
+            chain: dict[int, int] = {}
+            for _, row in g.iterrows():
+                s = steps.index(row["event_type"]) + 1
+                t = int(row["ts"].value) // 1000  # ns -> us
+                if s in chain:
+                    continue
+                if s == 1:
+                    chain[1] = t
+                elif (s - 1) in chain and t > chain[s - 1] and (
+                    gap is None or t - chain[s - 1] <= gap * 1_000_000
+                ):
+                    chain[s] = t
+            want.update((int(uid), s, t) for s, t in chain.items())
+        have = {
+            (int(r.user_id), int(r.step), int(r.reached_ts))
+            for r in got.itertuples()
+        }
+        assert have == want

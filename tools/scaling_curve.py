@@ -15,7 +15,12 @@ Reading the ratio (data grows 10x between those two points):
 min-of-2 per (query, sf) for the same stall-robustness reasoning as
 bench.py; run in a quiet window (check bench.py's calibration_factor).
 
-Usage: python tools/scaling_curve.py [--json out.json] [query ...]
+Usage: python tools/scaling_curve.py [--json out.json] [--sf1 DIR] [query ...]
+
+--sf1 adds a fourth decade (the locally generated stress tier from
+tools/make_sf1.py) and reports the sf0.1 -> sf1 growth ratio alongside
+the sf0.01 -> sf0.1 one — two independent 10x steps catch a quadratic
+term that one step can hide behind fixed overhead.
 """
 
 from __future__ import annotations
@@ -42,7 +47,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*", help="default: every registered query")
     ap.add_argument("--json", default=None, help="also write machine-readable output here")
+    ap.add_argument(
+        "--sf1",
+        default=None,
+        help="path to an sf1 tier (tools/make_sf1.py output); adds a 4th column",
+    )
     args = ap.parse_args()
+    sfs = list(SFS)
+    sf_dirs = {sf: f"/root/testdata/sf{sf}" for sf in sfs}
+    if args.sf1:
+        sfs.append("1")
+        sf_dirs["1"] = args.sf1
 
     spark = get_spark("scaling-curve")
     materialize(spark.read.parquet("/root/testdata/sf0.001/region.parquet"))
@@ -53,8 +68,8 @@ def main() -> None:
     for name in names:
         spec = specs[name] if name in specs else plans.get_spec(name)
         rows[name] = {}
-        for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+        for sf in sfs:
+            sf_dir = sf_dirs[sf]
 
             def once() -> float:
                 t0 = time.time()
@@ -67,18 +82,31 @@ def main() -> None:
                 print(f"error {name}@sf{sf}: {e}", file=sys.stderr)
                 rows[name][sf] = -1.0
 
-    print(f"{'query':<34} {'sf0.001':>8} {'sf0.01':>8} {'sf0.1':>8} {'x(.01->.1)':>10}")
-    ratios = []
+    hdr = f"{'query':<34} {'sf0.001':>8} {'sf0.01':>8} {'sf0.1':>8} {'x(.01->.1)':>10}"
+    if args.sf1:
+        hdr += f" {'sf1':>8} {'x(.1->1)':>9}"
+    print(hdr)
+    ratios, ratios1 = [], []
     for name in names:
         r = rows[name]
         ratio = round(r["0.1"] / r["0.01"], 1) if r["0.01"] > 0 and r["0.1"] > 0 else float("nan")
         if ratio == ratio:
             ratios.append(ratio)
-        print(f"{name:<34} {r['0.001']:>8.2f} {r['0.01']:>8.2f} {r['0.1']:>8.2f} {ratio:>10}")
+        line = f"{name:<34} {r['0.001']:>8.2f} {r['0.01']:>8.2f} {r['0.1']:>8.2f} {ratio:>10}"
+        if args.sf1:
+            ratio1 = round(r["1"] / r["0.1"], 1) if r["0.1"] > 0 and r.get("1", -1) > 0 else float("nan")
+            if ratio1 == ratio1:
+                ratios1.append(ratio1)
+            line += f" {r.get('1', -1.0):>8.2f} {ratio1:>9}"
+        print(line)
     if ratios:
         ratios.sort()
         med = ratios[len(ratios) // 2]
-        print(f"\nmedian 10x-data growth ratio: {med}  (max {max(ratios)})")
+        print(f"\nmedian 10x-data growth ratio (.01->.1): {med}  (max {max(ratios)})")
+    if ratios1:
+        ratios1.sort()
+        med1 = ratios1[len(ratios1) // 2]
+        print(f"median 10x-data growth ratio (.1->1):  {med1}  (max {max(ratios1)})")
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(rows, fh, indent=1, sort_keys=True)
