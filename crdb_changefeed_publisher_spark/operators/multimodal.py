@@ -550,3 +550,274 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup fingerprints (r6 verdict #4): DCT pHash over decoded
+# pixels, Haitsma-Kalker-style band-energy fingerprints over decoded PCM.
+# Both produce a 64-bit signature column that feeds the SAME hamming-band
+# LSH blocking the SimHash family uses (operators/dedup.py::
+# _explode_sig_chunks) — signature tables are ids+8 bytes, the pair join
+# is a band equi-join, and the decode cost is one Arrow-batched pass.
+# ---------------------------------------------------------------------------
+
+PHASH_SIZE = 16  # DCT input side (gray image is area-resized to this)
+PHASH_LOW = 8    # low-frequency block kept (8x8 - DC = 63 signature bits)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (float64): D @ x applies the transform
+    along the first axis; D @ g @ D.T is the 2-D DCT. Pure numpy — no
+    scipy in the container."""
+    k = np.arange(n, dtype=np.float64)
+    D = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    D *= np.sqrt(2.0 / n)
+    D[0, :] *= np.sqrt(0.5)
+    return D
+
+
+_DCT16 = _dct_matrix(PHASH_SIZE)
+
+
+def _resize_area(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-average resize: output cell (r, c) averages the
+    input index range [floor(r*H/out_h), floor((r+1)*H/out_h)) — at least
+    one source row/col per cell so upsampling degrades to nearest."""
+    h, w = gray.shape
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    r_lo = (np.arange(out_h) * h) // out_h
+    r_hi = np.maximum(((np.arange(out_h) + 1) * h) // out_h, r_lo + 1)
+    c_lo = (np.arange(out_w) * w) // out_w
+    c_hi = np.maximum(((np.arange(out_w) + 1) * w) // out_w, c_lo + 1)
+    for r in range(out_h):
+        band = gray[r_lo[r] : r_hi[r]]
+        for c in range(out_w):
+            out[r, c] = band[:, c_lo[c] : c_hi[c]].mean()
+    return out
+
+
+def image_phash(img: np.ndarray) -> int:
+    """64-bit perceptual hash of a decoded image (classic DCT pHash):
+    gray (channel mean) -> 16x16 area resize -> 2-D DCT-II -> keep the
+    8x8 low-frequency block, drop DC -> bit_i = coeff_i > median (median
+    of the 63 AC coefficients; odd count, so it is an element and ~half
+    the bits set). Invariances that make it PERCEPTUAL rather than exact:
+    brightness offset moves only the (excluded) DC term, contrast scaling
+    a > 0 scales coeffs AND median together, and small pixel noise moves
+    only coefficients near the median (property-tested)."""
+    gray = img.astype(np.float64)
+    if gray.ndim == 3:
+        gray = gray.mean(axis=2)
+    g = _resize_area(gray, PHASH_SIZE, PHASH_SIZE)
+    coef = (_DCT16 @ g @ _DCT16.T)[:PHASH_LOW, :PHASH_LOW].ravel()
+    ac = coef[1:]
+    med = float(np.median(ac))
+    # scale-relative tolerance: a flat image's AC coefficients are float
+    # noise (~1e-14 against a DC of mean*16) whose SIGNS would otherwise
+    # set arbitrary bits; anchoring the tolerance to the LARGEST
+    # coefficient (DC included) zeroes degenerate images while staying
+    # ~9 orders below any real image's AC structure, and it scales
+    # linearly with contrast so scale invariance is exact
+    tol = 1e-9 * max(float(np.abs(coef).max()), 1e-300)
+    bits = (ac - med) > tol
+    sig = 0
+    for i, b in enumerate(bits):
+        if b:
+            sig |= 1 << i
+    return sig
+
+
+def audio_fingerprint(
+    samples: np.ndarray,
+    frame: int = 96,
+    hop: int = 48,
+    n_bands: int = 9,
+    n_frames: int = 9,
+) -> int:
+    """64-bit spectral fingerprint of decoded PCM (the Haitsma-Kalker
+    energy-difference construction): mono mix -> `n_frames` windows of
+    `frame` samples (hop `hop`) -> per-window band energies over
+    `n_bands` contiguous rfft bands (DC bin excluded) -> bit(f, b) = 1
+    iff the band-energy difference (E[f+1][b] - E[f+1][b+1]) -
+    (E[f][b] - E[f][b+1]) > 0. (n_frames-1) x (n_bands-1) = 64 bits.
+    Sign-of-difference bits are invariant to amplitude scaling (energies
+    scale by a^2 together) — the property that makes re-levelled copies
+    of the same audio collide."""
+    mono = samples.astype(np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    need = frame + hop * (n_frames - 1)
+    if len(mono) < need:  # deterministic zero-pad for short clips
+        mono = np.concatenate([mono, np.zeros(need - len(mono))])
+    win = np.stack([mono[f * hop : f * hop + frame] for f in range(n_frames)])
+    spec = np.abs(np.fft.rfft(win, axis=1)) ** 2  # (n_frames, frame//2+1)
+    usable = spec[:, 1:]  # drop DC
+    edges = (np.arange(n_bands + 1) * usable.shape[1]) // n_bands
+    E = np.stack(
+        [usable[:, edges[b] : edges[b + 1]].sum(axis=1) for b in range(n_bands)],
+        axis=1,
+    )  # (n_frames, n_bands)
+    d = E[:, :-1] - E[:, 1:]  # (n_frames, n_bands-1)
+    bits = (d[1:] - d[:-1]) > 0  # (n_frames-1, n_bands-1)
+    sig = 0
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            sig |= 1 << i
+    return sig
+
+
+def perceptual_signatures(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, kind, payload) -> (media_id, kind, sig): decode each
+    payload with the real codecs and fingerprint it (images -> pHash,
+    audio -> spectral fingerprint). Arrow-batched; the output is 8 bytes
+    per media row, so everything downstream shuffles signatures, never
+    blobs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, sigs = [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf[payload_col]
+            ):
+                payload = bytes(payload)
+                if kind == "audio":
+                    arr, _rate = decode_audio(payload)
+                    sig = audio_fingerprint(arr)
+                else:
+                    sig = image_phash(decode_image(payload))
+                ids.append(int(mid))
+                kinds.append(str(kind))
+                # two's-complement into int64: the audio fingerprint uses
+                # all 64 bits, and Spark longs are signed — the bit
+                # pattern (all banding/hamming operates on it) is
+                # unchanged by the reinterpretation
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "sig": sigs})
+
+    return media.mapInPandas(run, "media_id long, kind string, sig long")
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 7,
+    n_chunks: int = 8,
+    chunk_bits: int = 8,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual near-dup pairs across a media corpus: fingerprint, then
+    the SAME hamming-band LSH blocking as SimHash text dedup (reused from
+    operators/dedup.py) — block on each of `n_chunks` `chunk_bits`-bit
+    signature chunks, exact-hamming verify within blocks, never an
+    all-pairs stage. Pigeonhole: any pair within hamming <= n_chunks - 1
+    is GUARANTEED to share a chunk, so the default dial (8 x 8-bit,
+    max_hamming 7) is exact-recall for its threshold. Pairs join within a
+    kind only (an image can't near-dup a WAV). Output: (kind, media_a,
+    media_b, hamming), media_a < media_b.
+
+    Scale: signature table is ids + 8 bytes; per-chunk bucket population
+    ~ n_media / 2^chunk_bits per kind, so chunk_bits grows with corpus
+    size exactly like the SimHash dial (docs/SCALE.md)."""
+    from crdb_changefeed_publisher_spark.operators.dedup import _explode_sig_chunks
+
+    sig = (
+        perceptual_signatures(media, payload_col)
+        .withColumnRenamed("media_id", "doc_id")
+        .localCheckpoint(eager=True)  # consumed by both join sides
+    )
+    chunks = _explode_sig_chunks(sig, n_chunks, chunk_bits).join(
+        sig.select("doc_id", "kind"), "doc_id"
+    )
+    a = chunks.select(
+        F.col("kind"),
+        F.col("doc_id").alias("media_a"),
+        F.col("sig").alias("sig_a"),
+        "chunk_idx",
+        "chunk",
+    )
+    b = chunks.select(
+        F.col("kind").alias("kind_b"),
+        F.col("doc_id").alias("media_b"),
+        F.col("sig").alias("sig_b"),
+        "chunk_idx",
+        "chunk",
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter((F.col("kind") == F.col("kind_b")) & (F.col("media_a") < F.col("media_b")))
+        .select("kind", "media_a", "media_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- planted perceptual near-dup fixture --------------------------------
+
+NEAR_DUP_PARTNER_OFFSET = 1_000_000
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 arrays — decorrelated deterministic
+    noise (the linear _gen_payload patterns are too self-similar across
+    ids for a DISCRIMINATION fixture: shifted sawtooths look alike)."""
+    x = x.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def near_dup_media_payloads(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Planted-ground-truth perceptual fixture: for every base id m the
+    table carries TWO payloads — the original (media_id = m) and a
+    perturbed copy (media_id = m + NEAR_DUP_PARTNER_OFFSET). Even m:
+    32x32 PGM with splitmix64 pixels (pairwise-decorrelated across ids);
+    copy adds +3 to ~1/16 of pixels (clip-safe). Odd m: 480-frame WAV
+    with splitmix64 samples; copy is amplitude-scaled 3/4 with small
+    additive noise on ~1/8 of samples. The ONLY near-dup structure in the
+    corpus is the planted (m, m') pairing, so the expected pair list is
+    pure id arithmetic — which is exactly what the SQL oracle of the
+    `multimodal_near_dup` spec states."""
+    side = 32
+    n_wav = WAV_FRAMES
+
+    def gen(m: int) -> tuple[int, str, str, bytes, int, str, str, bytes]:
+        if m % 2 == 0:
+            i = np.arange(side * side, dtype=np.uint64)
+            v = (
+                (_mix64(np.uint64(m) * np.uint64(0x9E3779B97F4A7C15) + i) >> np.uint64(56))
+                .astype(np.uint8)
+                .reshape(side, side)
+            )
+            bump = (
+                (_mix64(np.uint64(m * 2 + 1) * np.uint64(0xD6E8FEB86659FD93) + i) % np.uint64(16))
+                == 0
+            ).reshape(side, side)
+            v2 = np.minimum(v.astype(np.int64) + np.where(bump, 3, 0), 255).astype(np.uint8)
+            return (m, "image", "pgm", encode_image(v), m + NEAR_DUP_PARTNER_OFFSET,
+                    "image", "pgm", encode_image(v2))
+        t = np.arange(n_wav, dtype=np.uint64)
+        s = (
+            (_mix64(np.uint64(m) * np.uint64(0xA0761D6478BD642F) + t) % np.uint64(65536))
+            .astype(np.int64)
+            - 32768
+        ).astype(np.int16)
+        mask = (
+            _mix64(np.uint64(m * 2 + 1) * np.uint64(0xE7037ED1A0B428DB) + t) % np.uint64(8)
+        ) == 0
+        noise = np.where(mask, 64, 0)
+        s2 = np.clip((s.astype(np.int64) * 3) // 4 + noise, -32768, 32767).astype(np.int16)
+        return (m, "audio", "wav", encode_audio(s, WAV_RATE), m + NEAR_DUP_PARTNER_OFFSET,
+                "audio", "wav", encode_audio(s2, WAV_RATE))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf[id_col]:
+                a_id, a_k, a_f, a_p, b_id, b_k, b_f, b_p = gen(int(m))
+                rows.append((a_id, a_k, a_f, a_p))
+                rows.append((b_id, b_k, b_f, b_p))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "fmt", "payload"])
+
+    return ids.select(F.col(id_col).alias(id_col)).mapInPandas(
+        run, "media_id long, kind string, fmt string, payload binary"
+    )

@@ -1558,6 +1558,40 @@ def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_near_dup",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CAST(doc_id AS BIGINT) AS media_a,
+           CAST(doc_id + 1000000 AS BIGINT) AS media_b
+    FROM documents
+    ORDER BY media_a
+    """,
+    doc="Perceptual near-dup detection over a PLANTED-ground-truth media "
+    "corpus: every base id carries an original payload and a perturbed "
+    "copy (images +3 on ~1/16 of pixels; audio amplitude-rescaled 3/4 "
+    "with sparse additive noise), all other payloads are pairwise-"
+    "decorrelated splitmix64 noise. The pipeline — real PGM/WAV decode "
+    "-> DCT pHash / Haitsma-Kalker spectral fingerprint -> 8x8-bit "
+    "hamming-band LSH (pigeonhole-exact for hamming <= 7) -> exact "
+    "verify — must recover EXACTLY the planted (m, m+1e6) pairs, which "
+    "is pure id arithmetic for the oracle. Measured margins at sf0.1 "
+    "scale: planted pairs hamming <= 4, closest cross pair 11 "
+    "(operators/multimodal.py::media_near_dup_pairs; docs/SCALE.md).",
+)
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import multimodal
+
+    ids = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = multimodal.near_dup_media_payloads(ids)
+    return (
+        multimodal.media_near_dup_pairs(media)
+        .select("kind", "media_a", "media_b")
+        .orderBy("media_a")
+    )
+
+
+@query(
     "embedding_gram_covariance",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle="""

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from crdb_changefeed_publisher_spark.operators.multimodal import (
     IMG_H,
@@ -336,3 +337,117 @@ def test_image_quality_features_closed_forms(spark):
     assert got[1].grad_mean == 10.0       # every consecutive pair differs by 10
     assert got[2].contrast == 1.0         # 0..255 span
     assert got[2].entropy > 4.0           # many distinct values
+
+
+# ---------------------------------------------------------------------------
+# Perceptual fingerprints (pHash / spectral): closed-form DCT identities,
+# invariance properties, and the planted near-dup pipeline end to end.
+# ---------------------------------------------------------------------------
+
+
+def test_dct_matrix_closed_forms():
+    """Exact DCT-II identities the hash rests on: orthonormality; a
+    constant image excites ONLY the DC coefficient; a rank-1 horizontal
+    ramp excites ONLY row u=0 (the constant vector is orthogonal to every
+    higher DCT basis row)."""
+    from crdb_changefeed_publisher_spark.operators.multimodal import (
+        PHASH_SIZE,
+        _dct_matrix,
+    )
+
+    D = _dct_matrix(PHASH_SIZE)
+    assert np.allclose(D @ D.T, np.eye(PHASH_SIZE), atol=1e-12)
+
+    const = np.full((PHASH_SIZE, PHASH_SIZE), 9.0)
+    c = D @ const @ D.T
+    assert abs(c[0, 0] - 9.0 * PHASH_SIZE) < 1e-9
+    c[0, 0] = 0.0
+    assert np.abs(c).max() < 1e-9
+
+    ramp = np.tile(np.arange(PHASH_SIZE, dtype=np.float64), (PHASH_SIZE, 1))
+    r = D @ ramp @ D.T
+    assert np.abs(r[1:, :]).max() < 1e-9  # everything below row 0 vanishes
+    assert np.abs(r[0, 1:]).max() > 1.0   # the ramp itself is not constant
+
+
+def test_image_phash_invariances():
+    """pHash is brightness-offset and contrast-scale invariant (DC is
+    excluded; a positive scale moves coeffs and median together), flat
+    images hash to 0, sparse small noise flips few bits, and
+    decorrelated noise images are far apart."""
+    from crdb_changefeed_publisher_spark.operators.multimodal import (
+        _mix64,
+        image_phash,
+    )
+
+    assert image_phash(np.full((32, 32), 128, dtype=np.uint8)) == 0
+
+    i = np.arange(1024, dtype=np.uint64)
+    img = (
+        (_mix64(np.uint64(12345) + i) >> np.uint64(57)).astype(np.uint8).reshape(32, 32)
+    )  # values 0..127: headroom for offset/scale without clipping
+    base = image_phash(img)
+    assert image_phash(img + 40) == base                       # brightness
+    assert image_phash((img.astype(np.int64) * 2)) == base     # contrast
+    noisy = img.astype(np.int64).copy().ravel()
+    noisy[::31] += 2                                           # ~3% of pixels
+    ham = bin(base ^ image_phash(noisy.reshape(32, 32))).count("1")
+    assert ham <= 6, ham
+    other = (
+        (_mix64(np.uint64(999) + i) >> np.uint64(57)).astype(np.uint8).reshape(32, 32)
+    )
+    assert bin(base ^ image_phash(other)).count("1") >= 12
+
+
+def test_audio_fingerprint_semantics():
+    """The fingerprint bits are TEMPORAL band-energy differences, so any
+    stationary signal (pure sine, silence) hashes to exactly 0; a chirp
+    (spectral change mid-stream) does not; amplitude scaling never flips
+    a bit (energies scale together)."""
+    from crdb_changefeed_publisher_spark.operators.multimodal import (
+        _mix64,
+        audio_fingerprint,
+    )
+
+    t = np.arange(480)
+    sine = (8000 * np.sin(2 * np.pi * t * 2000 / 16000)).astype(np.int16)
+    assert audio_fingerprint(sine) == 0
+    assert audio_fingerprint(np.zeros(480, dtype=np.int16)) == 0
+
+    chirp = np.where(
+        t < 240,
+        8000 * np.sin(2 * np.pi * t * 1000 / 16000),
+        8000 * np.sin(2 * np.pi * t * 6000 / 16000),
+    ).astype(np.int16)
+    assert audio_fingerprint(chirp) != 0
+
+    noise = (
+        (_mix64(np.uint64(777) + t.astype(np.uint64)) % np.uint64(16384)).astype(np.int64)
+        - 8192
+    ).astype(np.int16)
+    assert audio_fingerprint((noise.astype(np.int64) * 2)) == audio_fingerprint(noise)
+
+
+def test_media_near_dup_pipeline_recovers_planted_pairs(spark):
+    """End to end on a 40-base-id planted corpus: decode -> fingerprint ->
+    8x8-bit hamming banding -> exact verify returns EXACTLY the planted
+    (m, m + offset) pairs for both kinds, with the pigeonhole guarantee
+    making recall exact at the threshold."""
+    from crdb_changefeed_publisher_spark.operators.multimodal import (
+        NEAR_DUP_PARTNER_OFFSET,
+        media_near_dup_pairs,
+        near_dup_media_payloads,
+    )
+
+    ids = spark.range(40).select(F.col("id").alias("media_id"))
+    media = near_dup_media_payloads(ids)
+    assert media.count() == 80
+    got = {
+        (r.kind, r.media_a, r.media_b)
+        for r in media_near_dup_pairs(media).collect()
+    }
+    want = {
+        ("image" if m % 2 == 0 else "audio", m, m + NEAR_DUP_PARTNER_OFFSET)
+        for m in range(40)
+    }
+    assert got == want

@@ -86,6 +86,7 @@ def test_retired_set_is_the_expected_one():
         "math_funcs_lineitem",
         "multimodal_fake_features",
         "multimodal_image_quality",
+        "multimodal_near_dup",
         "order_value_buckets",
         "orders_above_avg",
         "orders_price_drift",
