@@ -71,6 +71,28 @@ def list_data_files(spark, path: str, suffix: str = ".parquet") -> list[tuple[st
     return sorted(out)
 
 
+def ffd_bins(
+    files: list[tuple[str, int]], target_bytes: int
+) -> list[list[tuple[str, int]]]:
+    """First-fit-decreasing binning of (file, bytes) pairs into bins of
+    <= target_bytes (oversized files become singleton bins). Shared by
+    the directory-level `compaction_plan` and the table sink's
+    manifest-scoped compaction (streaming/table_sink.py), which bins a
+    COMMITTED file list rather than a directory listing."""
+    bins: list[list[tuple[str, int]]] = []
+    room: list[int] = []
+    for f, sz in sorted(files, key=lambda t: (-t[1], t[0])):
+        for i in range(len(bins)):
+            if room[i] >= sz:
+                bins[i].append((f, sz))
+                room[i] -= sz
+                break
+        else:
+            bins.append([(f, sz)])
+            room.append(max(target_bytes - sz, 0))
+    return bins
+
+
 def compaction_plan(
     spark, path: str, target_bytes: int = 128 << 20, suffix: str = ".parquet"
 ) -> DataFrame:
@@ -93,17 +115,7 @@ def compaction_plan(
     correct cost model for a per-leaf maintenance task. Output one row
     per bin: (bin_id, n_files, total_bytes, already_compact, files)."""
     files = list_data_files(spark, path, suffix)
-    bins: list[list[tuple[str, int]]] = []
-    room: list[int] = []
-    for f, sz in sorted(files, key=lambda t: (-t[1], t[0])):
-        for i in range(len(bins)):
-            if room[i] >= sz:
-                bins[i].append((f, sz))
-                room[i] -= sz
-                break
-        else:
-            bins.append([(f, sz)])
-            room.append(max(target_bytes - sz, 0))
+    bins = ffd_bins(files, target_bytes)
     rows = [
         (
             i,

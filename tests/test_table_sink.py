@@ -1,0 +1,146 @@
+"""Exactly-once parquet table sink (streaming/table_sink.py): the manifest
+IS the commit. Covered here:
+
+1. batch replay overwrites its own files — no duplicates;
+2. a crash BETWEEN data write and manifest leaves orphans invisible to
+   readers, and vacuum removes them;
+3. full streaming kill+resume from a checkpoint ends with a committed
+   table row-identical to the batch apply of the same feed;
+4. compaction publishes its snapshot atomically, preserves rows exactly,
+   composes with later streaming appends, and vacuum drops the
+   superseded originals.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.streaming import table_sink
+from crdb_changefeed_publisher_spark.tables import load_table
+
+
+def _rows(spark, root):
+    df = table_sink.read_committed(spark, root)
+    return [] if df is None else sorted(
+        (r.event_id, r.user_id) for r in df.select("event_id", "user_id").collect()
+    )
+
+
+def test_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id").limit(200)
+    n1 = table_sink.write_batch(ev.repartition(4), 7, root)
+    # replay of the SAME deterministic batch under the same id: files are
+    # overwritten, the manifest is rewritten — the table is unchanged
+    n2 = table_sink.write_batch(ev.repartition(4), 7, root)
+    assert n1 == n2 == 200
+    got = _rows(spark, root)
+    assert len(got) == 200 and len(set(got)) == 200
+
+
+def test_crash_before_manifest_is_invisible_and_vacuumable(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    table_sink.write_batch(ev.limit(100), 0, root)
+
+    # simulate the crash window: data files for batch 1 land, manifest
+    # does not (write the batch fully, then delete its manifest — the
+    # file state is identical to dying between fsync(data) and the
+    # manifest rename)
+    table_sink.write_batch(ev.limit(150), 1, root)
+    os.remove(os.path.join(root, "_commits", "batch-00000001.json"))
+
+    assert len(_rows(spark, root)) == 100  # orphans invisible
+    orphans = [n for n in table_sink.vacuum(root) if n.startswith("batch-00000001")]
+    assert orphans  # the crashed attempt's files were reclaimed
+    assert len(_rows(spark, root)) == 100  # vacuum never touches committed data
+
+    # the replayed batch commits cleanly over its own orphan-free slot
+    table_sink.write_batch(ev.limit(150), 1, root)
+    assert len(_rows(spark, root)) == 250
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def test_streaming_kill_resume_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch + checkpoint: kill the query AFTER a batch's data+
+    manifest commit but BEFORE Spark commits its offsets (the widest
+    at-least-once window), restart from the same checkpoint, and the
+    final committed table equals the batch apply exactly."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    expected = sorted((r.event_id, r.user_id) for r in ev.collect())
+
+    killed = {"done": False}
+
+    def apply_and_maybe_die(batch_df, batch_id):
+        table_sink.write_batch(batch_df, batch_id, root)
+        if batch_id == 1 and not killed["done"]:
+            killed["done"] = True
+            raise _Boom("injected kill after table commit, before offset commit")
+
+    def start():
+        return (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_and_maybe_die)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    # restart: batch 1 replays under the same id, overwrites its own
+    # files, re-commits the identical manifest; the rest drains
+    q2 = start()
+    assert q2.awaitTermination(600)
+
+    assert _rows(spark, root) == expected
+
+
+def test_compaction_snapshot_preserves_rows_and_composes_with_appends(
+    spark, sf_dir, tmp_path
+):
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    for b in range(5):
+        table_sink.write_batch(
+            ev.filter(F.col("event_id") % 5 == b).repartition(3), b, root
+        )
+    before = _rows(spark, root)
+    n_files_before = len(table_sink.committed_files(root))
+    assert n_files_before > 5
+
+    summary = table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    assert summary["covers"] == 4 and summary["generation"] == 0
+    assert _rows(spark, root) == before                     # row-identical
+    assert len(table_sink.committed_files(root)) < n_files_before
+
+    # streaming appends after the snapshot stack on top of it
+    extra = ev.limit(0)  # empty batch commits an empty manifest: harmless
+    table_sink.write_batch(extra, 5, root)
+    table_sink.write_batch(ev.limit(50).repartition(2), 6, root)
+    assert len(_rows(spark, root)) == len(before) + 50
+
+    # vacuum reclaims the superseded pre-compaction originals, readers
+    # unaffected
+    gone = table_sink.vacuum(root)
+    assert any(n.startswith("batch-0000000") for n in gone)
+    assert len(_rows(spark, root)) == len(before) + 50
+
+    # a second compaction folds the appends into generation 1
+    s2 = table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    assert s2["generation"] == 1 and s2["covers"] == 6
+    assert len(_rows(spark, root)) == len(before) + 50
