@@ -128,13 +128,16 @@ def main() -> None:
     # not first-task startup.
     materialize(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
-    # Quiet-start gate (VERDICT r5 item #8): suite timings at loadavg 6+ carry
-    # ~+0.1 s noise on every small query. Wait for loadavg(1m) < 2 (retry once
-    # after a sleep); if still busy, proceed but record the violation.
+    # Quiet-start gate (VERDICT r5 item #8, strengthened per r6 "what's
+    # wrong" #1: the gate exists to PREVENT busy starts, not just flag
+    # them). Retry-sleep until loadavg(1m) < 2, up to 5 minutes; if still
+    # busy, proceed but record the violation.
     loadavg_violation = False
-    if os.getloadavg()[0] > 2.0:
+    for _ in range(10):
+        if os.getloadavg()[0] <= 2.0:
+            break
         time.sleep(30)
-        loadavg_violation = os.getloadavg()[0] > 2.0
+    loadavg_violation = os.getloadavg()[0] > 2.0
 
     # Machine-weather instrumentation (VERDICT r4 items #1/#8): fixed
     # synthetic probes at suite start and end, plus steal/loadavg deltas, so a
