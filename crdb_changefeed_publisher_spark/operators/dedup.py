@@ -668,6 +668,27 @@ def simhash_portable_signatures(
     return votes.select("doc_id", sig.alias("sig"))
 
 
+def banding_chunk_bits_for(
+    n_items: int, target_block: int = 256, sig_bits: int = 64, n_chunks: int = 4
+) -> int:
+    """Executable form of the hamming-band sizing rule (docs/SCALE.md):
+    expected block population is n_items / 2^chunk_bits and the candidate
+    join is quadratic in it, so chunk_bits = ceil(log2(n_items /
+    target_block)), clamped to [4, sig_bits // n_chunks] — the chunks must
+    still tile the signature (pigeonhole recall holds for hamming <=
+    n_chunks - 1 only when they do). Two caveats the rule cannot fix,
+    both measured at sf1: (a) signature CLUSTERING (e.g. a tiny
+    vocabulary) inflates real blocks beyond the uniform estimate — treat
+    target_block as the uniform-case floor; (b) when the qualifying pair
+    set itself is huge (the sf1 fixture has ~3.6e8 pairs within hamming
+    8/30 — a 31-word-vocab artifact), the job is OUTPUT-bound and no
+    blocking dial helps; cap or aggregate the pair stream instead."""
+    import math
+
+    hi = max(4, sig_bits // n_chunks)
+    return max(4, min(hi, math.ceil(math.log2(max(n_items, 1) / target_block))))
+
+
 def _explode_sig_chunks(sig: DataFrame, n_chunks: int, chunk_bits: int) -> DataFrame:
     """(doc_id, sig) -> one row per chunk: (doc_id, sig, chunk_idx, chunk).
 

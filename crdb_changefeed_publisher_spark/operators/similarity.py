@@ -135,6 +135,24 @@ def brute_force_topk(
     )
 
 
+def srp_bits_for(n_corpus: int, target_bucket: int = 300) -> int:
+    """The executable form of the SRP-LSH sizing rule (docs/SCALE.md,
+    measured at sf1): expected bucket population is n_corpus /
+    2^bits_per_table, and the candidate join is quadratic in it, so
+    bits_per_table = ceil(log2(n_corpus / target_bucket)) — "add ~3 bits
+    per 10x". Clamped to [4, 24] (below 4 the tables stop discriminating;
+    above 24 bucket ids would need care next to other packed fields).
+
+    Measured anchor (sf1, 20k vectors, 8 tables, 2 probes): 4 bits =
+    43.0 s / recall 0.99 (scans nearly everything), the rule's 6 bits =
+    11.1 s / 0.81, 7 bits = 5.5 s / 0.63 — on an ISOTROPIC corpus where
+    recall is bounded by scan fraction; clustered corpora hold recall
+    far better at the same bits."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n_corpus, 1) / target_bucket))))
+
+
 def srp_planes(
     seed: int = 42, dim: int = 64, n_tables: int = 8, bits_per_table: int = 4
 ):

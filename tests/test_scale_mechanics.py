@@ -123,3 +123,28 @@ def test_approx_count_distinct_is_the_documented_swap(spark, sf_dir):
     assert abs(a - e) / e < 0.06  # 3x the 2% rsd
     # the sketch aggregates in one pass: no Expand, no second distinct agg
     assert "Expand" not in approx._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_sizing_rules_are_executable():
+    """The sf1-measured banding rules as code (docs/SCALE.md): bits grow
+    ~3 per 10x of corpus, clamped to sane/tileable ranges."""
+    from crdb_changefeed_publisher_spark.operators.dedup import (
+        banding_chunk_bits_for,
+    )
+    from crdb_changefeed_publisher_spark.operators.similarity import srp_bits_for
+
+    # srp: fixture scales -> the measured-good dials
+    assert srp_bits_for(2_000) == 4        # registered default at small SF
+    assert srp_bits_for(20_000) == 7       # sf1 (6-7 region; ceil gives 7)
+    assert srp_bits_for(20_000, target_bucket=500) == 6
+    assert srp_bits_for(200_000) == 10     # +3 bits for the next decade
+    assert srp_bits_for(1) == 4            # floor
+    assert srp_bits_for(10**12) == 24      # ceiling
+
+    # hamming banding: rule tracks corpus, clamped so chunks tile the sig
+    assert banding_chunk_bits_for(5_000) == 5
+    assert banding_chunk_bits_for(50_000) == 8
+    assert banding_chunk_bits_for(500_000) == 11
+    assert banding_chunk_bits_for(10**9) == 16        # 64/4 tiling ceiling
+    assert banding_chunk_bits_for(10**9, sig_bits=30, n_chunks=2) == 15
+    assert banding_chunk_bits_for(10) == 4            # floor
