@@ -144,3 +144,75 @@ def test_compaction_snapshot_preserves_rows_and_composes_with_appends(
     s2 = table_sink.compact_table(spark, root, target_bytes=1 << 30)
     assert s2["generation"] == 1 and s2["covers"] == 6
     assert len(_rows(spark, root)) == len(before) + 50
+
+
+def test_tws_dedup_stream_into_table_sink_kill_resume(spark, sf_dir, tmp_path):
+    """Composition: a STATEFUL TWS operator (dedup_on_ingest) feeding the
+    exactly-once table sink through a kill+resume. The replayed batch
+    restarts from the batch's pre-state (RocksDB checkpoint), regenerates
+    the identical output, and overwrites its own table slot — so the
+    final committed table is the exact first-arrival dedup of the feed,
+    no dups, no losses."""
+    import pytest as _pytest
+
+    from tests.test_streaming_eventtime import _tws_available
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        dedup_on_ingest,
+        rocksdb_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # duplicate pressure: every 3rd doc re-arrives under a higher id
+    dups = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    feed = docs.unionByName(dups)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "tbl")
+    # docs first, dup wave second: 8 ts-ordered-ish files -> 8 batches
+    docs.repartition(4).write.mode("append").parquet(src)
+    dups.repartition(4).write.mode("append").parquet(src)
+
+    killed = {"done": False}
+
+    def apply(batch_df, batch_id):
+        table_sink.write_batch(batch_df, batch_id, root)
+        if batch_id == 2 and not killed["done"]:
+            killed["done"] = True
+            raise RuntimeError("injected kill after table commit")
+
+    def start():
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = dedup_on_ingest(sdf)
+        return (
+            out.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with rocksdb_state(spark):
+        q = start()
+        with pytest.raises(Exception):
+            q.awaitTermination()
+        q2 = start()
+        assert q2.awaitTermination(600)
+
+    committed = table_sink.read_committed(spark, root)
+    assert committed is not None
+    got_keys = [r.content_key for r in committed.select("content_key").collect()]
+    # exactly one emission per distinct content — across batches AND the
+    # replayed batch
+    n_distinct_contents = feed.select(F.sha2("text", 256)).distinct().count()
+    assert len(got_keys) == len(set(got_keys)) == n_distinct_contents
+    # and every emission carries a first-wave id (the dup wave arrived
+    # strictly after all originals, so no 1M+ id can be a first arrival)
+    assert committed.filter(F.col("doc_id") >= 1_000_000).count() == 0
