@@ -183,6 +183,8 @@ def lineitem_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_ship_latency",
+    retired=True,  # r7 swap: date-diff microquery; date surface kept by
+    # date_funcs_orders (retired oracle) + events/asof rows
     oracle="""
     SELECT o.o_orderpriority,
            round(avg(date_diff('day', CAST(o.o_orderdate AS DATE),

@@ -1559,7 +1559,8 @@ def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_near_dup",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r7 swap promotion: planted-oracle perceptual dedup — genuinely novel
+    # surface (real decode -> pHash/audio fingerprint -> hamming-band LSH)
     oracle="""
     SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
            CAST(doc_id AS BIGINT) AS media_a,
@@ -2117,7 +2118,8 @@ def kmv_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_duplicate_spans",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r7 swap promotion: the Lee-et-al exact-substring dedup signal earns a
+    # driver row (one digest shuffle, no join — shape worth pinning)
     oracle="""
     WITH words AS (
         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents

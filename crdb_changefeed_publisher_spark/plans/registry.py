@@ -77,6 +77,9 @@ COST_HINTS: dict[str, float] = {
     "events_funnel": 0.6,
     "orders_quality_checks": 0.7,
     "dedup_incremental": 2.2,
+    # r7 registry-swap promotions (hints from retired-harness timings)
+    "doc_duplicate_spans": 1.5,
+    "multimodal_near_dup": 1.1,
 }
 
 

@@ -16,6 +16,8 @@ from crdb_changefeed_publisher_spark.tables import load_table
 
 @query(
     "string_funcs_part",
+    retired=True,  # r7 swap: string-scalar microquery; string surface kept
+    # by the doc_* text family + semi_structured_events driver rows
     oracle="""
     SELECT p_partkey,
            upper(substr(p_name, 1, 8))         AS name_prefix,

@@ -55,7 +55,6 @@ def test_retired_set_is_the_expected_one():
         "doc_bm25_search",
         "doc_boilerplate_report",
         "doc_budget_selection",
-        "doc_duplicate_spans",
         "doc_pii_scrub",
         "doc_seq_packing",
         "doc_shuffle_layout",
@@ -86,7 +85,7 @@ def test_retired_set_is_the_expected_one():
         "math_funcs_lineitem",
         "multimodal_fake_features",
         "multimodal_image_quality",
-        "multimodal_near_dup",
+        "order_ship_latency",
         "order_value_buckets",
         "orders_above_avg",
         "orders_price_drift",
@@ -94,6 +93,7 @@ def test_retired_set_is_the_expected_one():
         "orders_zorder_key",
         "source_scorecard",
         "split_leakage_pairs",
+        "string_funcs_part",
         "supplier_customer_pagerank",
         "token_vocab_coverage",
         "top_expensive_orders",
