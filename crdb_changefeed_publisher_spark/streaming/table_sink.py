@@ -36,9 +36,12 @@ Protocol (a deliberately minimal manifest-commit table format):
   Streaming appends landing DURING compaction are unaffected — their
   batch ids are above the snapshot's `covers` mark.
 * `vacuum` deletes data files unreachable from the committed state
-  (crashed-attempt orphans, pre-compaction originals) — safe because
-  the committed state is resolved first and the delete set is the
-  complement.
+  (crashed-attempt orphans, pre-compaction originals). The committed
+  state is resolved first, so nothing a READER can see is touched; to
+  also be safe against a concurrently-running writer, the default mode
+  spares batch files above the committed high-water mark and fresh
+  *.tmp-* files (a live write_batch's mid-commit data lives exactly
+  there). `assume_quiesced=True` reclaims those too.
 
 Everything is plain JSON + parquet + atomic rename; no services. The
 single-writer assumption (one streaming query per table root, as Spark's
@@ -127,12 +130,23 @@ def write_batch(batch_df: DataFrame, batch_id: int, root: str) -> int:
     return sum(f["n_rows"] for f in files)
 
 
-def _committed_state(root: str) -> tuple[int, int, list[str]]:
-    """(snapshot_generation, covered_batch, committed file names).
-    generation/covered_batch are -1 when absent."""
+def _snapshot_gen(name: str) -> int:
+    # parse the generation as an INT: lexicographic max over
+    # 'snapshot-999.json' / 'snapshot-1000.json' picks the stale one
+    return int(name[len("snapshot-"):-len(".json")])
+
+
+def _committed_state(root: str) -> tuple[int, int, int, list[str]]:
+    """(snapshot_generation, covered_batch, high_water_batch, committed
+    file names). generation / covered_batch / high_water are -1 when
+    absent. high_water is the highest COMMITTED batch id — the snapshot's
+    `covers` or any batch manifest above it — i.e. the id a subsequent
+    snapshot must cover, derived from manifests, never from data-file
+    names (a compacted-away batch leaves no batch-* file but its manifest
+    must stay superseded)."""
     commits = _commits_dir(root)
     if not os.path.isdir(commits):
-        return -1, -1, []
+        return -1, -1, -1, []
     snaps, batches = [], []
     for name in os.listdir(commits):
         if name.endswith(".tmp"):
@@ -143,23 +157,26 @@ def _committed_state(root: str) -> tuple[int, int, list[str]]:
             batches.append(name)
     gen, covers, files = -1, -1, []
     if snaps:
-        latest = max(snaps)  # zero-padded generation => lexicographic max
+        latest = max(snaps, key=_snapshot_gen)
         with open(os.path.join(commits, latest)) as fh:
             snap = json.load(fh)
         gen, covers = int(snap["generation"]), int(snap["covers"])
         files = [f["file"] for f in snap["files"]]
+    high_water = covers
     for name in sorted(batches):
         with open(os.path.join(commits, name)) as fh:
             m = json.load(fh)
-        if int(m["batch_id"]) > covers:
+        bid = int(m["batch_id"])
+        if bid > covers:
             files.extend(f["file"] for f in m["files"])
-    return gen, covers, files
+            high_water = max(high_water, bid)
+    return gen, covers, high_water, files
 
 
 def committed_files(root: str) -> list[str]:
     """Absolute paths of the files a reader must scan — the table's
     current committed state."""
-    _, _, names = _committed_state(root)
+    _, _, _, names = _committed_state(root)
     return [os.path.join(_data_dir(root), n) for n in names]
 
 
@@ -173,51 +190,80 @@ def read_committed(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(*files)
 
 
+def _rewrite_bin(job: tuple) -> dict:
+    """Executor task: rewrite one FFD bin's source files as a single
+    compact file (tmp + fsync + atomic rename — a retried task overwrites
+    its own tmp and the rename is idempotent). Memory is bounded by the
+    bin target size, and bins rewrite in parallel across the cluster
+    instead of serially through the driver. Requires the table root on
+    storage every executor can reach — the same shared-filesystem
+    assumption the manifest protocol itself makes."""
+    data, new_gen, idx, names = job
+    src = [os.path.join(data, f) for f in names]
+    t = pa.concat_tables([pq.read_table(p) for p in src], promote_options="default")
+    name = f"compact-{new_gen:08d}-{idx:05d}.parquet"
+    final = os.path.join(data, name)
+    tmp = final + f".tmp-{os.getpid()}"
+    pq.write_table(t, tmp)
+    with open(tmp, "rb") as fh:
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+    return {"file": name, "n_rows": t.num_rows, "n_bytes": os.path.getsize(final)}
+
+
 def compact_table(
     spark: SparkSession, root: str, target_bytes: int = 128 << 20
 ) -> dict:
     """Compact the committed file set with the FFD planner and publish a
     snapshot manifest atomically. Returns a summary dict. Single-writer
     with respect to OTHER compactions; concurrent streaming appends are
-    safe (their batch ids exceed the snapshot's `covers`)."""
+    safe (their batch ids exceed the snapshot's `covers`).
+
+    The new snapshot's `covers` is the committed high-water BATCH id from
+    the manifests (previous `covers` ∨ applied batch manifests), never
+    from data-file names: after one compaction the committed files are
+    compact-* names, and deriving `covers` from them would regress it to
+    -1 on a no-new-appends re-compaction, un-superseding every old batch
+    manifest (duplicate rows, or missing files after vacuum). Batch
+    manifests at or below the published `covers` are pruned afterwards —
+    they are permanently superseded, and pruning keeps the commit dir
+    from growing without bound (a crash before pruning is harmless: the
+    snapshot already supersedes them)."""
     from crdb_changefeed_publisher_spark.operators.layout import ffd_bins
 
-    gen, _covers, names = _committed_state(root)
+    gen, _covers, high_water, names = _committed_state(root)
     data = _data_dir(root)
     sized = [(n, os.path.getsize(os.path.join(data, n))) for n in names]
-    batch_ids = [
-        int(n.split("-")[1]) for n in names if n.startswith("batch-")
-    ]
-    high_water = max(batch_ids, default=-1)
     new_gen = gen + 1
     bins = ffd_bins(sized, target_bytes)
-    out_files, rewritten = [], 0
+    out_files, rewritten, jobs = [], 0, []
     for i, b in enumerate(bins):
         if len(b) == 1:
             f, sz = b[0]
             out_files.append({"file": f, "n_rows": None, "n_bytes": sz})
             continue
-        src = [os.path.join(data, f) for f, _ in b]
-        t = pa.concat_tables([pq.read_table(p) for p in src], promote_options="default")
-        name = f"compact-{new_gen:03d}-{i:05d}.parquet"
-        final = os.path.join(data, name)
-        tmp = final + f".tmp-{os.getpid()}"
-        pq.write_table(t, tmp)
-        with open(tmp, "rb") as fh:
-            os.fsync(fh.fileno())
-        os.replace(tmp, final)
-        out_files.append(
-            {"file": name, "n_rows": t.num_rows, "n_bytes": os.path.getsize(final)}
-        )
+        jobs.append((data, new_gen, i, [f for f, _ in b]))
         rewritten += len(b)
+    if jobs:
+        # one Spark job, one task per bin — the driver only plans bins and
+        # publishes the snapshot; bytes move executor-side
+        out_files.extend(
+            spark.sparkContext.parallelize(jobs, len(jobs)).map(_rewrite_bin).collect()
+        )
     _atomic_write_json(
-        os.path.join(_commits_dir(root), f"snapshot-{new_gen:03d}.json"),
+        os.path.join(_commits_dir(root), f"snapshot-{new_gen:08d}.json"),
         {
             "generation": new_gen,
             "covers": high_water,
             "files": sorted(out_files, key=lambda d: d["file"]),
         },
     )
+    # prune superseded batch manifests (snapshot is durable at this point)
+    commits = _commits_dir(root)
+    for name in os.listdir(commits):
+        if name.startswith("batch-") and name.endswith(".json"):
+            if int(name[len("batch-"):-len(".json")]) <= high_water:
+                os.remove(os.path.join(commits, name))
     return {
         "generation": new_gen,
         "covers": high_water,
@@ -227,20 +273,51 @@ def compact_table(
     }
 
 
-def vacuum(root: str) -> list[str]:
+def vacuum(
+    root: str, assume_quiesced: bool = False, tmp_grace_secs: float = 600.0
+) -> list[str]:
     """Delete data files unreachable from the committed state: crashed-
     attempt orphans, tmp leftovers, and pre-compaction originals that a
     snapshot superseded. Resolves the committed set FIRST, so everything
-    deleted is by construction invisible to readers. Returns the deleted
-    names."""
+    deleted is invisible to READERS — but an uncommitted file may belong
+    to a concurrent writer's in-flight batch, whose manifest would then
+    commit referencing deleted data. So by default vacuum is writer-safe:
+    it skips batch-* files whose batch id exceeds the committed
+    high-water mark (a live write_batch always carries a higher id than
+    anything committed) and skips *.tmp-* files younger than
+    `tmp_grace_secs`. Pass assume_quiesced=True when no writer is running
+    to reclaim those too (e.g. the newest crashed attempt before its
+    replay). Returns the deleted names."""
+    import time
+
     data = _data_dir(root)
     if not os.path.isdir(data):
         return []
-    _, _, keep = _committed_state(root)
+    _, _, high_water, keep = _committed_state(root)
     keep_set = set(keep)
+    now = time.time()
     gone = []
     for name in sorted(os.listdir(data)):
-        if name not in keep_set:
-            os.remove(os.path.join(data, name))
-            gone.append(name)
+        if name in keep_set:
+            continue
+        path = os.path.join(data, name)
+        if not assume_quiesced:
+            if ".tmp-" in name:
+                try:
+                    if now - os.path.getmtime(path) < tmp_grace_secs:
+                        continue
+                except OSError:
+                    continue
+            elif name.startswith("batch-"):
+                try:
+                    bid = int(name.split("-")[1])
+                except (IndexError, ValueError):
+                    bid = None
+                if bid is not None and bid > high_water:
+                    continue  # possibly a mid-commit batch of a live writer
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            continue
+        gone.append(name)
     return gone

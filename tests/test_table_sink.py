@@ -13,6 +13,7 @@ IS the commit. Covered here:
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -54,7 +55,19 @@ def test_crash_before_manifest_is_invisible_and_vacuumable(spark, sf_dir, tmp_pa
     os.remove(os.path.join(root, "_commits", "batch-00000001.json"))
 
     assert len(_rows(spark, root)) == 100  # orphans invisible
-    orphans = [n for n in table_sink.vacuum(root) if n.startswith("batch-00000001")]
+
+    # a WRITER-SAFE vacuum must leave them alone: batch 1 is above the
+    # committed high-water mark, indistinguishable from a live writer's
+    # mid-commit batch
+    assert not any(
+        n.startswith("batch-00000001") for n in table_sink.vacuum(root)
+    )
+    # with the writer known dead, the crashed attempt is reclaimable
+    orphans = [
+        n
+        for n in table_sink.vacuum(root, assume_quiesced=True)
+        if n.startswith("batch-00000001")
+    ]
     assert orphans  # the crashed attempt's files were reclaimed
     assert len(_rows(spark, root)) == 100  # vacuum never touches committed data
 
@@ -144,6 +157,86 @@ def test_compaction_snapshot_preserves_rows_and_composes_with_appends(
     s2 = table_sink.compact_table(spark, root, target_bytes=1 << 30)
     assert s2["generation"] == 1 and s2["covers"] == 6
     assert len(_rows(spark, root)) == len(before) + 50
+
+
+def test_recompaction_with_no_new_batches_never_regresses_covers(
+    spark, sf_dir, tmp_path
+):
+    """Regression (ADVICE r7 high): `covers` must come from the
+    MANIFESTS' high-water batch id, not from committed data-file names.
+    After one compaction the committed files are all compact-* names; a
+    second compaction with no new appends used to regress covers to -1,
+    un-superseding every batch manifest — duplicated rows, and
+    FileNotFound once vacuum removed the superseded originals."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    for b in range(3):
+        table_sink.write_batch(
+            ev.filter(F.col("event_id") % 3 == b).repartition(2), b, root
+        )
+    before = _rows(spark, root)
+
+    s1 = table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    assert s1["covers"] == 2
+    s2 = table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    assert s2["generation"] == 1 and s2["covers"] == 2  # never regresses
+    table_sink.vacuum(root, assume_quiesced=True)
+    assert _rows(spark, root) == before  # no dups, no missing files
+
+    # and a third, after one more append, covers the new batch
+    table_sink.write_batch(ev.limit(10).repartition(1), 3, root)
+    s3 = table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    assert s3["covers"] == 3
+    table_sink.vacuum(root, assume_quiesced=True)
+    assert len(_rows(spark, root)) == len(before) + 10
+
+
+def test_vacuum_spares_in_flight_batch_and_fresh_tmp(spark, sf_dir, tmp_path):
+    """Regression (ADVICE r7 medium): a default vacuum run concurrently
+    with a live writer must not delete a mid-commit batch's data (its
+    manifest would then commit referencing missing files)."""
+    import time
+
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    table_sink.write_batch(ev.limit(100), 0, root)
+
+    # simulate a live writer mid-commit: batch 1 data present, manifest
+    # not yet published; plus a fresh in-progress tmp file
+    table_sink.write_batch(ev.limit(50).repartition(1), 1, root)
+    os.remove(os.path.join(root, "_commits", "batch-00000001.json"))
+    tmp = os.path.join(root, "data", "batch-00000002-part-00000.parquet.tmp-99999")
+    with open(tmp, "wb") as fh:
+        fh.write(b"partial")
+
+    gone = table_sink.vacuum(root)
+    assert gone == []  # both survive the writer-safe vacuum
+    assert os.path.exists(tmp)
+
+    # the manifest "arrives" (writer finishes): batch 1 reads back intact
+    table_sink.write_batch(ev.limit(50).repartition(1), 1, root)
+    assert len(_rows(spark, root)) == 150
+
+    # an OLD tmp file (beyond the grace period) is reclaimable by default
+    os.utime(tmp, (time.time() - 7200, time.time() - 7200))
+    assert os.path.basename(tmp) in table_sink.vacuum(root)
+
+
+def test_snapshot_selection_parses_generation_as_int(tmp_path):
+    """Regression (ADVICE r7 low): latest snapshot by INT generation, not
+    lexicographic name — 'snapshot-1000.json' must beat 'snapshot-999.json'
+    (legacy %03d names can coexist with the current %08d padding)."""
+    root = str(tmp_path / "tbl")
+    commits = os.path.join(root, "_commits")
+    os.makedirs(commits)
+    for gen, fname, files in [
+        (999, "snapshot-999.json", [{"file": "compact-999-00000.parquet", "n_rows": 1, "n_bytes": 1}]),
+        (1000, "snapshot-00001000.json", [{"file": "compact-00001000-00000.parquet", "n_rows": 2, "n_bytes": 2}]),
+    ]:
+        with open(os.path.join(commits, fname), "w") as fh:
+            json.dump({"generation": gen, "covers": 5, "files": files}, fh)
+    names = [os.path.basename(p) for p in table_sink.committed_files(root)]
+    assert names == ["compact-00001000-00000.parquet"]
 
 
 def test_tws_dedup_stream_into_table_sink_kill_resume(spark, sf_dir, tmp_path):
