@@ -682,11 +682,16 @@ def banding_chunk_bits_for(
     target_block as the uniform-case floor; (b) when the qualifying pair
     set itself is huge (the sf1 fixture has ~3.6e8 pairs within hamming
     8/30 — a 31-word-vocab artifact), the job is OUTPUT-bound and no
-    blocking dial helps; cap or aggregate the pair stream instead."""
-    import math
+    blocking dial helps; cap or aggregate the pair stream instead.
 
+    Computed in INTEGER arithmetic (smallest c with target_block*2^c >=
+    n_items — identical to the ceil-log2 form) so a SQL oracle can derive
+    the same dial from a COUNT(*) without a float log2 boundary."""
     hi = max(4, sig_bits // n_chunks)
-    return max(4, min(hi, math.ceil(math.log2(max(n_items, 1) / target_block))))
+    c = 4
+    while c < hi and (target_block << c) < n_items:
+        c += 1
+    return c
 
 
 def _explode_sig_chunks(sig: DataFrame, n_chunks: int, chunk_bits: int) -> DataFrame:
@@ -756,6 +761,70 @@ def simhash_portable_pairs(
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_degrees(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_chunks: int = 2,
+    chunk_bits: int = 15,
+) -> DataFrame:
+    """Per-document near-dup DEGREE over the portable-SimHash candidate
+    graph: (doc_id, n_near_dups, min_hamming) for every document with at
+    least one neighbor within `max_hamming` sharing a signature chunk.
+
+    This is the scale-bounded registered form of the pair stream (r7
+    verdict #3): `simhash_portable_pairs` stays the library primitive for
+    consumers that need the edges, but its output is the qualifying pair
+    SET — which on a pathologically clustered corpus (sf1's 31-word vocab:
+    ~3.6e8 pairs) grows quadratic-ish no matter the blocking dial. The
+    degree view's output is bounded by n_docs, and the heavy distinct is
+    per-(doc, neighbor) with map-side partial aggregation instead of a
+    global pair-set shuffle + sort.
+
+    Shuffle shape: the pair-level dedup runs on a < b ORDERED pairs (half
+    the candidate volume of a symmetric join), then each distinct pair
+    explodes into its two directed endpoint rows feeding a plain
+    count/min groupBy — partial aggregation collapses that second pass to
+    ~n_docs rows per partition before it ever shuffles. A (doc, neighbor)
+    pair found via several chunk collisions still counts once, and
+    min_hamming is collision-count invariant."""
+    sig = simhash_portable_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
+    chunks = _explode_sig_chunks(sig, n_chunks, chunk_bits)
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("hamming").alias("hamming"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("hamming").alias("hamming"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.hamming")
+    return both.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_dups"),
+        F.min("hamming").alias("min_hamming"),
     )
 
 

@@ -135,22 +135,29 @@ def brute_force_topk(
     )
 
 
-def srp_bits_for(n_corpus: int, target_bucket: int = 300) -> int:
+def srp_bits_for(n_corpus: int, target_bucket: int = 300, lo: int = 4, hi: int = 24) -> int:
     """The executable form of the SRP-LSH sizing rule (docs/SCALE.md,
     measured at sf1): expected bucket population is n_corpus /
     2^bits_per_table, and the candidate join is quadratic in it, so
     bits_per_table = ceil(log2(n_corpus / target_bucket)) — "add ~3 bits
-    per 10x". Clamped to [4, 24] (below 4 the tables stop discriminating;
-    above 24 bucket ids would need care next to other packed fields).
+    per 10x". Clamped to [lo, hi]; default [4, 24] (below 4 the tables
+    stop discriminating; above 24 bucket ids would need care next to
+    other packed fields).
+
+    Computed in INTEGER arithmetic — smallest b with target_bucket*2^b >=
+    n_corpus, which equals the ceil-log2 form exactly — so a SQL oracle
+    can derive the identical dial from a COUNT(*) without a float log2
+    boundary (the known cross-engine half-tie trap, docs/NEXT.md).
 
     Measured anchor (sf1, 20k vectors, 8 tables, 2 probes): 4 bits =
     43.0 s / recall 0.99 (scans nearly everything), the rule's 6 bits =
     11.1 s / 0.81, 7 bits = 5.5 s / 0.63 — on an ISOTROPIC corpus where
     recall is bounded by scan fraction; clustered corpora hold recall
     far better at the same bits."""
-    import math
-
-    return max(4, min(24, math.ceil(math.log2(max(n_corpus, 1) / target_bucket))))
+    b = lo
+    while b < hi and (target_bucket << b) < n_corpus:
+        b += 1
+    return b
 
 
 def srp_planes(
@@ -176,6 +183,7 @@ def srp_lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bits: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-probe signed-random-projection LSH.
 
@@ -195,10 +203,30 @@ def srp_lsh_topk(
     rounded before the sign/argmin, scores rounded before ranking, id
     tiebreaks — so the oracle (same planes as SQL literals) reproduces every
     bucket, probe, candidate, and rank.
+
+    Self-sizing (round-8): pass `max_bits` to draw the plane MASTER at
+    `max_bits` planes per table and use only each table's first
+    `bits_per_table` of them. The master is a fixed literal for fixed
+    (seed, dim, n_tables, max_bits), so an oracle can freeze ALL max_bits
+    planes once and select `bit < b` where b is derived from the corpus
+    count (srp_bits_for) — the dial scales with the data while both
+    engines keep hashing with identical numbers.
     """
     import numpy as np
 
-    planes = srp_planes(seed, dim, n_tables, bits_per_table)
+    if max_bits is not None:
+        if bits_per_table > max_bits:
+            raise ValueError(f"bits_per_table {bits_per_table} > max_bits {max_bits}")
+        master = srp_planes(seed, dim, n_tables, max_bits)
+        planes = np.concatenate(
+            [
+                master[:, t * max_bits : t * max_bits + bits_per_table]
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )
+    else:
+        planes = srp_planes(seed, dim, n_tables, bits_per_table)
     weights = 1 << np.arange(bits_per_table, dtype=np.int64)
 
     def signatures(df: DataFrame, prefix: str, probe: bool) -> DataFrame:

@@ -473,22 +473,49 @@ _SIMHASH_SIG = " + ".join(
         UNION ALL
         SELECT doc_id, sig, 1, (sig >> 15) & 32767 FROM sig
     ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM chunks a JOIN chunks b
-          ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+          ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+         AND a.doc_id <> b.doc_id
     )
-    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 8
+    SELECT doc_id, count(DISTINCT neighbor_id) AS n_near_dups,
+           min(hamming) AS min_hamming
+    FROM cand WHERE hamming <= 8
+    GROUP BY doc_id
     """,
-    doc="SimHash near-dup pairs, 30-bit PORTABLE signature (polynomial token "
-    "hash, per-bit partial-agg votes), 15-bit chunk banding + Hamming "
-    "verify — the full SimHash mechanism is value-verified against the "
-    "oracle. The engine-native 64-bit xxhash64 variant stays in "
-    "operators/dedup.py::simhash_pairs as the wider-fingerprint fast path "
-    "(equivalence-tested, not registered).",
+    doc="Per-document SimHash near-dup DEGREE: 30-bit PORTABLE signature "
+    "(polynomial token hash, per-bit partial-agg votes), 2-chunk 15-bit "
+    "banding + Hamming verify, aggregated to (doc_id, n_near_dups, "
+    "min_hamming). The registered output is bounded by n_docs even on "
+    "pathologically clustered corpora where the raw qualifying-pair SET "
+    "goes quadratic-ish (sf1's 31-word vocab: ~3.6e8 pairs — r7 verdict "
+    "#3); the pair stream stays available as "
+    "operators/dedup.py::simhash_portable_pairs for consumers that need "
+    "edges, and the engine-native 64-bit xxhash64 variant as "
+    "simhash_pairs. The chunk width is the TILING MAXIMUM "
+    "(sig_bits/n_chunks = 15): finer buckets are strictly cheaper and "
+    "pigeonhole recall only depends on tiling, so coarser-than-tiling "
+    "widths trade cost for extra approximate recall (measured 6x at "
+    "sf1). banding_chunk_bits_for is wired as the SATURATION guard: when "
+    "the rule's cost-minimum width exceeds the tiling width, the 30-bit "
+    "signature has run out of bucket space (~8.4M docs) and the plan "
+    "refuses, pointing at the 64-bit variant.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_portable_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    cb = dedup.SIMHASH_PORTABLE_BITS // 2  # tiling max: the cost-optimal width
+    cb_min = dedup.banding_chunk_bits_for(
+        n, sig_bits=dedup.SIMHASH_PORTABLE_BITS, n_chunks=2
+    )
+    if cb_min >= cb and (256 << cb) < n:
+        raise ValueError(
+            f"30-bit portable SimHash bucket space saturated at n={n} "
+            "(banding_chunk_bits_for needs more than the tiling width): "
+            "use the 64-bit simhash_pairs variant (4 x 16-bit chunks)"
+        )
+    return dedup.simhash_near_dup_degrees(docs, max_hamming=8, n_chunks=2, chunk_bits=cb)
 
 
 @query(
@@ -641,22 +668,35 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(queries, emb, k=5)
 
 
+# The SRP plane MASTER: 8 tables x SRP_MAX_BITS planes, frozen once. The
+# registered plan derives bits_per_table b from the corpus count
+# (similarity.srp_bits_for, integer-exact) and uses each table's first b
+# planes; the oracle freezes ALL master planes and selects bit < b with the
+# same integer rule — so the dial self-sizes per SF while both engines keep
+# hashing with identical literals (r7 verdict #1: the 4-bit fixture dial was
+# measured 22.7x at sf1 from quadratic bucket fill).
+SRP_MAX_BITS = 10  # supports ~300 * 2^10 ≈ 300k vectors before clamping
+
+
 def _srp_plane_values() -> str:
-    """The seeded SRP hyperplanes as SQL VALUES rows (tbl, bit, p).
+    """The seeded SRP hyperplane MASTER as SQL VALUES rows (tbl, bit, p).
 
     The planes are rounded to 6 decimals at generation
     (similarity.srp_planes), so their shortest-repr decimal literals parse
     back to the IDENTICAL doubles in DuckDB — both engines hash with the
     same numbers, which is what makes an LSH operator value-verifiable.
     """
-    planes = similarity.srp_planes()  # (dim=64, 8 tables x 4 bits)
+    planes = similarity.srp_planes(bits_per_table=SRP_MAX_BITS)
     rows = []
     for t in range(8):
-        for j in range(4):
-            col = planes[:, t * 4 + j].tolist()
+        for j in range(SRP_MAX_BITS):
+            col = planes[:, t * SRP_MAX_BITS + j].tolist()
             lit = "[" + ", ".join(repr(x) for x in col) + "]::DOUBLE[]"
             rows.append(f"({t}, {j}, {lit})")
     return ",\n        ".join(rows)
+
+
+_SRP_BITS_CHOICES = ", ".join(f"({b})" for b in range(4, SRP_MAX_BITS + 1))
 
 
 @query(
@@ -664,12 +704,18 @@ def _srp_plane_values() -> str:
     oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
+    nbits AS (
+        SELECT MIN(b)::INT AS b FROM (VALUES {_SRP_BITS_CHOICES}) t(b)
+        WHERE (300::BIGINT << b) >= (SELECT count(*) FROM embeddings)
+           OR b = {SRP_MAX_BITS}
+    ),
     planes(tbl, bit, p) AS (VALUES
         {_srp_plane_values()}
     ),
     cproj AS (
         SELECT v.vec_id, tbl, bit, round(list_dot_product(e, p), 6) AS m
         FROM v CROSS JOIN planes
+        WHERE bit < (SELECT b FROM nbits)
     ),
     cbuck AS (
         SELECT vec_id, tbl,
@@ -713,16 +759,23 @@ def _srp_plane_values() -> str:
     ) WHERE rnk <= 5
     """,
     doc="Approximate top-5 via multi-probe signed-random-projection LSH "
-    "(8 tables x 4 seeded hyperplane bits + 2 nearest-boundary bit-flip "
+    "(8 tables, SELF-SIZED bits/table from the corpus count via the "
+    "integer-exact srp_bits_for rule, + 2 nearest-boundary bit-flip "
     "probes per table; ids-only signature pass; exact cosine rerank). "
-    "Deterministic end-to-end — the oracle embeds the same rounded "
-    "hyperplanes as literals, so buckets, probes, candidates, and ranks are "
-    "all value-verified.",
+    "The oracle freezes the full 10-bit plane master as literals and "
+    "derives the same bit count from COUNT(*), so buckets, probes, "
+    "candidates, and ranks stay value-verified at every SF while the "
+    "bucket population — the quadratic term measured at sf1 — stays "
+    "~constant.",
 )
 def embedding_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # metadata-cheap corpus count -> the sf1-measured sizing rule
+    bits = similarity.srp_bits_for(emb.count(), hi=SRP_MAX_BITS)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.srp_lsh_topk(queries, emb, k=5, n_probes=2)
+    return similarity.srp_lsh_topk(
+        queries, emb, k=5, n_probes=2, bits_per_table=bits, max_bits=SRP_MAX_BITS
+    )
 
 
 # --- learned (Spark ML KMeans) codebooks, frozen as literals -----------------
