@@ -18,6 +18,8 @@ from crdb_changefeed_publisher_spark.tables import load_table
 
 @query(
     "pivot_returnflag_linestatus",
+    retired=True,  # r8 swap: pivot shape stays value-verified in pytest;
+    # q1_pricing_summary + part_type_brand_cube cover the wide-agg surface
     oracle="""
     SELECT l_returnflag,
            round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",

@@ -2308,7 +2308,8 @@ def corpus_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_scorecard",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # promoted in the r8 registry swap (r7 verdict #4): the daily
+    # crawl-inclusion governance row, in place of the pivot microquery
     oracle="""
     WITH q AS (
         SELECT source, lang,
@@ -2360,7 +2361,8 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "split_leakage_pairs",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # promoted in the r8 registry swap (r7 verdict #4): the eval-leakage
+    # governance row, in place of the distinct-agg microquery
     oracle=f"""
     WITH {_MINHASH_CTES},
     pairs AS (SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.2),

@@ -242,6 +242,8 @@ def supplier_acctbal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orderpriority_distinct_customers",
+    retired=True,  # r8 swap: COUNT DISTINCT expand shape stays pytest-
+    # verified; kmv_shard_distinct + customer_semi_anti cover the surface
     oracle="""
     SELECT o_orderpriority,
            count(*)                  AS n_orders,

@@ -87,12 +87,12 @@ def test_retired_set_is_the_expected_one():
         "multimodal_image_quality",
         "order_ship_latency",
         "order_value_buckets",
+        "orderpriority_distinct_customers",
         "orders_above_avg",
         "orders_price_drift",
         "orders_profile",
         "orders_zorder_key",
-        "source_scorecard",
-        "split_leakage_pairs",
+        "pivot_returnflag_linestatus",
         "string_funcs_part",
         "supplier_customer_pagerank",
         "token_vocab_coverage",
