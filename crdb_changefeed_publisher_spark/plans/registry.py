@@ -57,7 +57,9 @@ COST_HINTS: dict[str, float] = {
     "doc_fingerprints": 0.96,
     "dedup_minhash_portable": 0.1,  # r6: pairs now a session-shared pass
     "dedup_ngram_jaccard": 1.75,  # r6 idle measure
-    "dedup_simhash": 2.0,  # r6 idle measure
+    "dedup_simhash": 2.0,  # r8: degree aggregate, similar cost
+    "source_scorecard": 1.0,  # r8 swap promotion
+    "split_leakage_pairs": 0.5,  # r8 swap promotion (shared-pass consumer)
     "doc_chunks": 0.6,
     "doc_decontamination": 1.0,
     "salted_skew_agg": 0.8,
