@@ -1,0 +1,126 @@
+"""Portable Bloom-filter semi-join reduction — the scan-side shuffle saver.
+
+At 100 TB the canonical join problem is a huge fact table joined to a key
+set that is too big to broadcast as rows but whose MEMBERSHIP fits in
+kilobytes: build a Bloom filter over the dim keys (one partial-agg pass to
+m/64 longs), broadcast the words as plan literals, and drop fact rows that
+cannot match AT THE SCAN — before any exchange, before the join operator
+sees them. The final exact join then removes the false positives, so the
+composition is row-identical to the plain join while the shuffle carries
+only (true matches + fp_rate * misses). Spark's own runtime row-level
+filtering does this opportunistically; this operator is the explicit,
+engine-portable form — every bit of the filter is reproducible in ANSI SQL
+(the KMV-exactness tradition: operators/sketches.py), so the whole
+mechanism is value-verifiable, false positives included.
+
+Construction: positions are k affine transforms of the portable 52-bit
+sha2 hash (operators/sketches.kmv_hash): pos_i = ((H * a_i + b_i) mod
+1e9+7) mod m_bits, with a_i < 2^11 keeping H * a_i < 2^63 — exact int64 on
+any engine. Words pack 64 bits each; membership tests are pure codegen
+bit arithmetic ((word >> bit) & 1), no UDF anywhere.
+
+Reference scope note: the reference (ducc/crdb-changefeed-publisher) has
+no join machinery at all (595-LoC single-table CDC pipe, src/main.rs);
+this operator belongs to the north-star analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crdb_changefeed_publisher_spark.operators.sketches import kmv_hash
+
+BLOOM_MOD = 1_000_000_007
+# (a, b) per hash function; a < 2^11 so H * a stays inside int64 for the
+# 52-bit portable hash (same pattern as dedup.SIMHASH_COEFFS)
+BLOOM_COEFFS = [(2 * i + 3, 7 * i + 1) for i in range(16)]
+BLOOM_SEED = "bloom-v1"
+
+
+def _check_dials(m_bits: int, k: int) -> None:
+    if m_bits <= 0 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits={m_bits} must be a power of two")
+    if m_bits > 1 << 26:
+        raise ValueError(
+            f"m_bits={m_bits} > 2^26: the words literal would exceed ~8 MB — "
+            "size the filter to the key set, not the corpus"
+        )
+    if not 1 <= k <= len(BLOOM_COEFFS):
+        raise ValueError(f"k={k} outside [1, {len(BLOOM_COEFFS)}]")
+
+
+def bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of a value, as exact-int64 Columns."""
+    h = kmv_hash(col, seed=BLOOM_SEED)
+    return [
+        F.pmod(F.pmod(h * F.lit(a) + F.lit(b), F.lit(BLOOM_MOD)), F.lit(m_bits))
+        for a, b in BLOOM_COEFFS[:k]
+    ]
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 13, k: int = 5) -> list[int]:
+    """One aggregation pass over the key side -> the filter as m_bits/64
+    packed int64 words (dense list, missing words zero-filled). The
+    collect is bounded by the DIAL (m_bits/64 longs — KBs), never the
+    data; at cluster scale this is the "build once, broadcast bytes"
+    artifact."""
+    _check_dials(m_bits, k)
+    pos = bloom_positions(F.col(col), m_bits, k)
+    masks = F.array(*[F.lit(v) for v in _POW2])
+    exploded = df.select(F.explode(F.array(*pos)).alias("pos")).select(
+        F.shiftright("pos", 6).alias("word_idx"),
+        # mask via the literal table, not a variable shift: DuckDB errors
+        # on 1 << 63, so the oracle twin uses the same 64-mask VALUES rows
+        F.element_at(masks, (F.pmod(F.col("pos"), F.lit(64)) + 1).cast("int")).alias(
+            "mask"
+        ),
+    )
+    rows = exploded.groupBy("word_idx").agg(F.bit_or("mask").alias("word")).collect()
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[int(r.word_idx)] = int(r.word)
+    return words
+
+
+# 1 << j as int64 two's complement (bit 63 is the sign bit) — a literal
+# mask table because neither engine's DataFrame API shifts by a COLUMN
+# cheaply in codegen; (word & mask) != 0 is the portable bit probe.
+_POW2 = [(1 << j) if j < 63 else (1 << 63) - (1 << 64) for j in range(64)]
+
+
+def bloom_might_contain(col: Column, words: list[int], k: int) -> Column:
+    """Membership test as pure codegen bit arithmetic against the words
+    literal array (the broadcast-as-literal form of a KB filter). True for
+    every inserted value (no false negatives — same hashes, same words);
+    false positives at the standard (1 - e^{-kn/m})^k rate."""
+    m_bits = len(words) * 64
+    arr = F.array(*[F.lit(w) for w in words])
+    masks = F.array(*[F.lit(v) for v in _POW2])
+    cond = F.lit(True)
+    for pos in bloom_positions(col, m_bits, k):
+        word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
+        mask = F.element_at(masks, (F.pmod(pos, F.lit(64)) + 1).cast("int"))
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_bits: int = 1 << 13,
+    k: int = 5,
+) -> DataFrame:
+    """Semi-join `big` to `small` with a Bloom pre-filter on the big side:
+    rows failing the KB filter never reach the join. Row-identical to
+    `big.join(small, key, 'left_semi')` — no false negatives by
+    construction, and the exact semi join removes the false positives."""
+    words = bloom_build(small, small_key, m_bits, k)
+    passed = big.filter(bloom_might_contain(F.col(big_key), words, k))
+    return passed.join(
+        small.select(F.col(small_key).alias(big_key)).distinct(),
+        big_key,
+        "left_semi",
+    )
