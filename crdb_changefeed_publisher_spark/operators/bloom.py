@@ -105,22 +105,85 @@ def bloom_might_contain(col: Column, words: list[int], k: int) -> Column:
     return cond
 
 
+def bloom_m_bits_for(n_keys: int, bits_per_key: int = 16, lo: int = 10, hi: int = 26) -> int:
+    """Executable sizing rule: the smallest power of two >= n_keys *
+    bits_per_key (16 bits/key with k=5 gives ~3.6e-4 fp — the classic
+    m = nk/ln2 region), clamped to [2^lo, 2^hi]. INTEGER arithmetic so a
+    SQL oracle derives the identical m from COUNT(*) (same convention as
+    srp_bits_for / banding_chunk_bits_for)."""
+    p = lo
+    while p < hi and (1 << p) < n_keys * bits_per_key:
+        p += 1
+    return 1 << p
+
+
+def bloom_semijoin_stats(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    group_col: str,
+    m_bits: int | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """The VERIFICATION view of the Bloom reduction: per `group_col`,
+    (n_rows, n_bloom_pass, n_true_match, n_false_pos) — how many fact
+    rows the KB filter admits vs how many actually join. n_false_pos is
+    the shuffle volume the filter failed to save; n_rows - n_bloom_pass
+    is the volume it DID save. Every number (false positives included) is
+    deterministic and SQL-reproducible: the filter is exact int64
+    arithmetic end to end.
+
+    m_bits defaults to `bloom_m_bits_for(distinct key count)` — the
+    self-sizing dial. Membership is evaluated per DISTINCT big key, then
+    joined back (probes are key-functional; at 100 TB the distinct-key
+    frame is the cheap side and the fact scan only pays an equi-join)."""
+    keys = small.select(F.col(small_key).alias(big_key)).distinct()
+    if m_bits is None:
+        m_bits = bloom_m_bits_for(keys.count())
+    words = bloom_build(keys, big_key, m_bits, k)
+    probe = (
+        big.select(big_key)
+        .distinct()
+        .select(
+            F.col(big_key),
+            bloom_might_contain(F.col(big_key), words, k).cast("int").alias("_pass"),
+        )
+    )
+    truth = keys.withColumn("_match", F.lit(1))
+    flagged = (
+        big.select(group_col, big_key)
+        .join(probe, big_key)
+        .join(F.broadcast(truth), big_key, "left")
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_pass").cast("long").alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("_match"), F.lit(0))).cast("long").alias("n_true_match"),
+        F.sum(
+            F.when((F.col("_pass") == 1) & F.col("_match").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
 def bloom_prefilter_join(
     big: DataFrame,
     small: DataFrame,
     big_key: str,
     small_key: str,
-    m_bits: int = 1 << 13,
+    m_bits: int | None = None,
     k: int = 5,
 ) -> DataFrame:
     """Semi-join `big` to `small` with a Bloom pre-filter on the big side:
     rows failing the KB filter never reach the join. Row-identical to
     `big.join(small, key, 'left_semi')` — no false negatives by
-    construction, and the exact semi join removes the false positives."""
-    words = bloom_build(small, small_key, m_bits, k)
+    construction, and the exact semi join removes the false positives.
+    m_bits defaults to the self-sizing rule over the distinct key count."""
+    keys = small.select(F.col(small_key).alias(big_key)).distinct()
+    if m_bits is None:
+        m_bits = bloom_m_bits_for(keys.count())
+    words = bloom_build(keys, big_key, m_bits, k)
     passed = big.filter(bloom_might_contain(F.col(big_key), words, k))
-    return passed.join(
-        small.select(F.col(small_key).alias(big_key)).distinct(),
-        big_key,
-        "left_semi",
-    )
+    return passed.join(keys, big_key, "left_semi")

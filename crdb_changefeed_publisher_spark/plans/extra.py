@@ -505,3 +505,115 @@ def events_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crdb_changefeed_publisher_spark.operators.quality import key_skew_report
 
     return key_skew_report(load_table(spark, sf_dir, "events"), "user_id")
+
+
+# --- Bloom-filter semi-join reduction ---------------------------------------
+# DuckDB twins of operators/bloom.py arithmetic: the 52-bit portable hash
+# (13 sha256 hex digits folded to BIGINT, seed 'bloom-v1'), the k=5 affine
+# position family, and the 64-mask table (1 << 63 is the int64 sign bit —
+# DuckDB errors on the shift, so BOTH engines look masks up in a table).
+def _bloom_fold52_sql(expr: str) -> str:
+    return f"""list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 14),
+                                    i -> CAST(strpos('0123456789abcdef',
+                                                     substr(sha256('bloom-v1:' || {expr}), i, 1)) - 1
+                                              AS BIGINT))),
+        (h, c) -> h * 16 + c)"""
+
+
+def _bloom_masks_sql() -> str:
+    from crdb_changefeed_publisher_spark.operators.bloom import _POW2
+
+    # CAST(...), not ::BIGINT — the cast binds tighter than unary minus and
+    # 2^63 has no positive BIGINT literal
+    return ", ".join(f"({j}, CAST({v} AS BIGINT))" for j, v in enumerate(_POW2))
+
+
+def _bloom_aff_sql(k: int = 5) -> str:
+    from crdb_changefeed_publisher_spark.operators.bloom import BLOOM_COEFFS
+
+    return ", ".join(f"({a}, {b})" for a, b in BLOOM_COEFFS[:k])
+
+
+@query(
+    "bloom_semijoin_stats",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT o_orderkey AS key FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    mb AS (
+        SELECT MIN(p)::INT AS p
+        FROM (VALUES (10),(11),(12),(13),(14),(15),(16),(17),(18),(19),(20),
+                     (21),(22),(23),(24),(25),(26)) t(p)
+        WHERE (1::BIGINT << p) >= 16 * (SELECT count(*) FROM keys) OR p = 26
+    ),
+    aff(a, b) AS (VALUES {_bloom_aff_sql()}),
+    masks(bit, mask) AS (VALUES {_bloom_masks_sql()}),
+    kh AS (SELECT key, {_bloom_fold52_sql('CAST(key AS VARCHAR)')} AS h FROM keys),
+    kpos AS (
+        SELECT ((h * a + b) % 1000000007) % (1::BIGINT << (SELECT p FROM mb)) AS pos
+        FROM kh CROSS JOIN aff
+    ),
+    words AS (
+        SELECT pos // 64 AS word_idx, bit_or(m.mask) AS word
+        FROM kpos JOIN masks m ON m.bit = pos % 64
+        GROUP BY 1
+    ),
+    bigkeys AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+    bh AS (SELECT key, {_bloom_fold52_sql('CAST(key AS VARCHAR)')} AS h FROM bigkeys),
+    bpos AS (
+        SELECT key,
+               ((h * a + b) % 1000000007) % (1::BIGINT << (SELECT p FROM mb)) AS pos
+        FROM bh CROSS JOIN aff
+    ),
+    bprobe AS (
+        SELECT b.key,
+               CASE WHEN w.word IS NOT NULL AND (w.word & m.mask) <> 0
+                    THEN 1 ELSE 0 END AS hit
+        FROM bpos b
+        JOIN masks m ON m.bit = b.pos % 64
+        LEFT JOIN words w ON w.word_idx = b.pos // 64
+    ),
+    bpass AS (
+        SELECT key, CASE WHEN min(hit) = 1 THEN 1 ELSE 0 END AS pass
+        FROM bprobe GROUP BY key
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(p.pass) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(CASE WHEN k.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_match,
+           CAST(sum(CASE WHEN p.pass = 1 AND k.key IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM lineitem l
+    JOIN bpass p ON p.key = l.l_orderkey
+    LEFT JOIN keys k ON k.key = l.l_orderkey
+    GROUP BY 1
+    """,
+    doc="Bloom-filter SEMI-JOIN REDUCTION accounting: lineitem rows probed "
+    "against a KB filter built from the urgent-order key set, per "
+    "returnflag — (n_rows, n_bloom_pass, n_true_match, n_false_pos). The "
+    "100 TB shuffle saver: the filter broadcasts as m/64 long literals "
+    "and drops non-matching fact rows AT THE SCAN in pure codegen bit "
+    "arithmetic (no UDF); the exact join then removes the counted false "
+    "positives, so the composition is row-identical to the plain semi "
+    "join. Every bit is reproducible in SQL (52-bit sha2 hash + affine "
+    "position family + mask-table probes — the KMV exactness tradition), "
+    "so the oracle verifies the FILTER itself, false positives included. "
+    "m self-sizes from the key count (bloom_m_bits_for, integer-exact in "
+    "both engines); membership evaluated per DISTINCT fact key, joined "
+    "back (operators/bloom.py).",
+)
+def bloom_semijoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import bloom
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return bloom.bloom_semijoin_stats(
+        li, orders, "l_orderkey", "o_orderkey", "l_returnflag"
+    )

@@ -429,3 +429,71 @@ def test_cdc_apply_then_reconcile_end_to_end(spark):
     assert set(drift) == {3, 5}
     assert drift[3].status == "missing_in_replica"
     assert drift[5].status == "mismatch" and drift[5].diff_cols == "payload"
+
+
+# --- Bloom-filter semi-join reduction (operators/bloom.py) -------------------
+
+
+def test_bloom_prefilter_join_equals_exact_semi_join(spark, sf_dir):
+    """The whole contract: no false negatives (every true match passes the
+    filter) and the exact join removes false positives — so the composition
+    is row-identical to the plain semi join."""
+    from crdb_changefeed_publisher_spark.operators import bloom
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    got = bloom.bloom_prefilter_join(li, urgent, "l_orderkey", "o_orderkey")
+    want = li.join(
+        urgent.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_bloom_filter_actually_filters_and_counts_fp(spark, sf_dir):
+    """The stats view: every true match passes (no false negatives), the
+    pass set is consistent (pass = match + false positives), and with a
+    deliberately UNDERSIZED filter the fp count is nonzero (the filter is
+    a real Bloom filter, not a hash set)."""
+    from crdb_changefeed_publisher_spark.operators import bloom
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    rows = bloom.bloom_semijoin_stats(
+        li, urgent, "l_orderkey", "o_orderkey", "l_returnflag"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bloom_pass == r.n_true_match + r.n_false_pos  # consistency
+        assert r.n_bloom_pass >= r.n_true_match  # no false negatives
+        assert r.n_bloom_pass <= r.n_rows
+    # undersized filter (m = 2^10 bits for thousands of keys): saturation
+    # must show up as false positives, never as false negatives
+    tiny = bloom.bloom_semijoin_stats(
+        li, urgent, "l_orderkey", "o_orderkey", "l_returnflag", m_bits=1 << 10
+    ).collect()
+    assert sum(r.n_false_pos for r in tiny) > 0
+    assert all(r.n_bloom_pass >= r.n_true_match for r in tiny)
+    # and the self-sized filter admits strictly less than the tiny one
+    assert sum(r.n_bloom_pass for r in rows) < sum(r.n_bloom_pass for r in tiny)
+
+
+def test_bloom_m_bits_rule_and_dial_validation():
+    from crdb_changefeed_publisher_spark.operators import bloom
+
+    assert bloom.bloom_m_bits_for(3_000) == 1 << 16      # 48k bits -> 64k
+    assert bloom.bloom_m_bits_for(300) == 1 << 13        # 4.8k -> 8k
+    assert bloom.bloom_m_bits_for(1) == 1 << 10          # floor
+    assert bloom.bloom_m_bits_for(10**9) == 1 << 26      # ceiling
+    with pytest.raises(ValueError):
+        bloom.bloom_build(None, "x", m_bits=3000)        # not a power of two
+    with pytest.raises(ValueError):
+        bloom.bloom_build(None, "x", m_bits=1 << 27)     # literal too large
+    with pytest.raises(ValueError):
+        bloom.bloom_build(None, "x", m_bits=1 << 12, k=0)

@@ -48,6 +48,7 @@ def test_retired_set_is_the_expected_one():
     assert RETIRED == [
         "asof_purchase_last_click",
         "best_order_per_customer",
+        "bloom_semijoin_stats",
         "cdc_envelopes_orders",
         "cdc_upsert_view",
         "date_funcs_orders",
