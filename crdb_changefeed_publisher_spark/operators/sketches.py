@@ -429,3 +429,105 @@ def kmv_shard_overlap_matrix(
         )
         .orderBy("shard_a", "shard_b")
     )
+
+
+# --- Deterministic mergeable QUANTILE sketch ---------------------------------
+# Bottom-k-by-seeded-id-hash ROW sample: a uniform without-replacement
+# sample whose membership is a pure function of (seed, ids) — so, like the
+# KMV family, the whole sketch AND its quantile estimates are reproducible
+# bit-for-bit by a SQL oracle (exact percentiles at 100 TB need a per-group
+# sort of everything; this is the mergeable KB-sized swap with ~1/sqrt(k)
+# rank error). Merge = union + distinct + truncate, the same closure as
+# kmv_union (and the same r6 lesson: array_distinct BEFORE the slice, or
+# overlapping shards double-count their shared rows).
+
+QSK_SEED = "qsk-v1"
+QSK_DEFAULT_K = 512
+QSK_MAX_K = 65536
+
+
+def _check_qsk_k(k: int) -> None:
+    if not 1 <= k <= QSK_MAX_K:
+        raise ValueError(f"quantile-sketch k={k} outside [1, {QSK_MAX_K}]")
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    k: int = QSK_DEFAULT_K,
+    seed: str = QSK_SEED,
+    salt_parts: int = 8,
+) -> DataFrame:
+    """Per-group quantile sketch: (group..., n_rows, sketch) where
+    ``sketch`` is the ascending array of (h, v) structs for the k rows
+    with the smallest seeded id-hash. Two-phase salted prune (the
+    kmv_sketch shape): rows shuffle as (8-byte hash, value) pairs, each
+    window input is one salt cell, final per-group state is bounded by
+    the dials. Ordering key is (h, v) so a 52-bit hash collision cannot
+    make cross-engine order ambiguous."""
+    _check_qsk_k(k)
+    keys = list(group_cols or [])
+    hashed = df.select(
+        *keys,
+        kmv_hash(F.col(id_col), seed).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    counts = hashed.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    cells = hashed.withColumn("_salt", F.pmod(F.col("h"), F.lit(salt_parts)))
+    w = Window.partitionBy(*(keys + ["_salt"])).orderBy("h", "v")
+    survivors = (
+        cells.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", "_salt")
+    )
+    sketch = survivors.groupBy(*keys).agg(
+        F.slice(F.array_sort(F.collect_list(F.struct("h", "v"))), 1, k).alias("sketch")
+    )
+    if keys:
+        return counts.join(sketch, keys).select(*keys, "n_rows", "sketch")
+    return counts.crossJoin(sketch).select("n_rows", "sketch")
+
+
+def quantile_sketch_union(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = QSK_DEFAULT_K,
+    sketch_col: str = "sketch",
+    n_rows_col: str = "n_rows",
+) -> DataFrame:
+    """Fold shard sketches into one per group: distinct-then-truncate over
+    the concatenated pair lists (any global-bottom-k element is in its own
+    shard's bottom-k, so the merge is EXACT — identical to sketching the
+    union directly when shards are disjoint)."""
+    _check_qsk_k(k)
+    keys = list(group_cols or [])
+    merged = F.slice(
+        F.array_distinct(F.array_sort(F.flatten(F.collect_list(sketch_col)))), 1, k
+    ).alias("sketch")
+    n = F.sum(n_rows_col).cast("long").alias("n_rows")
+    if keys:
+        return sketches.groupBy(*keys).agg(n, merged)
+    return sketches.agg(n, merged)
+
+
+def quantile_sketch_estimate(
+    sketch_df: DataFrame, probs_bp: dict[str, int], sketch_col: str = "sketch"
+) -> DataFrame:
+    """Quantile estimates from the sketch, one output column per entry of
+    ``probs_bp`` (name -> basis points, e.g. {"p50": 5000}). Type-7-FLOOR
+    selection on the value-sorted sample — index = (bp * (n_s - 1)) //
+    10000, NO interpolation — so both engines pick the identical sample
+    element (a data value passed through untouched; the lerp float-half
+    trap from docs/NEXT.md never arises)."""
+    vals = F.array_sort(F.transform(sketch_col, lambda x: x["v"]))
+    ns = F.size(vals)
+    cols = [
+        F.element_at(
+            vals, (F.floor((F.lit(bp) * (ns - 1)) / F.lit(10000)) + 1).cast("int")
+        ).alias(name)
+        for name, bp in probs_bp.items()
+    ]
+    keep = [c for c in sketch_df.columns if c != sketch_col]
+    return sketch_df.select(*keep, *cols)

@@ -2400,3 +2400,67 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curate.split_leakage_report(docs, _minhash_pairs(spark, sf_dir))
+
+
+# DuckDB twin of the quantile-sketch row hash (operators/sketches.py::
+# quantile_sketch): 13 sha256 hex digits of 'qsk-v1:' || id, folded to a
+# BIGINT in [0, 2^52) — same construction as _KMV_FOLD52, different seed.
+def _qsk_fold52_sql(expr: str) -> str:
+    return f"""list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 14),
+                                    i -> CAST(strpos('0123456789abcdef',
+                                                     substr(sha256('qsk-v1:' || {expr}), i, 1)) - 1
+                                              AS BIGINT))),
+        (h, c) -> h * 16 + c)"""
+
+
+@query(
+    "order_price_quantile_sketch",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS v,
+               {_qsk_fold52_sql('CAST(o_orderkey AS VARCHAR)')} AS h
+        FROM orders
+    ),
+    n AS (SELECT o_orderpriority, count(*) AS n_rows FROM base GROUP BY 1),
+    rk AS (
+        SELECT o_orderpriority, v,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY h, v) AS r
+        FROM base
+    ),
+    sv AS (
+        SELECT o_orderpriority, list_sort(list(v)) AS vals, count(*) AS ns
+        FROM rk WHERE r <= 512 GROUP BY 1
+    )
+    SELECT sv.o_orderpriority, n.n_rows,
+           vals[CAST((2500 * (ns - 1)) // 10000 AS INT) + 1] AS p25,
+           vals[CAST((5000 * (ns - 1)) // 10000 AS INT) + 1] AS p50,
+           vals[CAST((7500 * (ns - 1)) // 10000 AS INT) + 1] AS p75,
+           vals[CAST((9000 * (ns - 1)) // 10000 AS INT) + 1] AS p90
+    FROM sv JOIN n USING (o_orderpriority)
+    """,
+    doc="Mergeable DETERMINISTIC quantile sketch (the KB-sized swap for "
+    "exact per-group percentiles at 100 TB): bottom-512 rows by seeded "
+    "52-bit id-hash = a uniform without-replacement sample that is a pure "
+    "function of (seed, ids), so sketch AND estimates are bit-exact in "
+    "both engines (the KMV tradition, extended from distinct-counting to "
+    "rank statistics; ~1/sqrt(k) rank error, merge = distinct+truncate "
+    "like kmv_union). Estimates use type-7-FLOOR selection on the "
+    "value-sorted sample — an actual data value, no interpolation, no "
+    "float-half boundary. Registered order_price_percentiles is the "
+    "exact counterpart (operators/sketches.py::quantile_sketch).",
+)
+def order_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = sketches.quantile_sketch(
+        orders, "o_totalprice", "o_orderkey", ["o_orderpriority"], k=512
+    )
+    return sketches.quantile_sketch_estimate(
+        sk, {"p25": 2500, "p50": 5000, "p75": 7500, "p90": 9000}
+    )

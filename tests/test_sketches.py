@@ -331,3 +331,83 @@ def test_kmv_shard_distinct_global_dedups_cross_shard(spark, sf_dir):
     for s in range(4):
         exact_s = keyed.filter(F.col("shard") == s).select("text").distinct().count()
         assert out[s].est_distinct == exact_s, s
+
+
+# --- deterministic mergeable quantile sketch ---------------------------------
+
+
+def test_quantile_sketch_merge_is_exact(spark, sf_dir):
+    """Union closure: sketching disjoint shards and merging equals
+    sketching the whole table directly — bit-for-bit, the same closure
+    property as kmv_union (any global bottom-k element is in its own
+    shard's bottom-k)."""
+    from crdb_changefeed_publisher_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    whole = sketches.quantile_sketch(
+        orders, "o_totalprice", "o_orderkey", ["o_orderpriority"], k=64
+    )
+    sharded = orders.withColumn("_sh", F.pmod("o_orderkey", F.lit(3)))
+    parts = sketches.quantile_sketch(
+        sharded, "o_totalprice", "o_orderkey", ["o_orderpriority", "_sh"], k=64
+    )
+    merged = sketches.quantile_sketch_union(parts, ["o_orderpriority"], k=64)
+
+    a = {r.o_orderpriority: (r.n_rows, [tuple(p) for p in r.sketch]) for r in whole.collect()}
+    b = {r.o_orderpriority: (r.n_rows, [tuple(p) for p in r.sketch]) for r in merged.collect()}
+    assert a == b
+
+    # overlapping shards (the r6 KMV lesson): shared rows must not
+    # double-count — distinct-before-truncate keeps the union exact
+    dup_parts = parts.unionByName(parts)
+    remerged = sketches.quantile_sketch_union(dup_parts, ["o_orderpriority"], k=64)
+    c = {r.o_orderpriority: [tuple(p) for p in r.sketch] for r in remerged.collect()}
+    assert c == {g: sk for g, (_, sk) in a.items()}
+
+
+def test_quantile_sketch_estimates_track_exact_percentiles(spark, sf_dir):
+    """Accuracy: the k=512 sample median must land within the exact
+    p40-p60 band per group (rank error ~1/sqrt(k) ~ 4.4%), and with
+    k >= group size the sketch IS the group, so the type-7-floor estimate
+    equals the exact type-7-floor percentile."""
+    from crdb_changefeed_publisher_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = sketches.quantile_sketch(
+        orders, "o_totalprice", "o_orderkey", ["o_orderpriority"], k=512
+    )
+    est = sketches.quantile_sketch_estimate(sk, {"p50": 5000})
+    bands = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.4)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.6)).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = est.join(bands, "o_orderpriority").collect()
+    assert joined
+    for r in joined:
+        assert r.lo <= r.p50 <= r.hi, (r.o_orderpriority, r.lo, r.p50, r.hi)
+
+    # exhaustive k: estimate == exact type-7-floor selection
+    big = sketches.quantile_sketch(
+        orders, "o_totalprice", "o_orderkey", ["o_orderpriority"], k=sketches.QSK_MAX_K
+    )
+    exact_est = {
+        r.o_orderpriority: r.p50
+        for r in sketches.quantile_sketch_estimate(big, {"p50": 5000}).collect()
+    }
+    import pandas as pd  # noqa: F401
+
+    pdf = orders.select("o_orderpriority", "o_totalprice").toPandas()
+    for g, grp in pdf.groupby("o_orderpriority"):
+        vals = sorted(grp["o_totalprice"].tolist())
+        idx = (5000 * (len(vals) - 1)) // 10000
+        assert exact_est[g] == vals[idx]
+
+
+def test_quantile_sketch_k_validation():
+    from crdb_changefeed_publisher_spark.operators import sketches
+
+    with pytest.raises(ValueError):
+        sketches.quantile_sketch(None, "v", "id", k=0)
+    with pytest.raises(ValueError):
+        sketches.quantile_sketch_union(None, k=sketches.QSK_MAX_K + 1)
