@@ -681,3 +681,94 @@ def streaming_funnel(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+class _BloomSeenFilter(StatefulProcessor):
+    """ValueState per BLOCK: the block's packed Bloom words. Each content
+    hash routes to exactly one block and sets all k bits INSIDE it (a
+    blocked Bloom filter — the cache-local variant), so per-key state is a
+    fixed array<long> and the whole filter is the union of block states.
+
+    Rows within a (block, batch) fold in (h, doc_id) order before testing
+    — two contents whose bit sets overlap would otherwise make emission
+    depend on arrival order, and the deterministic fold is what lets a
+    driver-side simulation reproduce the stream's output exactly."""
+
+    def __init__(self, block_words: int, k: int) -> None:
+        self._block_words = block_words
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._words = handle.getValueState("w", "w array<long>")
+
+    def handleInputRows(self, key, rows, timerValues):
+        from crdb_changefeed_publisher_spark.operators.bloom import (
+            BLOOM_COEFFS,
+            BLOOM_MOD,
+        )
+
+        words = list(self._words.get()[0]) if self._words.exists() else [0] * self._block_words
+        m_block = self._block_words * 64
+        coeffs = BLOOM_COEFFS[: self._k]
+        out_id, out_h = [], []
+        pending = []
+        for pdf in rows:
+            pending.extend(zip(pdf["h"].tolist(), pdf["doc_id"].tolist()))
+        for h, doc_id in sorted(pending):
+            bits = [((h * a + b) % BLOOM_MOD) % m_block for a, b in coeffs]
+            if all((words[p >> 6] >> (p & 63)) & 1 for p in bits):
+                continue  # seen before (or a false positive swallowed it)
+            for p in bits:
+                words[p >> 6] |= 1 << (p & 63)
+            out_id.append(doc_id)
+            out_h.append(h)
+        # re-pack into signed int64 range for the Arrow long column
+        self._words.update(([w - (1 << 64) if w >= 1 << 63 else w for w in words],))
+        if out_id:
+            yield pd.DataFrame(
+                {"block": [key[0]] * len(out_id), "doc_id": out_id, "content_h": out_h}
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def bloom_seen_filter(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_blocks: int = 256,
+    block_words: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate stream-lifetime seen-filter with BOUNDED state: emit a
+    document the first time its content arrives, swallow later copies —
+    like `dedup_on_ingest`, but state is a FIXED n_blocks * block_words *
+    8 bytes total (here 256 * 64 B = 16 KB) instead of growing with the
+    number of distinct contents forever. The price is a known false-
+    positive rate (a tiny fraction of genuinely-new documents swallowed as
+    "seen" once blocks fill) — the crawl/ingest seen-filter trade, sized
+    by the same arithmetic as operators/bloom.py.
+
+    Deterministic end to end: content hash and block id are computed
+    JVM-side (the shuffle carries 16 B + the id, never the text), bit
+    positions use the exact-int64 affine family, and the per-batch fold is
+    (h, id)-sorted — so a driver-side fold over the same batches
+    reproduces the emission set exactly (tested), fp swallows included."""
+    from crdb_changefeed_publisher_spark.operators.bloom import BLOOM_SEED
+    from crdb_changefeed_publisher_spark.operators.sketches import kmv_hash
+
+    keyed = stream_df.select(
+        F.pmod(kmv_hash(F.col(text_col), BLOOM_SEED), F.lit(n_blocks))
+        .cast("int")
+        .alias("block"),
+        kmv_hash(F.col(text_col), BLOOM_SEED).alias("h"),
+        F.col(id_col).alias("doc_id"),
+    )
+    id_type = stream_df.schema[id_col].dataType.simpleString()
+    return keyed.groupBy("block").transformWithStateInPandas(
+        _BloomSeenFilter(block_words, k),
+        outputStructType=f"block int, doc_id {id_type}, content_h long",
+        outputMode="Append",
+        timeMode="None",
+    )

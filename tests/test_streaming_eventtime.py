@@ -1364,3 +1364,86 @@ def test_tws_streaming_funnel_equals_batch(spark, sf_dir, tmp_path):
             for r in got.itertuples()
         }
         assert have == want
+
+
+def test_bloom_seen_filter_matches_driver_simulation(spark, sf_dir, tmp_path):
+    """streaming/stateful.bloom_seen_filter: the bounded-state approximate
+    seen-filter's emission set must equal a driver-side deterministic fold
+    over the same micro-batches EXACTLY — same content hash, same blocked
+    bit arithmetic, same (h, id)-sorted within-batch order — false-positive
+    swallows included. Also pins the filter semantics: emissions are unique
+    per content, duplicates are swallowed, and the swallow count is the
+    dup count plus the (small) fp count."""
+    import hashlib
+
+    if not _tws_available():
+        pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.operators.bloom import BLOOM_COEFFS, BLOOM_MOD
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        bloom_seen_filter,
+        rocksdb_state,
+    )
+
+    n_blocks, block_words, k = 64, 8, 5
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    src = str(tmp_path / "src")
+    # 3 original waves + 1 duplicate wave, one file per micro-batch
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    waves = [pdf.iloc[i::3] for i in range(3)] + [dups.toPandas()]
+    for w in waves:
+        spark.createDataFrame(w, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    sdf = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = bloom_seen_filter(
+        sdf, n_blocks=n_blocks, block_words=block_words, k=k
+    )
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("bloom_seen")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+    got = {
+        (r.block, r.doc_id, r.content_h)
+        for r in spark.sql("select * from bloom_seen").collect()
+    }
+
+    # driver-side fold: same hash, same blocks, same order
+    def h52(text: str) -> int:
+        return int(hashlib.sha256(f"bloom-v1:{text}".encode()).hexdigest()[:13], 16)
+
+    m_block = block_words * 64
+    words = {b: [0] * block_words for b in range(n_blocks)}
+    want = set()
+    for w in waves:
+        by_block: dict[int, list] = {}
+        for _, row in w.iterrows():
+            h = h52(row["text"])
+            by_block.setdefault(h % n_blocks, []).append((h, int(row["doc_id"])))
+        for b, items in by_block.items():
+            for h, doc_id in sorted(items):
+                bits = [((h * a + c) % BLOOM_MOD) % m_block for a, c in BLOOM_COEFFS[:k]]
+                if all((words[b][p >> 6] >> (p & 63)) & 1 for p in bits):
+                    continue
+                for p in bits:
+                    words[b][p >> 6] |= 1 << (p & 63)
+                want.add((b, doc_id, h))
+    assert got == want
+
+    # semantics: one emission per distinct content at most; dups swallowed
+    n_distinct = docs.select("text").distinct().count()
+    assert len({h for _, _, h in got}) == len(got) <= n_distinct
+    # the filter is generously sized for the fixture: fp swallows are rare
+    assert len(got) >= n_distinct * 0.95
+    # every duplicate-wave id was swallowed (its content arrived earlier)
+    assert all(d < 1_000_000 for _, d, _ in got)
