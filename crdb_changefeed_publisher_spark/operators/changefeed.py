@@ -216,3 +216,62 @@ def typed_changes(
     else:
         parsed = F.from_json(F.col("value"), f"after STRUCT<{schema}>")
     return changes.select("table", "key", parsed.getField("after").alias("after"))
+
+
+def schema_evolution_report(
+    changes: DataFrame,
+    table_col: str = "table",
+    value_col: str = "value",
+    version_col: str = "version",
+) -> DataFrame:
+    """Upstream SCHEMA-DRIFT detector over a change stream: per (table,
+    column-of-`after`), when the column first/last appeared and what that
+    implies — the report a CDC apply loop consults before an ALTER TABLE,
+    because the reference's JSON envelopes (README.md:37) carry whatever
+    columns upstream has NOW, and a silently-added or dropped column is
+    how an apply pipeline rots.
+
+    Output: (table, column, n_present, n_rows, first_version,
+    last_version, status) with status from integer version comparisons
+    against the table's own [min, max] version span: 'added' (appears
+    after the span starts), 'removed' (vanishes before it ends),
+    'transient' (both), 'stable'. One explode of the key list + two
+    partial-agg shuffles sized by (tables x columns) and (tables) — the
+    payloads themselves never re-shuffle."""
+    keys = F.json_object_keys(F.get_json_object(F.col(value_col), "$.after"))
+    per_col = (
+        changes.select(
+            F.col(table_col).alias("table"),
+            F.col(version_col).alias("_v"),
+            F.explode(keys).alias("column"),
+        )
+        .groupBy("table", "column")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+            F.min("_v").alias("first_version"),
+            F.max("_v").alias("last_version"),
+        )
+    )
+    per_table = changes.groupBy(F.col(table_col).alias("table")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(F.col(version_col)).alias("_tmin"),
+        F.max(F.col(version_col)).alias("_tmax"),
+    )
+    added = F.col("first_version") > F.col("_tmin")
+    removed = F.col("last_version") < F.col("_tmax")
+    return (
+        per_col.join(F.broadcast(per_table), "table")
+        .select(
+            "table",
+            "column",
+            "n_present",
+            "n_rows",
+            "first_version",
+            "last_version",
+            F.when(added & removed, F.lit("transient"))
+            .when(added, F.lit("added"))
+            .when(removed, F.lit("removed"))
+            .otherwise(F.lit("stable"))
+            .alias("status"),
+        )
+    )

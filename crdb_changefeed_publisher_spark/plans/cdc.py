@@ -282,3 +282,96 @@ def orders_cdc_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     repl = drifted.unionByName(alien)
     return snapshot_reconcile(snap, repl, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+
+
+# Wire replay with INJECTED schema evolution (the orders_cdc_reconcile
+# pattern: drift is deterministic from event_id, so both engines build the
+# identical stream): 'legacy' rides the first half of the version span and
+# vanishes, 'v2_flag' appears in the second half, 'burst' appears only on
+# event_id % 97 == 5 rows (a mid-span transient), and the three baseline
+# columns span everything.
+_EVO_WIRE_SQL = """
+    SELECT 'events' AS "table",
+           event_id AS version,
+           '{"after": {"event_id": ' || CAST(event_id AS VARCHAR)
+             || ', "user_id": ' || CAST(user_id AS VARCHAR)
+             || ', "props": ' || props
+             || CASE WHEN event_id <= (SELECT max(event_id) // 2 FROM events
+                                       WHERE event_id % 100 <> 0)
+                     THEN ', "legacy": 1' ELSE ', "v2_flag": 1' END
+             || CASE WHEN event_id % 97 = 5 THEN ', "burst": 1' ELSE '' END
+             || '}}' AS value
+    FROM events
+    WHERE event_id % 100 <> 0
+"""
+
+
+@query(
+    "cdc_schema_evolution",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH wire AS ({_EVO_WIRE_SQL}),
+    cols AS (
+        SELECT "table", version,
+               unnest(json_keys(json_extract(value, '$.after'))) AS "column"
+        FROM wire
+    ),
+    per_col AS (
+        SELECT "table", "column",
+               count(*) AS n_present,
+               min(version) AS first_version,
+               max(version) AS last_version
+        FROM cols GROUP BY 1, 2
+    ),
+    per_table AS (
+        SELECT "table", count(*) AS n_rows,
+               min(version) AS tmin, max(version) AS tmax
+        FROM wire GROUP BY 1
+    )
+    SELECT c."table", c."column", c.n_present, t.n_rows,
+           c.first_version, c.last_version,
+           CASE WHEN c.first_version > t.tmin AND c.last_version < t.tmax
+                THEN 'transient'
+                WHEN c.first_version > t.tmin THEN 'added'
+                WHEN c.last_version < t.tmax THEN 'removed'
+                ELSE 'stable' END AS status
+    FROM per_col c JOIN per_table t USING ("table")
+    """,
+    doc="Upstream SCHEMA-DRIFT detection over the change stream: per "
+    "(table, column-of-after), presence counts and the first/last version "
+    "each column appears at, classified added / removed / transient / "
+    "stable by integer comparison against the table's version span — the "
+    "report a CDC apply loop consults before ALTER TABLE (the reference's "
+    "JSON envelopes carry whatever columns upstream has NOW). Evolution "
+    "is injected deterministically into the wire ('legacy' rides the "
+    "first half of the span, 'v2_flag' the second, 'burst' a mid-span "
+    "modulo slice), and the oracle rebuilds the same wire and re-derives "
+    "every classification from the parsed JSON keys "
+    "(operators/changefeed.py::schema_evolution_report).",
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.changefeed import (
+        schema_evolution_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 != 0)
+    thr = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    value = F.concat(
+        F.lit('{"after": {"event_id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "user_id": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "props": '),
+        F.col("props"),
+        F.when(F.col("event_id") <= thr, F.lit(', "legacy": 1')).otherwise(
+            F.lit(', "v2_flag": 1')
+        ),
+        F.when(F.col("event_id") % 97 == 5, F.lit(', "burst": 1')).otherwise(F.lit("")),
+        F.lit("}}"),
+    )
+    changes = ev.select(
+        F.lit("events").alias("table"),
+        F.col("event_id").alias("version"),
+        value.alias("value"),
+    )
+    return schema_evolution_report(changes)

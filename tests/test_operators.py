@@ -497,3 +497,30 @@ def test_bloom_m_bits_rule_and_dial_validation():
         bloom.bloom_build(None, "x", m_bits=1 << 27)     # literal too large
     with pytest.raises(ValueError):
         bloom.bloom_build(None, "x", m_bits=1 << 12, k=0)
+
+
+def test_schema_evolution_report_semantics(spark):
+    """Handcrafted change stream pinning each status: stable (full span),
+    added (appears late), removed (vanishes early), transient (both), and
+    a null-VALUED column still counts as present (the key exists)."""
+    from crdb_changefeed_publisher_spark.operators.changefeed import (
+        schema_evolution_report,
+    )
+
+    rows = [
+        ("t", 1, '{"after": {"id": 1, "old": 1}}'),
+        ("t", 2, '{"after": {"id": 2, "old": null, "mid": 1}}'),
+        ("t", 3, '{"after": {"id": 3, "mid": 2}}'),
+        ("t", 4, '{"after": {"id": 4, "new": 7}}'),
+        ("u", 1, '{"after": {"id": 1}}'),
+    ]
+    changes = spark.createDataFrame(rows, "table string, version long, value string")
+    got = {
+        (r.table, r.column): (r.n_present, r.first_version, r.last_version, r.status)
+        for r in schema_evolution_report(changes).collect()
+    }
+    assert got[("t", "id")] == (4, 1, 4, "stable")
+    assert got[("t", "old")] == (2, 1, 2, "removed")   # null value still present
+    assert got[("t", "mid")] == (2, 2, 3, "transient")
+    assert got[("t", "new")] == (1, 4, 4, "added")
+    assert got[("u", "id")] == (1, 1, 1, "stable")     # spans its own table only

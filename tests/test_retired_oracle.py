@@ -50,6 +50,7 @@ def test_retired_set_is_the_expected_one():
         "best_order_per_customer",
         "bloom_semijoin_stats",
         "cdc_envelopes_orders",
+        "cdc_schema_evolution",
         "cdc_upsert_view",
         "date_funcs_orders",
         "dedup_minhash_lsh",
