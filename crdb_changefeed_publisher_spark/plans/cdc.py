@@ -375,3 +375,125 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         value.alias("value"),
     )
     return schema_evolution_report(changes)
+
+
+@query(
+    "orders_matview_totals",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        FROM orders
+    ),
+    changes AS (
+        -- losing early version for the updated keys (last-writer-wins)
+        SELECT o_orderkey AS key, 1 AS version, o_orderpriority AS grp,
+               v + 1 AS v, FALSE AS deleted
+        FROM cents WHERE o_orderkey % 50 = 7
+        UNION ALL
+        -- winning update: +1000.00 and a GROUP MIGRATION to 3-MEDIUM
+        SELECT o_orderkey, 2, '3-MEDIUM', v + 100000, FALSE
+        FROM cents WHERE o_orderkey % 50 = 7
+        UNION ALL
+        -- deletes
+        SELECT o_orderkey, 2, NULL, NULL, TRUE
+        FROM cents WHERE o_orderkey % 50 = 13
+        UNION ALL
+        -- inserts under fresh keys
+        SELECT o_orderkey + 100000000, 1, '5-LOW', v + 5000, FALSE
+        FROM cents WHERE o_orderkey % 50 = 21
+    ),
+    latest AS (
+        SELECT key, grp, v, deleted FROM (
+            SELECT *, row_number() OVER (PARTITION BY key
+                                         ORDER BY version DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    ),
+    applied AS (
+        SELECT o_orderpriority AS grp, v FROM cents
+        WHERE o_orderkey NOT IN (SELECT key FROM latest)
+        UNION ALL
+        SELECT grp, v FROM latest WHERE NOT deleted
+    )
+    SELECT grp AS o_orderpriority,
+           count(*) AS n_rows,
+           round(CAST(sum(v) AS DOUBLE) / 100, 2) AS total
+    FROM applied GROUP BY 1
+    """,
+    doc="Incremental MATERIALIZED-VIEW maintenance under after-only CDC "
+    "upserts: per-priority (n_rows, total) of orders AFTER a deterministic "
+    "change batch (last-writer-wins versions, a +1000.00 update that "
+    "MIGRATES its rows to another group, deletes, fresh-key inserts) — "
+    "computed incrementally: base aggregated once and PROBED once on the "
+    "broadcast changed-key set, delta = new - old contributions folded in "
+    "with a full-outer join; never a base rescan. The oracle is the full "
+    "recompute over the applied table, so the row-equality IS the "
+    "maintenance-correctness proof. Values flow as integer cents (exact "
+    "float sums in any order — no summation-order boundary) "
+    "(operators/matview.py::incremental_group_totals; envelope shape per "
+    "reference README.md:37 after-only upserts).",
+)
+def orders_matview_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.matview import (
+        incremental_group_totals,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+    )
+    upd_keys = cents.filter(F.col("o_orderkey") % 50 == 7)
+    changes = (
+        upd_keys.select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(1).alias("version"),
+            F.col("o_orderpriority").alias("grp"),
+            (F.col("v") + 1).alias("v"),
+            F.lit(False).alias("deleted"),
+        )
+        .unionByName(
+            upd_keys.select(
+                F.col("o_orderkey").alias("key"),
+                F.lit(2).alias("version"),
+                F.lit("3-MEDIUM").alias("grp"),
+                (F.col("v") + 100000).alias("v"),
+                F.lit(False).alias("deleted"),
+            )
+        )
+        .unionByName(
+            cents.filter(F.col("o_orderkey") % 50 == 13).select(
+                F.col("o_orderkey").alias("key"),
+                F.lit(2).alias("version"),
+                F.lit(None).cast("string").alias("grp"),
+                F.lit(None).cast("long").alias("v"),
+                F.lit(True).alias("deleted"),
+            )
+        )
+        .unionByName(
+            cents.filter(F.col("o_orderkey") % 50 == 21).select(
+                (F.col("o_orderkey") + 100000000).alias("key"),
+                F.lit(1).alias("version"),
+                F.lit("5-LOW").alias("grp"),
+                (F.col("v") + 5000).alias("v"),
+                F.lit(False).alias("deleted"),
+            )
+        )
+    )
+    base = cents.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("v").cast("double").alias("v"),
+    )
+    out = incremental_group_totals(
+        base, changes.withColumn("v", F.col("v").cast("double")),
+        key_col="key", group_col="grp", value_col="v",
+    )
+    return out.select(
+        F.col("grp").alias("o_orderpriority"),
+        "n_rows",
+        F.round(F.col("total") / 100, 2).alias("total"),
+    )

@@ -524,3 +524,42 @@ def test_schema_evolution_report_semantics(spark):
     assert got[("t", "mid")] == (2, 2, 3, "transient")
     assert got[("t", "new")] == (1, 4, 4, "added")
     assert got[("u", "id")] == (1, 1, 1, "stable")     # spans its own table only
+
+
+def test_incremental_group_totals_equals_recompute(spark):
+    """Handcrafted maintenance case exercising every path — last-writer-
+    wins versions, an update that MIGRATES its key to another group, a
+    delete, an insert into a brand-new group, and a group whose count
+    reaches zero (must vanish) — asserted equal to the full recompute
+    over the applied table."""
+    from crdb_changefeed_publisher_spark.operators.matview import (
+        incremental_group_totals,
+        latest_keyed_changes,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "key long, grp string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "a", 99.0, False),   # loses to version 2
+            (1, 2, "b", 15.0, False),   # migrate a -> b, new value
+            (3, 1, None, None, True),   # delete
+            (4, 1, None, None, True),   # delete: group c dies
+            (5, 1, "d", 5.0, False),    # insert into a new group
+        ],
+        "key long, version long, grp string, v double, deleted boolean",
+    )
+    got = {
+        r.grp: (r.n_rows, r.total)
+        for r in incremental_group_totals(base, changes, "key", "grp", "v").collect()
+    }
+    # recompute: apply the latest changes by hand
+    # applied = {2:(a,20), 1:(b,15), 5:(d,5)}
+    assert got == {"a": (1, 20.0), "b": (1, 15.0), "d": (1, 5.0)}
+    assert "c" not in got  # dead group dropped
+
+    # last-writer-wins helper in isolation
+    latest = {r.key: (r.version, r.grp) for r in latest_keyed_changes(changes, "key").collect()}
+    assert latest[1] == (2, "b")

@@ -92,6 +92,7 @@ def test_retired_set_is_the_expected_one():
         "order_value_buckets",
         "orderpriority_distinct_customers",
         "orders_above_avg",
+        "orders_matview_totals",
         "orders_price_drift",
         "orders_profile",
         "orders_zorder_key",
