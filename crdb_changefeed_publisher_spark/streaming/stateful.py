@@ -772,3 +772,98 @@ def bloom_seen_filter(
         outputMode="Append",
         timeMode="None",
     )
+
+
+class _ChangelogDeltas(StatefulProcessor):
+    """ValueState per record key: the key's current (grp, v, version).
+    Each batch folds the key's arriving changes in version order (stale
+    versions <= the applied high-water are ignored — the idempotent
+    guard against upstream redelivery) and emits the RETRACTION pair for
+    the net effect: (-1, -old_v) against the old group if the key had
+    state, (+1, +new_v) into the new group unless the fold ended in a
+    delete. No-op folds (same group and value) emit nothing."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        # grp IS NULL == tombstone: a deleted key keeps its row so the
+        # applied-version high-water survives — clearing state instead
+        # would let a redelivered stale insert resurrect the key
+        self._cur = handle.getValueState("cur", "grp string, v double, ver long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        old = tuple(self._cur.get()) if self._cur.exists() else None
+        applied_ver = old[2] if old is not None else -(1 << 62)
+        pending = []
+        for pdf in rows:
+            pending.extend(
+                zip(
+                    pdf["version"].tolist(),
+                    pdf["grp"].tolist(),
+                    pdf["v"].tolist(),
+                    pdf["deleted"].tolist(),
+                )
+            )
+        old_gv = None if old is None or old[0] is None else (old[0], old[1])
+        state = old_gv
+        ver = applied_ver
+        for version, grp, v, deleted in sorted(pending, key=lambda t: t[0]):
+            if version <= ver:
+                continue  # stale redelivery
+            ver = version
+            state = None if deleted else (grp, float(v))
+        out_g, out_dn, out_dv = [], [], []
+        if old_gv != state:
+            if old_gv is not None:
+                out_g.append(old_gv[0]); out_dn.append(-1); out_dv.append(-old_gv[1])
+            if state is not None:
+                out_g.append(state[0]); out_dn.append(1); out_dv.append(state[1])
+        if state is None:
+            self._cur.update((None, 0.0, ver))  # tombstone
+        else:
+            self._cur.update((state[0], state[1], ver))
+        if out_g:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(out_g),
+                    "grp": out_g,
+                    "dn": out_dn,
+                    "dv": out_dv,
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def changelog_deltas(
+    stream_df: DataFrame,
+    key_col: str = "key",
+    version_col: str = "version",
+    group_col: str = "grp",
+    value_col: str = "v",
+    deleted_col: str = "deleted",
+) -> DataFrame:
+    """Turn an AFTER-only upsert stream into a RETRACTION stream (the
+    Flink-changelog shape): one (-1, -old_value) / (+1, +new_value) delta
+    pair per net key transition, so any downstream per-group aggregate is
+    maintained by a plain SUM over the deltas — the streaming half of
+    operators/matview.py::incremental_group_totals, with the key's
+    current row held in TWS state instead of probed from a base table.
+    State per key: (group, value, applied_version) — the applied-version
+    high-water also makes upstream redelivery idempotent (stale versions
+    fold to nothing). Emissions are deterministic: per-key folds are
+    version-sorted, and replay from a checkpoint regenerates the
+    identical deltas against the restored pre-batch state."""
+    keyed = stream_df.select(
+        F.col(key_col).alias("key"),
+        F.col(version_col).cast("long").alias("version"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(deleted_col).alias("deleted"),
+    )
+    id_type = stream_df.schema[key_col].dataType.simpleString()
+    return keyed.groupBy("key").transformWithStateInPandas(
+        _ChangelogDeltas(),
+        outputStructType=f"key {id_type}, grp string, dn long, dv double",
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -1447,3 +1447,76 @@ def test_bloom_seen_filter_matches_driver_simulation(spark, sf_dir, tmp_path):
     assert len(got) >= n_distinct * 0.95
     # every duplicate-wave id was swallowed (its content arrived earlier)
     assert all(d < 1_000_000 for _, d, _ in got)
+
+
+def test_changelog_deltas_maintain_group_totals(spark, sf_dir, tmp_path):
+    """streaming/stateful.changelog_deltas: an after-only upsert stream
+    becomes a retraction stream whose per-group SUM equals the batch
+    aggregate of the final applied state — through inserts, a
+    group-migrating update, deletes, AND a stale-redelivery wave (old
+    versions re-arriving after the delete/update must fold to nothing:
+    the applied-version high-water survives deletes via tombstones)."""
+    if not _tws_available():
+        pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        changelog_deltas,
+        rocksdb_state,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).alias("v"),
+    ).toPandas()
+    inserts = cents.assign(version=1, deleted=False)
+    upd = cents[cents["key"] % 50 == 7].assign(
+        version=2, grp="3-MEDIUM", v=lambda d: d["v"] + 100000, deleted=False
+    )
+    dels = cents[cents["key"] % 50 == 13].assign(version=2, deleted=True)
+    stale = cents[(cents["key"] % 50 == 7) | (cents["key"] % 50 == 13)].assign(
+        version=1, deleted=False
+    )  # redelivery of the original inserts AFTER the update/delete
+    src = str(tmp_path / "src")
+    schema = "key long, grp string, v double, version long, deleted boolean"
+    cols = ["key", "grp", "v", "version", "deleted"]
+    for wave in (inserts, upd, dels, stale):
+        spark.createDataFrame(wave[cols], schema).coalesce(2).write.mode(
+            "append"
+        ).parquet(src)
+
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    out = changelog_deltas(sdf)
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("changelog")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+
+    deltas = spark.sql("select * from changelog").toPandas()
+    got = (
+        deltas.groupby("grp")[["dn", "dv"]].sum().query("dn != 0 or dv != 0")
+    )
+
+    # expected applied state: deletes gone, updates migrated, rest as-is
+    applied = cents[cents["key"] % 50 != 13].copy()
+    mig = applied["key"] % 50 == 7
+    applied.loc[mig, "grp"] = "3-MEDIUM"
+    applied.loc[mig, "v"] = applied.loc[mig, "v"] + 100000
+    want = applied.groupby("grp").agg(dn=("key", "count"), dv=("v", "sum"))
+
+    assert sorted(got.index) == sorted(want.index)
+    for g in want.index:
+        assert int(got.loc[g, "dn"]) == int(want.loc[g, "dn"])
+        assert float(got.loc[g, "dv"]) == float(want.loc[g, "dv"])  # cents: exact
+
+    # the stale wave contributed nothing: every net transition is one of
+    # insert (+1), migrate (-1 old grp / +1 new grp), delete (-1)
+    n_keys = len(cents)
+    n_upd = int((cents["key"] % 50 == 7).sum())
+    n_del = int((cents["key"] % 50 == 13).sum())
+    assert len(deltas) == n_keys + 2 * n_upd + n_del
