@@ -427,3 +427,88 @@ def test_tws_funnel_stream_into_table_sink_kill_resume(spark, sf_dir, tmp_path):
         (int(r.user_id), int(r.step), int(r.reached_ts)) for r in got.itertuples()
     }
     assert have == want
+
+
+def test_changelog_deltas_into_table_sink_maintained_view(spark, sf_dir, tmp_path):
+    """Full streaming-IVM composition: after-only upserts -> TWS
+    retraction deltas -> exactly-once table-sink delta LOG (through an
+    injected kill+resume) -> the maintained view is a plain group-SUM
+    over the committed log, equal to the batch recompute of the applied
+    state. The log form makes maintenance idempotent by construction:
+    the replayed batch overwrites its own delta slot, so no delta is
+    double-counted."""
+    import pytest as _pytest
+
+    from tests.test_streaming_eventtime import _tws_available
+
+    if not _tws_available():
+        _pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        changelog_deltas,
+        rocksdb_state,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).alias("v"),
+    ).toPandas()
+    inserts = cents.assign(version=1, deleted=False)
+    upd = cents[cents["key"] % 50 == 7].assign(
+        version=2, grp="3-MEDIUM", v=lambda d: d["v"] + 100000, deleted=False
+    )
+    dels = cents[cents["key"] % 50 == 13].assign(version=2, deleted=True)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "delta_log")
+    schema = "key long, grp string, v double, version long, deleted boolean"
+    cols = ["key", "grp", "v", "version", "deleted"]
+    for wave in (inserts, upd, dels):
+        spark.createDataFrame(wave[cols], schema).coalesce(2).write.mode(
+            "append"
+        ).parquet(src)
+
+    killed = {"done": False}
+
+    def apply(batch_df, batch_id):
+        table_sink.write_batch(batch_df, batch_id, root)
+        if batch_id == 1 and not killed["done"]:
+            killed["done"] = True
+            raise RuntimeError("injected kill after delta-log commit")
+
+    def start():
+        sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+        return (
+            changelog_deltas(sdf)
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with rocksdb_state(spark):
+        q = start()
+        with pytest.raises(Exception):
+            q.awaitTermination()
+        q2 = start()
+        assert q2.awaitTermination(600)
+
+    log = table_sink.read_committed(spark, root)
+    assert log is not None
+    view = {
+        r.grp: (r.n_rows, r.total)
+        for r in log.groupBy("grp")
+        .agg(F.sum("dn").cast("long").alias("n_rows"), F.sum("dv").alias("total"))
+        .filter(F.col("n_rows") > 0)
+        .collect()
+    }
+    applied = cents[cents["key"] % 50 != 13].copy()
+    mig = applied["key"] % 50 == 7
+    applied.loc[mig, "grp"] = "3-MEDIUM"
+    applied.loc[mig, "v"] = applied.loc[mig, "v"] + 100000
+    want = {
+        g: (int(d["key"].count()), float(d["v"].sum()))
+        for g, d in applied.groupby("grp")
+    }
+    assert view == want  # cents: exact equality, no tolerance
