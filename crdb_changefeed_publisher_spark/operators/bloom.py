@@ -59,12 +59,12 @@ def bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
     ]
 
 
-def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 13, k: int = 5) -> list[int]:
-    """One aggregation pass over the key side -> the filter as m_bits/64
-    packed int64 words (dense list, missing words zero-filled). The
-    collect is bounded by the DIAL (m_bits/64 longs — KBs), never the
-    data; at cluster scale this is the "build once, broadcast bytes"
-    artifact."""
+def bloom_build_df(df: DataFrame, col: str, m_bits: int = 1 << 13, k: int = 5) -> DataFrame:
+    """One aggregation pass over the key side -> the filter as a sparse
+    (word_idx, word) DataFrame of packed int64 words — at most m_bits/64
+    rows regardless of key count. This is the broadcastable form the
+    JOIN probe consumes; `bloom_build` collects it into the dense literal
+    list the codegen probe embeds."""
     _check_dials(m_bits, k)
     pos = bloom_positions(F.col(col), m_bits, k)
     masks = F.array(*[F.lit(v) for v in _POW2])
@@ -76,7 +76,17 @@ def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 13, k: int = 5) -> l
             "mask"
         ),
     )
-    rows = exploded.groupBy("word_idx").agg(F.bit_or("mask").alias("word")).collect()
+    return exploded.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 13, k: int = 5) -> list[int]:
+    """Dense form of `bloom_build_df`: m_bits/64 packed int64 words
+    (missing words zero-filled). The collect is bounded by the DIAL
+    (m_bits/64 longs — KBs), never the data; at cluster scale this is the
+    "build once, broadcast bytes" artifact. Use only at literal-friendly
+    sizes (see LITERAL_MAX_BITS) — bigger filters stay a DataFrame and
+    probe via the broadcast join."""
+    rows = bloom_build_df(df, col, m_bits, k).collect()
     words = [0] * (m_bits // 64)
     for r in rows:
         words[int(r.word_idx)] = int(r.word)
@@ -103,6 +113,48 @@ def bloom_might_contain(col: Column, words: list[int], k: int) -> Column:
         mask = F.element_at(masks, (F.pmod(pos, F.lit(64)) + 1).cast("int"))
         cond = cond & (word.bitwiseAND(mask) != 0)
     return cond
+
+
+# Above this size a literal words array stops being a reasonable plan
+# constant (codegen and analysis cost grow with the literal; measured: a
+# 2^23-bit filter as 131k literals made the sf1 spec 80 s) — larger
+# filters stay a (word_idx, word) DataFrame and probe via broadcast join.
+LITERAL_MAX_BITS = 1 << 16
+
+
+def bloom_pass_flags_join(
+    keys_df: DataFrame,
+    key_col: str,
+    words_df: DataFrame,
+    m_bits: int,
+    k: int = 5,
+) -> DataFrame:
+    """Membership via BROADCAST JOIN against the sparse words table — the
+    scale path when the filter outgrows plan literals (a 2^23-bit filter
+    is 1 MB: trivially broadcastable, hopeless as codegen constants).
+    Returns (key_col, _pass int). Each key explodes into its k
+    (word_idx, mask) probes, left-joins the broadcast words, and passes
+    iff every probe hits — same bits, same answer as the literal probe."""
+    masks = F.array(*[F.lit(v) for v in _POW2])
+    probes = keys_df.select(
+        F.col(key_col),
+        F.explode(F.array(*bloom_positions(F.col(key_col), m_bits, k))).alias("pos"),
+    ).select(
+        key_col,
+        F.shiftright("pos", 6).alias("word_idx"),
+        F.element_at(masks, (F.pmod(F.col("pos"), F.lit(64)) + 1).cast("int")).alias(
+            "mask"
+        ),
+    )
+    hit = (
+        F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("mask")) != 0)
+    ).cast("int")
+    return (
+        probes.join(F.broadcast(words_df), "word_idx", "left")
+        .select(key_col, hit.alias("_hit"))
+        .groupBy(key_col)
+        .agg(F.min("_hit").alias("_pass"))
+    )
 
 
 def bloom_m_bits_for(n_keys: int, bits_per_key: int = 16, lo: int = 10, hi: int = 26) -> int:
@@ -137,19 +189,22 @@ def bloom_semijoin_stats(
     m_bits defaults to `bloom_m_bits_for(distinct key count)` — the
     self-sizing dial. Membership is evaluated per DISTINCT big key, then
     joined back (probes are key-functional; at 100 TB the distinct-key
-    frame is the cheap side and the fact scan only pays an equi-join)."""
+    frame is the cheap side and the fact scan only pays an equi-join).
+    Probe vehicle follows the filter size: codegen literals while the
+    words fit a plan constant, broadcast join above LITERAL_MAX_BITS."""
     keys = small.select(F.col(small_key).alias(big_key)).distinct()
     if m_bits is None:
         m_bits = bloom_m_bits_for(keys.count())
-    words = bloom_build(keys, big_key, m_bits, k)
-    probe = (
-        big.select(big_key)
-        .distinct()
-        .select(
+    big_keys = big.select(big_key).distinct()
+    if m_bits <= LITERAL_MAX_BITS:
+        words = bloom_build(keys, big_key, m_bits, k)
+        probe = big_keys.select(
             F.col(big_key),
             bloom_might_contain(F.col(big_key), words, k).cast("int").alias("_pass"),
         )
-    )
+    else:
+        words_df = bloom_build_df(keys, big_key, m_bits, k)
+        probe = bloom_pass_flags_join(big_keys, big_key, words_df, m_bits, k)
     truth = keys.withColumn("_match", F.lit(1))
     flagged = (
         big.select(group_col, big_key)
@@ -180,10 +235,19 @@ def bloom_prefilter_join(
     rows failing the KB filter never reach the join. Row-identical to
     `big.join(small, key, 'left_semi')` — no false negatives by
     construction, and the exact semi join removes the false positives.
-    m_bits defaults to the self-sizing rule over the distinct key count."""
+    m_bits defaults to the self-sizing rule over the distinct key count;
+    filters above LITERAL_MAX_BITS probe via a broadcast join of the
+    distinct fact keys instead of scan-side literals."""
     keys = small.select(F.col(small_key).alias(big_key)).distinct()
     if m_bits is None:
         m_bits = bloom_m_bits_for(keys.count())
-    words = bloom_build(keys, big_key, m_bits, k)
-    passed = big.filter(bloom_might_contain(F.col(big_key), words, k))
+    if m_bits <= LITERAL_MAX_BITS:
+        words = bloom_build(keys, big_key, m_bits, k)
+        passed = big.filter(bloom_might_contain(F.col(big_key), words, k))
+    else:
+        words_df = bloom_build_df(keys, big_key, m_bits, k)
+        flags = bloom_pass_flags_join(
+            big.select(big_key).distinct(), big_key, words_df, m_bits, k
+        ).filter(F.col("_pass") == 1)
+        passed = big.join(flags.select(big_key), big_key)  # AQE sizes the join
     return passed.join(keys, big_key, "left_semi")

@@ -563,3 +563,37 @@ def test_incremental_group_totals_equals_recompute(spark):
     # last-writer-wins helper in isolation
     latest = {r.key: (r.version, r.grp) for r in latest_keyed_changes(changes, "key").collect()}
     assert latest[1] == (2, "b")
+
+
+def test_bloom_join_probe_equals_literal_probe(spark, sf_dir):
+    """The two probe vehicles (codegen literals vs broadcast join against
+    the sparse words table) must agree bit-for-bit at the SAME m — the
+    join path is just the transport for filters too big to be plan
+    constants."""
+    from crdb_changefeed_publisher_spark.operators import bloom
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    m, k = 1 << 14, 5
+    words = bloom.bloom_build(urgent, "k", m, k)
+    lit = {
+        r.k: int(r.p)
+        for r in big.select(
+            "k", bloom.bloom_might_contain(F.col("k"), words, k).cast("int").alias("p")
+        ).collect()
+    }
+    words_df = bloom.bloom_build_df(urgent, "k", m, k)
+    jn = {
+        r.k: int(r._pass)
+        for r in bloom.bloom_pass_flags_join(big, "k", words_df, m, k).collect()
+    }
+    assert lit == jn and sum(lit.values()) > 0
