@@ -308,7 +308,8 @@ _EVO_WIRE_SQL = """
 
 @query(
     "cdc_schema_evolution",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r8 registry swap round 4: promoted (schema-drift detection is core CDC
+    # surface, closest to the reference's domain); sales_rollup retired in trade
     oracle=f"""
     WITH wire AS ({_EVO_WIRE_SQL}),
     cols AS (

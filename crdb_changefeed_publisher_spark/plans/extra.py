@@ -538,7 +538,8 @@ def _bloom_aff_sql(k: int = 5) -> str:
 
 @query(
     "bloom_semijoin_stats",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r8 registry swap round 4: promoted to a driver row (scan-side shuffle
+    # saver with a bit-exact oracle); conditional_aggs_orders retired in trade
     oracle=f"""
     WITH keys AS (
         SELECT DISTINCT o_orderkey AS key FROM orders

@@ -15,6 +15,8 @@ from crdb_changefeed_publisher_spark.tables import load_table
 
 @query(
     "conditional_aggs_orders",
+    retired=True,  # r8 swap round 4: conditional-agg shape covered by
+    # orders_quality_checks + q1_pricing_summary; still pytest-oracle-verified
     oracle="""
     SELECT coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
            count(*)                                      AS n_orders,

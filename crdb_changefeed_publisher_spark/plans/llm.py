@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crdb_changefeed_publisher_spark.operators import dedup, similarity, text
+from crdb_changefeed_publisher_spark.operators import dedup, linkage, similarity, text
 from crdb_changefeed_publisher_spark.plans.registry import query
 from crdb_changefeed_publisher_spark.tables import load_table
 
@@ -85,6 +85,52 @@ def _poly_hash_sql(expr: str, max_len: int = 256) -> str:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_minhash_block(
         load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@query(
+    "doc_fuzzy_linkage",
+    # r8 swap round 4 promotion: string-similarity (edit distance) is a
+    # different axis from the set-similarity dedup family — character-level
+    # mutations barely move shingle Jaccard; running_revenue_by_customer
+    # retired in trade
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS t
+        FROM documents
+    ), k AS (
+        SELECT doc_id, t, substr(t, 1, 24) AS p, length(t) AS len FROM d
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, levenshtein(a.t, b.t) AS dist
+        FROM k a JOIN k b ON a.p = b.p AND a.doc_id < b.doc_id
+        WHERE abs(a.len - b.len) <= 16
+    ), pf AS (
+        SELECT * FROM pairs WHERE dist <= 16
+    ), ends AS (
+        SELECT doc_a AS doc_id, doc_b AS nbr, dist FROM pf
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS nbr, dist FROM pf
+    ), deg AS (
+        SELECT doc_id, count(*) AS n_links, min(dist) AS min_dist
+        FROM ends GROUP BY 1
+    )
+    SELECT g.doc_id, g.n_links, g.min_dist, min(e.nbr) AS nearest
+    FROM deg g JOIN ends e ON e.doc_id = g.doc_id AND e.dist = g.min_dist
+    GROUP BY 1, 2, 3
+    """,
+    doc="Fuzzy record linkage: per-doc near-dup degree under normalized "
+    "Levenshtein distance <= 16, candidates blocked on the 24-char "
+    "normalized prefix with an EXACT length pre-band (|len diff| <= k is "
+    "necessary for edit distance <= k) and Spark's banded early-exit DP "
+    "(levenshtein(l, r, threshold)). Output bounded by n_docs; the raw "
+    "pair stream is the library function "
+    "(operators/linkage.py::fuzzy_pairs). The oracle re-derives the "
+    "identical blocking + full-DP distances in SQL.",
+)
+def doc_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return linkage.linkage_degrees(
+        linkage.fuzzy_pairs(docs, max_dist=16, prefix_len=24)
     )
 
 

@@ -82,6 +82,10 @@ COST_HINTS: dict[str, float] = {
     # r7 registry-swap promotions (hints from retired-harness timings)
     "doc_duplicate_spans": 1.5,
     "multimodal_near_dup": 1.1,
+    # r8 registry-swap round 4 promotions (hints from retired-harness timings)
+    "bloom_semijoin_stats": 0.9,
+    "cdc_schema_evolution": 1.0,
+    "doc_fuzzy_linkage": 0.8,
 }
 
 

@@ -597,3 +597,123 @@ def test_bloom_join_probe_equals_literal_probe(spark, sf_dir):
         for r in bloom.bloom_pass_flags_join(big, "k", words_df, m, k).collect()
     }
     assert lit == jn and sum(lit.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# fuzzy record linkage (operators/linkage.py)
+
+
+def test_fuzzy_pairs_known_distances(spark):
+    """Hand-built corpus with known edit distances: the blocked join finds
+    exactly the pairs within the threshold, with exact distances."""
+    from crdb_changefeed_publisher_spark.operators import linkage
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            # 1 substitution past the 24-char blocking prefix (dog -> hog)
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy hog"),
+            # 5 edits: "cats" tail swap
+            Row(doc_id=3, text="the quick brown fox jumps over the lazy cats"),
+            # same words, different prefix -> different block, never compared
+            Row(doc_id=4, text="lazy dog the quick brown fox jumps over the"),
+            # unrelated text
+            Row(doc_id=5, text="completely different content about spark plans"),
+        ]
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in linkage.fuzzy_pairs(docs, max_dist=16, prefix_len=24).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_fuzzy_length_band_is_exact_pruning(spark, sf_dir):
+    """|len(a)-len(b)| <= k is necessary for edit distance <= k, so the
+    pre-band drops nothing: removing it yields the same qualifying pairs."""
+    from crdb_changefeed_publisher_spark.operators import linkage
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_band = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in linkage.fuzzy_pairs(docs, max_dist=12).collect()
+    }
+    # rebuild without the band: block join + threshold DP only
+    t = docs.select(
+        F.col("doc_id").alias("id"),
+        linkage.normalized_link_key(F.col("text")).alias("t"),
+    ).withColumn("p", F.substring("t", 1, 24))
+    a = t.select(F.col("id").alias("doc_a"), F.col("t").alias("ta"), "p")
+    b = t.select(F.col("id").alias("doc_b"), F.col("t").alias("tb"), "p")
+    no_band = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in a.join(b, "p")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("ta", "tb", 12))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 12))
+        .select("doc_a", "doc_b", "dist")
+        .collect()
+    }
+    assert with_band == no_band and len(with_band) > 0
+
+
+def test_linkage_degrees_bounded_and_consistent(spark, sf_dir):
+    """Degrees: output <= n_docs, n_links counts incident pairs, nearest is
+    the smallest-id partner at the minimum distance."""
+    from crdb_changefeed_publisher_spark.operators import linkage
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = linkage.fuzzy_pairs(docs, max_dist=16).persist()
+    deg = linkage.linkage_degrees(pairs).collect()
+    assert 0 < len(deg) <= docs.count()
+    rows = pairs.collect()
+    for d in deg[:20]:
+        incident = [r for r in rows if d.doc_id in (r.doc_a, r.doc_b)]
+        assert d.n_links == len(incident)
+        md = min(r.dist for r in incident)
+        assert d.min_dist == md
+        partners = [
+            (r.doc_b if r.doc_a == d.doc_id else r.doc_a)
+            for r in incident
+            if r.dist == md
+        ]
+        assert d.nearest == min(partners)
+    pairs.unpersist()
+
+
+def test_bloom_block_states_matches_python_fold(spark, sf_dir):
+    """operators/bloom.bloom_block_states: the one-pass JVM builder's
+    per-block words equal a Python insertion fold with the same hash /
+    block / position arithmetic, signed int64 packing included."""
+    import hashlib
+
+    from crdb_changefeed_publisher_spark.operators import bloom
+
+    n_blocks, block_words, k = 64, 8, 5
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    got = {
+        int(r.block): [int(w) for w in r.words]
+        for r in bloom.bloom_block_states(
+            docs, "text", n_blocks=n_blocks, block_words=block_words, k=k
+        ).collect()
+    }
+
+    def h52(text: str) -> int:
+        return int(hashlib.sha256(f"bloom-v1:{text}".encode()).hexdigest()[:13], 16)
+
+    m_block = block_words * 64
+    want: dict[int, list[int]] = {}
+    for (text,) in docs.collect():
+        h = h52(text)
+        b = h % n_blocks
+        words = want.setdefault(b, [0] * block_words)
+        for a, c in bloom.BLOOM_COEFFS[:k]:
+            p = ((h * a + c) % bloom.BLOOM_MOD) % m_block
+            words[p >> 6] |= 1 << (p & 63)
+    want_signed = {
+        b: [w - (1 << 64) if w >= 1 << 63 else w for w in ws]
+        for b, ws in want.items()
+    }
+    assert got == want_signed and len(got) > 0
