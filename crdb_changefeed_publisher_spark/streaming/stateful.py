@@ -701,6 +701,14 @@ class _BloomSeenFilter(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._words = handle.getValueState("w", "w array<long>")
 
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        # bootstrap: a batch-built blocked-Bloom state
+        # (operators/bloom.py::bloom_block_states) becomes this block's
+        # starting words — corpus contents test as already-seen without
+        # replaying the corpus through the stream. Words arrive in the
+        # same signed int64 packing the fold re-emits.
+        self._words.update(([int(w) for w in initialState["words"].iloc[0]],))
+
     def handleInputRows(self, key, rows, timerValues):
         from crdb_changefeed_publisher_spark.operators.bloom import (
             BLOOM_COEFFS,
@@ -740,6 +748,7 @@ def bloom_seen_filter(
     n_blocks: int = 256,
     block_words: int = 8,
     k: int = 5,
+    initial_states: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate stream-lifetime seen-filter with BOUNDED state: emit a
     document the first time its content arrives, swallow later copies —
@@ -766,11 +775,18 @@ def bloom_seen_filter(
         F.col(id_col).alias("doc_id"),
     )
     id_type = stream_df.schema[id_col].dataType.simpleString()
+    kwargs = {}
+    if initial_states is not None:
+        # (block int, words array<long>) from operators/bloom.py::
+        # bloom_block_states — delivered to handleInitialState per block
+        # before the first micro-batch
+        kwargs["initialState"] = initial_states.groupBy("block")
     return keyed.groupBy("block").transformWithStateInPandas(
         _BloomSeenFilter(block_words, k),
         outputStructType=f"block int, doc_id {id_type}, content_h long",
         outputMode="Append",
         timeMode="None",
+        **kwargs,
     )
 
 

@@ -321,3 +321,153 @@ def vacuum(
             continue
         gone.append(name)
     return gone
+
+
+def as_of_batch(spark: SparkSession, root: str, batch_id: int) -> DataFrame | None:
+    """Time-travel read: the table as it stood after batch `batch_id`
+    committed — the latest snapshot at or below that batch plus the batch
+    manifests in between. History granularity is the manifest set that
+    still exists: compaction prunes batch manifests it covers, so states
+    INSIDE a compacted span are gone (raises ValueError naming the
+    earliest readable batch) — the same retention contract as any
+    manifest-format table (history survives until compaction/vacuum
+    reclaims it, no longer). Snapshot manifests themselves are never
+    pruned, so every post-compaction generation boundary stays readable
+    until `vacuum` removes the superseded data files."""
+    commits = _commits_dir(root)
+    if not os.path.isdir(commits):
+        return None
+    snaps, batches = [], []
+    for name in os.listdir(commits):
+        if name.endswith(".tmp"):
+            continue
+        if name.startswith("snapshot-") and name.endswith(".json"):
+            with open(os.path.join(commits, name)) as fh:
+                snaps.append(json.load(fh))
+        elif name.startswith("batch-") and name.endswith(".json"):
+            with open(os.path.join(commits, name)) as fh:
+                batches.append(json.load(fh))
+    base = [s for s in snaps if int(s["covers"]) <= batch_id]
+    snap = max(base, key=lambda s: int(s["generation"])) if base else None
+    covers = int(snap["covers"]) if snap else -1
+    floor = min(
+        (int(s["covers"]) for s in snaps if int(s["covers"]) > batch_id),
+        default=None,
+    )
+    if floor is not None and snap is None:
+        raise ValueError(
+            f"batch {batch_id} predates the oldest snapshot (covers {floor}): "
+            "that history was compacted away; earliest readable state is "
+            f"as_of_batch({floor})"
+        )
+    files = [f["file"] for f in snap["files"]] if snap else []
+    applicable = sorted(
+        (m for m in batches if covers < int(m["batch_id"]) <= batch_id),
+        key=lambda m: int(m["batch_id"]),
+    )
+    # a pruned manifest inside (covers, batch_id] would silently drop rows:
+    # detect the gap and refuse (only possible if a NEWER snapshot covered
+    # them — handled above — or manual deletion)
+    have = {int(m["batch_id"]) for m in batches}
+    missing = [
+        b
+        for s in snaps
+        if int(s["covers"]) > batch_id
+        for b in range(covers + 1, batch_id + 1)
+        if b not in have
+    ]
+    if missing:
+        raise ValueError(
+            f"batch manifests {missing[:5]}... inside ({covers}, {batch_id}] "
+            "were pruned by a later compaction; that intermediate state is "
+            "no longer reconstructible"
+        )
+    for m in applicable:
+        files.extend(f["file"] for f in m["files"])
+    if not files:
+        return None
+    return spark.read.parquet(*[os.path.join(_data_dir(root), f) for f in files])
+
+
+def read_since(
+    spark: SparkSession, root: str, after_batch: int
+) -> tuple[DataFrame | None, int]:
+    """Incremental changelog read for an APPEND-ONLY table: the rows that
+    committed in batches (after_batch, high_water], plus the new
+    high_water to checkpoint for the next call. Scans ONLY the delta
+    batch files (manifest-pruned — never the whole table), which is what
+    lets a downstream incremental consumer (e.g. the matview-maintenance
+    pattern, operators/matview.py) tail a table produced by this sink
+    with cost proportional to the delta, exactly-once end to end: the
+    producer's manifest commit makes batches durable+visible atomically,
+    and the consumer's checkpointed `after_batch` cursor replays a crashed
+    read identically.
+
+    Raises if `after_batch` predates the latest snapshot's `covers`: those
+    deltas were compacted into the snapshot and are no longer separable —
+    the consumer must rebase (read_committed) or keep up with compaction
+    cadence (the retention contract)."""
+    gen, covers, high_water, _ = _committed_state(root)
+    if after_batch < covers:
+        raise ValueError(
+            f"after_batch={after_batch} predates snapshot generation {gen} "
+            f"(covers {covers}): deltas are compacted; rebase from "
+            "read_committed() or raise compaction cadence"
+        )
+    commits = _commits_dir(root)
+    files: list[str] = []
+    if os.path.isdir(commits):
+        for name in sorted(os.listdir(commits)):
+            if not (name.startswith("batch-") and name.endswith(".json")):
+                continue
+            with open(os.path.join(commits, name)) as fh:
+                m = json.load(fh)
+            if after_batch < int(m["batch_id"]) <= high_water:
+                files.extend(f["file"] for f in m["files"])
+    if not files:
+        return None, high_water
+    df = spark.read.parquet(*[os.path.join(_data_dir(root), f) for f in files])
+    return df, high_water
+
+
+def table_history(root: str) -> list[dict]:
+    """The commit log as metadata rows (newest last): one entry per live
+    manifest — snapshots (kind='compact') and batch appends
+    (kind='append') — with file/row/byte counts. Reads only the KB-sized
+    manifests; no data files are touched."""
+    commits = _commits_dir(root)
+    if not os.path.isdir(commits):
+        return []
+    out = []
+    for name in sorted(os.listdir(commits)):
+        if name.endswith(".tmp"):
+            continue
+        path = os.path.join(commits, name)
+        if name.startswith("snapshot-") and name.endswith(".json"):
+            with open(path) as fh:
+                s = json.load(fh)
+            out.append(
+                {
+                    "kind": "compact",
+                    "id": int(s["generation"]),
+                    "covers": int(s["covers"]),
+                    "n_files": len(s["files"]),
+                    "n_rows": sum(f["n_rows"] or 0 for f in s["files"]) or None,
+                    "n_bytes": sum(f["n_bytes"] for f in s["files"]),
+                }
+            )
+        elif name.startswith("batch-") and name.endswith(".json"):
+            with open(path) as fh:
+                m = json.load(fh)
+            out.append(
+                {
+                    "kind": "append",
+                    "id": int(m["batch_id"]),
+                    "covers": None,
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(f["n_rows"] for f in m["files"]),
+                    "n_bytes": sum(f["n_bytes"] for f in m["files"]),
+                }
+            )
+    out.sort(key=lambda d: (d["id"], d["kind"] == "compact"))
+    return out

@@ -1520,3 +1520,104 @@ def test_changelog_deltas_maintain_group_totals(spark, sf_dir, tmp_path):
     n_upd = int((cents["key"] % 50 == 7).sum())
     n_del = int((cents["key"] % 50 == 13).sum())
     assert len(deltas) == n_keys + 2 * n_upd + n_del
+
+
+def test_bloom_seen_filter_bootstrap_from_batch_corpus(spark, sf_dir, tmp_path):
+    """bloom_seen_filter(initial_states=...): a batch-built blocked-Bloom
+    state (operators/bloom.bloom_block_states over yesterday's corpus)
+    seeds the streaming filter, so corpus contents test as already-seen
+    from the first micro-batch without replaying the corpus through the
+    stream. Exactness bar: the emission set equals a driver-side fold
+    whose words start from the SAME batch-built state."""
+    import hashlib
+
+    if not _tws_available():
+        pytest.skip("google.protobuf unavailable; TWS state server cannot start")
+    from crdb_changefeed_publisher_spark.operators.bloom import (
+        BLOOM_COEFFS,
+        BLOOM_MOD,
+        bloom_block_states,
+    )
+    from crdb_changefeed_publisher_spark.streaming.stateful import (
+        bloom_seen_filter,
+        rocksdb_state,
+    )
+
+    n_blocks, block_words, k = 64, 8, 5
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    init = bloom_block_states(
+        corpus, "text", n_blocks=n_blocks, block_words=block_words, k=k
+    ).persist()
+    init_rows = {int(r.block): [int(w) for w in r.words] for r in init.collect()}
+
+    # stream: every doc (evens re-arrive as corpus dups, odds are new)
+    src = str(tmp_path / "src")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    waves = [pdf.iloc[i::2] for i in range(2)]
+    for w in waves:
+        spark.createDataFrame(w, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    sdf = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = bloom_seen_filter(
+        sdf,
+        n_blocks=n_blocks,
+        block_words=block_words,
+        k=k,
+        initial_states=init,
+    )
+    with rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("bloom_boot")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+    got = {
+        (r.block, r.doc_id, r.content_h)
+        for r in spark.sql("select * from bloom_boot").collect()
+    }
+
+    def h52(text: str) -> int:
+        return int(hashlib.sha256(f"bloom-v1:{text}".encode()).hexdigest()[:13], 16)
+
+    m_block = block_words * 64
+    words = {
+        b: [w & ((1 << 64) - 1) for w in ws] for b, ws in init_rows.items()
+    }
+    want = set()
+    for w in waves:
+        by_block: dict[int, list] = {}
+        for _, row in w.iterrows():
+            h = h52(row["text"])
+            by_block.setdefault(h % n_blocks, []).append((h, int(row["doc_id"])))
+        for b, items in by_block.items():
+            ws = words.setdefault(b, [0] * block_words)
+            for h, doc_id in sorted(items):
+                bits = [((h * a + c) % BLOOM_MOD) % m_block for a, c in BLOOM_COEFFS[:k]]
+                if all((ws[p >> 6] >> (p & 63)) & 1 for p in bits):
+                    continue
+                for p in bits:
+                    ws[p >> 6] |= 1 << (p & 63)
+                want.add((b, doc_id, h))
+    assert got == want
+
+    # semantics: no corpus CONTENT is ever emitted (no false negatives);
+    # most genuinely-new odd-id contents do come through
+    corpus_h = {h52(t) for (t,) in corpus.select("text").distinct().collect()}
+    assert all(h not in corpus_h for _, _, h in got)
+    new_h = {
+        h52(t)
+        for (t,) in docs.filter(F.col("doc_id") % 2 == 1)
+        .select("text")
+        .distinct()
+        .collect()
+    } - corpus_h
+    assert len({h for _, _, h in got}) >= len(new_h) * 0.9
+    init.unpersist()

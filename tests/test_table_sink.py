@@ -512,3 +512,99 @@ def test_changelog_deltas_into_table_sink_maintained_view(spark, sf_dir, tmp_pat
         for g, d in applied.groupby("grp")
     }
     assert view == want  # cents: exact equality, no tolerance
+
+
+def test_as_of_batch_time_travel_and_retention_boundary(spark, sf_dir, tmp_path):
+    """as_of_batch reconstructs every pre-compaction state exactly while
+    the batch manifests live; after compaction the covered span is gone
+    and the call names the earliest readable state instead of returning
+    silently-wrong rows."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    slices = [ev.filter(F.col("event_id") % 4 == i).repartition(2) for i in range(4)]
+    for b, s in enumerate(slices):
+        table_sink.write_batch(s, b, root)
+
+    def ids(df):
+        return [] if df is None else sorted(r.event_id for r in df.collect())
+
+    want_cum = []
+    acc = []
+    for s in slices:
+        acc.extend(r.event_id for r in s.collect())
+        want_cum.append(sorted(acc))
+    for b in range(4):
+        assert ids(table_sink.as_of_batch(spark, root, b)) == want_cum[b]
+    # as-of beyond the high water == current state
+    assert ids(table_sink.as_of_batch(spark, root, 99)) == want_cum[3]
+
+    table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    # pre-compaction interior states are gone; the boundary is named
+    with pytest.raises(ValueError, match="compacted"):
+        table_sink.as_of_batch(spark, root, 1)
+    # the snapshot boundary itself still reads exactly
+    assert ids(table_sink.as_of_batch(spark, root, 3)) == want_cum[3]
+
+    # appends after the snapshot time-travel again
+    extra = ev.limit(0)  # empty batch: manifest with no files
+    table_sink.write_batch(extra, 4, root)
+    table_sink.write_batch(slices[0], 5, root)
+    assert ids(table_sink.as_of_batch(spark, root, 4)) == want_cum[3]
+    assert (
+        ids(table_sink.as_of_batch(spark, root, 5))
+        == sorted(want_cum[3] + want_cum[0])
+    )
+
+
+def test_read_since_incremental_consumer_cursor(spark, sf_dir, tmp_path):
+    """read_since: delta-only tailing with a checkpointable cursor — the
+    rows between two high-water marks, scanning only the delta files; a
+    cursor that predates the snapshot raises (deltas were compacted)."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    slices = [ev.filter(F.col("event_id") % 3 == i).repartition(2) for i in range(3)]
+    table_sink.write_batch(slices[0], 0, root)
+
+    df, hw = table_sink.read_since(spark, root, -1)
+    assert hw == 0
+    assert sorted(r.event_id for r in df.collect()) == sorted(
+        r.event_id for r in slices[0].collect()
+    )
+    # no new batches: empty delta, cursor unchanged
+    df2, hw2 = table_sink.read_since(spark, root, hw)
+    assert df2 is None and hw2 == 0
+
+    table_sink.write_batch(slices[1], 1, root)
+    table_sink.write_batch(slices[2], 2, root)
+    df3, hw3 = table_sink.read_since(spark, root, hw)
+    assert hw3 == 2
+    want = sorted(
+        [r.event_id for r in slices[1].collect()]
+        + [r.event_id for r in slices[2].collect()]
+    )
+    assert sorted(r.event_id for r in df3.collect()) == want
+
+    table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    # a consumer that kept up stays valid at the boundary
+    dfb, hwb = table_sink.read_since(spark, root, 2)
+    assert dfb is None and hwb == 2
+    # a stale cursor inside the compacted span must rebase, not mis-read
+    with pytest.raises(ValueError, match="compacted"):
+        table_sink.read_since(spark, root, 0)
+
+
+def test_table_history_metadata(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    n0 = table_sink.write_batch(ev.limit(100).repartition(2), 0, root)
+    n1 = table_sink.write_batch(ev.limit(150).repartition(3), 1, root)
+    h = table_sink.table_history(root)
+    assert [(e["kind"], e["id"], e["n_rows"]) for e in h] == [
+        ("append", 0, n0),
+        ("append", 1, n1),
+    ]
+    assert h[0]["n_files"] == 2 and h[1]["n_files"] == 3
+    table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    h2 = table_sink.table_history(root)
+    assert [e["kind"] for e in h2] == ["compact"]
+    assert h2[0]["covers"] == 1 and h2[0]["n_rows"] == n0 + n1
