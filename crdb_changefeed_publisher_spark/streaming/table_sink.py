@@ -183,11 +183,21 @@ def committed_files(root: str) -> list[str]:
 def read_committed(spark: SparkSession, root: str) -> DataFrame | None:
     """The exactly-once view: scan ONLY manifest-committed files (orphans
     from crashed attempts are invisible). Returns None for an empty
-    table (no schema to synthesize)."""
+    table (no schema to synthesize).
+
+    Reads with mergeSchema so a table whose batches gained columns over
+    time (the cdc_schema_evolution scenario arriving at the sink) surfaces
+    the UNION schema with nulls for pre-drift files — without it, parquet
+    takes the schema of one arbitrary file and silently drops the new
+    columns from every other. Schema merging is distributed (executors
+    read footers in parallel), so this costs one footer pass, not a
+    driver-side loop; a format that wanted to avoid even that would record
+    the schema in each manifest and pre-merge driver-side — noted as the
+    upgrade path, not needed at this table's file counts."""
     files = committed_files(root)
     if not files:
         return None
-    return spark.read.parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def _rewrite_bin(job: tuple) -> dict:
@@ -386,7 +396,9 @@ def as_of_batch(spark: SparkSession, root: str, batch_id: int) -> DataFrame | No
         files.extend(f["file"] for f in m["files"])
     if not files:
         return None
-    return spark.read.parquet(*[os.path.join(_data_dir(root), f) for f in files])
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(_data_dir(root), f) for f in files]
+    )
 
 
 def read_since(
@@ -426,7 +438,9 @@ def read_since(
                 files.extend(f["file"] for f in m["files"])
     if not files:
         return None, high_water
-    df = spark.read.parquet(*[os.path.join(_data_dir(root), f) for f in files])
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(_data_dir(root), f) for f in files]
+    )
     return df, high_water
 
 

@@ -608,3 +608,110 @@ def test_table_history_metadata(spark, sf_dir, tmp_path):
     h2 = table_sink.table_history(root)
     assert [e["kind"] for e in h2] == ["compact"]
     assert h2[0]["covers"] == 1 and h2[0]["n_rows"] == n0 + n1
+
+
+def test_schema_evolution_across_batches_surfaces_union_schema(
+    spark, sf_dir, tmp_path
+):
+    """Batches gaining columns over time (the cdc_schema_evolution scenario
+    arriving at the sink): committed reads surface the UNION schema with
+    nulls for pre-drift files — and compaction's promoted concat preserves
+    exactly that, so the table reads identically before and after."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.select("event_id", "user_id").limit(80).repartition(2)
+    new = (
+        ev.select("event_id", "user_id", F.col("value").alias("score"))
+        .filter(F.col("event_id") % 2 == 0)
+        .limit(80)
+        .repartition(2)
+    )
+    table_sink.write_batch(old, 0, root)
+    table_sink.write_batch(new, 1, root)
+
+    df = table_sink.read_committed(spark, root)
+    assert sorted(df.columns) == ["event_id", "score", "user_id"]
+    # pre-drift rows read as null score; post-drift rows keep theirs
+    n_old = old.count()
+    assert df.filter(F.col("score").isNull()).count() == n_old
+    want = sorted(
+        (r.event_id, r.score) for r in new.select("event_id", "score").collect()
+    )
+    got = sorted(
+        (r.event_id, r.score)
+        for r in df.filter(F.col("score").isNotNull()).collect()
+    )
+    assert got == want
+
+    # the delta read carries the new column too
+    delta, hw = table_sink.read_since(spark, root, 0)
+    assert hw == 1 and "score" in delta.columns
+
+    def rows_key(t):
+        return (t[0], t[1], t[2] is not None, t[2] if t[2] is not None else 0.0)
+
+    before = sorted(
+        map(tuple, df.select("event_id", "user_id", "score").collect()),
+        key=rows_key,
+    )
+    table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    after_df = table_sink.read_committed(spark, root)
+    after = sorted(
+        map(tuple, after_df.select("event_id", "user_id", "score").collect()),
+        key=rows_key,
+    )
+    assert after == before
+
+
+def test_read_since_tailing_maintains_exact_matview(spark, sf_dir, tmp_path):
+    """Producer-consumer composition entirely on sink primitives: a
+    consumer tails an append-only table with read_since and maintains a
+    per-group (n, total) view incrementally, checkpointing only its
+    cursor; a crash that loses the in-memory view but keeps the persisted
+    (view, cursor) pair resumes exactly; the final view equals the full
+    recompute over read_committed."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    slices = [
+        ev.filter(F.col("event_id") % 4 == i).repartition(2) for i in range(4)
+    ]
+
+    def apply_delta(view: dict, df) -> dict:
+        for r in (
+            df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+            .collect()
+        ):
+            n0, t0 = view.get(r.event_type, (0, 0.0))
+            view[r.event_type] = (n0 + r.n, t0 + r.tot)
+        return view
+
+    view: dict = {}
+    cursor = -1
+    # producer writes 2 batches; consumer catches up
+    for b in range(2):
+        table_sink.write_batch(slices[b], b, root)
+    delta, cursor = table_sink.read_since(spark, root, cursor)
+    view = apply_delta(view, delta)
+    persisted = (dict(view), cursor)  # the consumer's durable checkpoint
+
+    # crash: lose memory, resume from the persisted pair; producer moved on
+    for b in range(2, 4):
+        table_sink.write_batch(slices[b], b, root)
+    view, cursor = dict(persisted[0]), persisted[1]
+    delta, cursor = table_sink.read_since(spark, root, cursor)
+    view = apply_delta(view, delta)
+
+    full = {
+        r.event_type: (r.n, r.tot)
+        for r in table_sink.read_committed(spark, root)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    assert set(view) == set(full)
+    for k in full:
+        assert view[k][0] == full[k][0]
+        assert abs(view[k][1] - full[k][1]) < 1e-6
