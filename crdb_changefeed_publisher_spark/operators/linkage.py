@@ -114,3 +114,34 @@ def linkage_degrees(pairs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "n_links", "min_dist", F.col("_best.nbr").alias("nearest"))
     )
+
+
+def block_saturation(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    prefix_len: int = 24,
+) -> DataFrame:
+    """One-row diagnostic for the blocking dial: (n_docs, n_blocks,
+    max_block, p99_block). The candidate join's cost is
+    sum(block_pop^2) / 2, so a max_block in the thousands means one
+    straggler task doing quadratic work — the knee the SimHash banding
+    saturation guard refuses past (operators/dedup.py). Run this before
+    trusting a new corpus: real prose keeps prefix blocks near-singleton
+    except true near-dups; templated corpora (boilerplate headers, log
+    lines) saturate and need a longer prefix or content-defined key
+    (skip the boilerplate span first: operators/text.py). One partial-agg
+    pass over the normalized prefix; the text never shuffles."""
+    pops = (
+        docs.select(
+            F.substring(normalized_link_key(F.col(text_col)), 1, prefix_len).alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("pop"))
+    )
+    return pops.agg(
+        F.sum("pop").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("pop").alias("max_block"),
+        F.percentile_approx("pop", 0.99).alias("p99_block"),
+    )

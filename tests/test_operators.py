@@ -717,3 +717,28 @@ def test_bloom_block_states_matches_python_fold(spark, sf_dir):
         for b, ws in want.items()
     }
     assert got == want_signed and len(got) > 0
+
+
+def test_block_saturation_diagnostic(spark, sf_dir):
+    from crdb_changefeed_publisher_spark.operators import linkage
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = linkage.block_saturation(docs).collect()[0]
+    assert r.n_docs == docs.count()
+    assert r.n_blocks <= r.n_docs
+    assert 1 <= r.p99_block <= r.max_block
+    # quadratic candidate work bound implied by the profile holds vs the
+    # actual pair-join input size
+    pops = [
+        p.pop
+        for p in docs.select(
+            F.substring(
+                linkage.normalized_link_key(F.col("text")), 1, 24
+            ).alias("p")
+        )
+        .groupBy("p")
+        .count()
+        .withColumnRenamed("count", "pop")
+        .collect()
+    ]
+    assert max(pops) == r.max_block
