@@ -55,11 +55,12 @@ import json
 import os
 from typing import Iterator
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
+
+from crdb_changefeed_publisher_spark.streaming import table_stats
 
 
 def _data_dir(root: str) -> str:
@@ -83,8 +84,9 @@ def write_batch(batch_df: DataFrame, batch_id: int, root: str) -> int:
     """foreachBatch body: write this micro-batch's rows as batch-keyed
     parquet files + one manifest. Returns the committed row count.
 
-    Each input partition writes its own file executor-side (mapInPandas;
-    partition id from TaskContext) to a tmp name, fsyncs, then renames —
+    Each input partition writes its own file executor-side (mapInArrow —
+    byte-exact, no pandas NaN/NULL conflation; partition id from
+    TaskContext) to a tmp name, fsyncs, then renames —
     so a replayed batch's partition overwrites its own previous attempt
     and never appends. The driver collects the (file, rows, bytes) list
     (KB-sized) and publishes the manifest LAST: durability of data
@@ -95,31 +97,41 @@ def write_batch(batch_df: DataFrame, batch_id: int, root: str) -> int:
     os.makedirs(data, exist_ok=True)
     os.makedirs(commits, exist_ok=True)
 
-    def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def write_parts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # Arrow in, Arrow out — NOT mapInPandas: the pandas round trip
+        # represents both NULL and NaN as float NaN, so a NaN VALUE in a
+        # double column comes back as a null (measured: from_pandas wrote
+        # null_count=1 for a [NaN, 3.0] column). Spark distinguishes the
+        # two; a table sink must preserve them exactly.
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        tables = [pa.Table.from_pandas(pdf, preserve_index=False) for pdf in batches]
-        tables = [t for t in tables if t.num_rows]
-        if not tables:
+        got = [b for b in batches if b.num_rows]
+        if not got:
             return
         name = f"batch-{batch_id:08d}-part-{pid:05d}.parquet"
         final = os.path.join(data, name)
         tmp = final + f".tmp-{os.getpid()}"
-        t = pa.concat_tables(tables)
-        pq.write_table(t, tmp)
+        t = pa.Table.from_batches(got)
+        pq.write_table(t, tmp,
+                       write_statistics=table_stats.nan_safe_write_statistics(t))
         with open(tmp, "rb") as fh:
             os.fsync(fh.fileno())
         os.replace(tmp, final)
-        yield pd.DataFrame(
-            {"file": [name], "n_rows": [t.num_rows], "n_bytes": [os.path.getsize(final)]}
+        # footer-only stats for manifest-level data skipping: computed on
+        # the executor that just wrote the file (footer is page-cache hot)
+        meta = table_stats.footer_meta(final)
+        yield pa.RecordBatch.from_pydict(
+            {"file": [name], "n_rows": [t.num_rows],
+             "n_bytes": [os.path.getsize(final)], "meta": [json.dumps(meta)]}
         )
 
-    manifest_rows = batch_df.mapInPandas(
-        write_parts, "file string, n_rows long, n_bytes long"
+    manifest_rows = batch_df.mapInArrow(
+        write_parts, "file string, n_rows long, n_bytes long, meta string"
     ).collect()
     files = sorted(
-        ({"file": r.file, "n_rows": int(r.n_rows), "n_bytes": int(r.n_bytes)}
+        ({"file": r.file, "n_rows": int(r.n_rows), "n_bytes": int(r.n_bytes),
+          **json.loads(r.meta)}
          for r in manifest_rows),
         key=lambda d: d["file"],
     )
@@ -136,14 +148,15 @@ def _snapshot_gen(name: str) -> int:
     return int(name[len("snapshot-"):-len(".json")])
 
 
-def _committed_state(root: str) -> tuple[int, int, int, list[str]]:
+def _committed_state(root: str) -> tuple[int, int, int, list[dict]]:
     """(snapshot_generation, covered_batch, high_water_batch, committed
-    file names). generation / covered_batch / high_water are -1 when
-    absent. high_water is the highest COMMITTED batch id — the snapshot's
-    `covers` or any batch manifest above it — i.e. the id a subsequent
-    snapshot must cover, derived from manifests, never from data-file
-    names (a compacted-away batch leaves no batch-* file but its manifest
-    must stay superseded)."""
+    file ENTRIES — the manifest dicts, stats included). generation /
+    covered_batch / high_water are -1 when absent. high_water is the
+    highest COMMITTED batch id — the snapshot's `covers` or any batch
+    manifest above it — i.e. the id a subsequent snapshot must cover,
+    derived from manifests, never from data-file names (a compacted-away
+    batch leaves no batch-* file but its manifest must stay
+    superseded)."""
     commits = _commits_dir(root)
     if not os.path.isdir(commits):
         return -1, -1, -1, []
@@ -161,14 +174,14 @@ def _committed_state(root: str) -> tuple[int, int, int, list[str]]:
         with open(os.path.join(commits, latest)) as fh:
             snap = json.load(fh)
         gen, covers = int(snap["generation"]), int(snap["covers"])
-        files = [f["file"] for f in snap["files"]]
+        files = list(snap["files"])
     high_water = covers
     for name in sorted(batches):
         with open(os.path.join(commits, name)) as fh:
             m = json.load(fh)
         bid = int(m["batch_id"])
         if bid > covers:
-            files.extend(f["file"] for f in m["files"])
+            files.extend(m["files"])
             high_water = max(high_water, bid)
     return gen, covers, high_water, files
 
@@ -176,14 +189,43 @@ def _committed_state(root: str) -> tuple[int, int, int, list[str]]:
 def committed_files(root: str) -> list[str]:
     """Absolute paths of the files a reader must scan — the table's
     current committed state."""
-    _, _, _, names = _committed_state(root)
-    return [os.path.join(_data_dir(root), n) for n in names]
+    _, _, _, entries = _committed_state(root)
+    return [os.path.join(_data_dir(root), e["file"]) for e in entries]
 
 
-def read_committed(spark: SparkSession, root: str) -> DataFrame | None:
+def prune_plan(root: str, where: list[tuple]) -> dict:
+    """Manifest-only scan plan for a conjunction of ``(col, op, literal)``
+    predicates: which committed files a reader must open, and how many
+    the per-file stats proved irrelevant. No data file is touched — this
+    is the Delta/Iceberg data-skipping step, sized by the manifest (KB),
+    not the table. `skipped` includes files that predate the predicate
+    column entirely (schema drift: the column reads all-null there)."""
+    _, _, _, entries = _committed_state(root)
+    kept, skipped = table_stats.prune(entries, where)
+    return {
+        "files": [os.path.join(_data_dir(root), e["file"]) for e in kept],
+        "total": len(entries),
+        "skipped": skipped,
+    }
+
+
+def read_committed(
+    spark: SparkSession, root: str, where: list[tuple] | None = None
+) -> DataFrame | None:
     """The exactly-once view: scan ONLY manifest-committed files (orphans
     from crashed attempts are invisible). Returns None for an empty
     table (no schema to synthesize).
+
+    With ``where`` (a conjunction of ``(col, op, literal)``, ops
+    ``= < <= > >=``), files whose manifest stats PROVE no row can match
+    are never opened (see table_stats.py for the soundness corners:
+    NaN, type tags, truncated string bounds), and the exact predicate is
+    re-applied Spark-side — stats pruning is a superset filter, so the
+    result equals ``read_committed(...).filter(...)`` always, just
+    cheaper. Returns None when every file is pruned (same contract as an
+    empty table). At 100 TB this is the difference between opening 3
+    files and listing a million: the scan cost tracks the PREDICATE's
+    selectivity, not the table size.
 
     Reads with mergeSchema so a table whose batches gained columns over
     time (the cdc_schema_evolution scenario arriving at the sink) surfaces
@@ -194,10 +236,19 @@ def read_committed(spark: SparkSession, root: str) -> DataFrame | None:
     driver-side loop; a format that wanted to avoid even that would record
     the schema in each manifest and pre-merge driver-side — noted as the
     upgrade path, not needed at this table's file counts."""
-    files = committed_files(root)
+    if where:
+        files = prune_plan(root, where)["files"]
+    else:
+        files = committed_files(root)
     if not files:
         return None
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    if where:
+        missing = [c for c, _, _ in where if c not in df.columns]
+        if missing:
+            return None  # every surviving file lacks the column: no row matches
+        df = df.filter(table_stats.residual_condition(where))
+    return df
 
 
 def _rewrite_bin(job: tuple) -> dict:
@@ -214,11 +265,14 @@ def _rewrite_bin(job: tuple) -> dict:
     name = f"compact-{new_gen:08d}-{idx:05d}.parquet"
     final = os.path.join(data, name)
     tmp = final + f".tmp-{os.getpid()}"
-    pq.write_table(t, tmp)
+    pq.write_table(t, tmp,
+                   write_statistics=table_stats.nan_safe_write_statistics(t))
     with open(tmp, "rb") as fh:
         os.fsync(fh.fileno())
     os.replace(tmp, final)
-    return {"file": name, "n_rows": t.num_rows, "n_bytes": os.path.getsize(final)}
+    return {"file": name, "n_rows": t.num_rows,
+            "n_bytes": os.path.getsize(final),
+            **table_stats.footer_meta(final)}
 
 
 def compact_table(
@@ -241,16 +295,18 @@ def compact_table(
     snapshot already supersedes them)."""
     from crdb_changefeed_publisher_spark.operators.layout import ffd_bins
 
-    gen, _covers, high_water, names = _committed_state(root)
+    gen, _covers, high_water, entries = _committed_state(root)
     data = _data_dir(root)
-    sized = [(n, os.path.getsize(os.path.join(data, n))) for n in names]
+    by_name = {e["file"]: e for e in entries}
+    sized = [(e["file"], int(e["n_bytes"])) for e in entries]
     new_gen = gen + 1
     bins = ffd_bins(sized, target_bytes)
     out_files, rewritten, jobs = [], 0, []
     for i, b in enumerate(bins):
         if len(b) == 1:
-            f, sz = b[0]
-            out_files.append({"file": f, "n_rows": None, "n_bytes": sz})
+            # singleton bin: the file survives as-is, so its manifest entry
+            # (stats included) carries forward verbatim into the snapshot
+            out_files.append(dict(by_name[b[0][0]]))
             continue
         jobs.append((data, new_gen, i, [f for f, _ in b]))
         rewritten += len(b)
@@ -303,8 +359,8 @@ def vacuum(
     data = _data_dir(root)
     if not os.path.isdir(data):
         return []
-    _, _, high_water, keep = _committed_state(root)
-    keep_set = set(keep)
+    _, _, high_water, entries = _committed_state(root)
+    keep_set = {e["file"] for e in entries}
     now = time.time()
     gone = []
     for name in sorted(os.listdir(data)):

@@ -1,0 +1,247 @@
+"""Per-file column statistics for the table sink's manifests — the
+data-skipping half of a lakehouse format (Delta `stats`, Iceberg
+`lower_bounds`/`upper_bounds`), built from parquet FOOTERS only.
+
+Why footers: the writer just produced the file, so its footer min/max is
+free (KB read, page-cache hot) — no second data scan. Footer bounds are
+SOUND for pruning even when inexact: parquet-mr truncates long binary
+stats with proper bound rounding (max's last byte incremented), and
+pyarrow writes full values — in both cases ``stat_min <= v <= stat_max``
+holds for every value ``v`` in the file, which is all pruning needs.
+
+A file's manifest entry gains two fields:
+
+* ``cols``: the file's top-level column names. A committed file that
+  LACKS the predicate column entirely (written before a schema-drift
+  batch added it) reads as all-null there, so any null-rejecting
+  predicate on that column prunes the whole file — schema evolution
+  makes skipping STRONGER, not weaker.
+* ``stats``: ``{col: {"kind": k, "min": v, "max": v, "nulls": n}}`` for
+  top-level primitive columns whose every row group carries usable
+  stats. ``min``/``max`` are both None for an all-null column (still
+  prunable). Columns with unusable footers (binary, nested, truncated
+  away, NaN-polluted floats) simply have no entry — absent stats always
+  means "keep the file".
+
+Soundness corners handled explicitly:
+
+* **NaN**: Spark orders NaN ABOVE every value, but parquet writers
+  exclude NaN from min/max — so a file whose only ``x > lit`` matches
+  are NaN rows would be wrongly pruned by its finite max. Any float
+  column whose footer min/max contains NaN is dropped here, and
+  ``can_match`` refuses max-based pruning (``>``, ``>=``) for float
+  kinds entirely.
+* **Type confusion**: stats carry a ``kind`` tag (num/bool/str/days/us);
+  a predicate literal is converted through the SAME mapping, and a
+  kind mismatch disables pruning instead of comparing unlike types.
+* **Timestamps/dates**: normalized to integer epoch micros / days at
+  both record and probe time — never serialized as strings, never
+  compared through float seconds (the repo-wide integer-boundary rule).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+OPS = ("=", "<", "<=", ">", ">=")
+
+
+def nan_safe_write_statistics(t) -> bool | list[str]:
+    """`write_statistics` argument that keeps a parquet file honest under
+    Spark's NaN ordering. pyarrow EXCLUDES NaN from footer min/max, but
+    Spark orders NaN above every double — so Spark's own row-group
+    pushdown silently drops NaN rows from pyarrow-written files
+    (measured: a [NaN, 3.0] file with footer max=3.0 returns nothing for
+    ``x > 100`` with pushdown on, the NaN row with it off). Omitting
+    stats for exactly the float columns that contain NaN removes the
+    lying bound at the source: every engine then scans those files
+    instead of mis-pruning them. Returns True (all stats) when no float
+    column holds a NaN."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    bad = set()
+    for i, f in enumerate(t.schema):
+        if pa.types.is_floating(f.type):
+            if pc.any(pc.is_nan(t.column(i))).as_py():
+                bad.add(f.name)
+    if not bad:
+        return True
+    return [f.name for f in t.schema if f.name not in bad]
+
+
+def _ts_micros(v: _dt.datetime) -> int:
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return (v - _EPOCH_DT) // _dt.timedelta(microseconds=1)
+
+
+def _date_days(v: _dt.date) -> int:
+    return (v - _EPOCH_DATE).days
+
+
+def footer_meta(path: str) -> dict:
+    """Read one parquet footer into a manifest-ready ``{"cols", "stats"}``
+    dict. Never raises on odd files — any column it cannot certify is
+    left out of ``stats`` (pruning degrades to "keep", never to wrong)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    fields = {f.name: f.type for f in pf.schema_arrow}
+    cols = list(fields)
+
+    def kind_of(t) -> tuple[str, bool] | None:
+        # (kind tag, is_float) for stats-able primitives; None = skip
+        if pa.types.is_boolean(t):
+            return "bool", False
+        if pa.types.is_integer(t):
+            return "num", False
+        if pa.types.is_floating(t):
+            return "num", True
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "str", False
+        if pa.types.is_date(t):
+            return "days", False
+        if pa.types.is_timestamp(t):
+            return "us", False
+        return None
+
+    def norm(v, kind):
+        if kind == "us":
+            return _ts_micros(v)
+        if kind == "days":
+            return _date_days(v)
+        if kind == "bool":
+            return bool(v)
+        return v
+
+    acc: dict[str, dict] = {}
+    bad: set[str] = set()
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for ci in range(rg.num_columns):
+            c = rg.column(ci)
+            name = c.path_in_schema
+            if "." in name or name in bad or name not in fields:
+                continue
+            kf = kind_of(fields[name])
+            if kf is None:
+                continue
+            kind, is_float = kf
+            st = c.statistics
+            n_rows = rg.num_rows
+            if st is None or st.null_count is None:
+                bad.add(name)
+                continue
+            nulls = st.null_count
+            ent = acc.setdefault(
+                name, {"kind": kind, "min": None, "max": None, "nulls": 0,
+                       "float": is_float}
+            )
+            ent["nulls"] += nulls
+            if nulls == n_rows:
+                continue  # all-null row group contributes no bounds
+            if not st.has_min_max:
+                bad.add(name)
+                continue
+            lo, hi = norm(st.min, kind), norm(st.max, kind)
+            if is_float and (
+                (isinstance(lo, float) and math.isnan(lo))
+                or (isinstance(hi, float) and math.isnan(hi))
+            ):
+                bad.add(name)
+                continue
+            ent["min"] = lo if ent["min"] is None else min(ent["min"], lo)
+            ent["max"] = hi if ent["max"] is None else max(ent["max"], hi)
+    for name in bad:
+        acc.pop(name, None)
+    for ent in acc.values():
+        if not ent["float"]:
+            ent.pop("float")
+    return {"cols": cols, "stats": acc}
+
+
+def _literal_kind(lit) -> tuple[str, object] | None:
+    """(kind tag, normalized literal) through the same mapping as
+    footer_meta, or None for literals we never prune on."""
+    if isinstance(lit, bool):
+        return "bool", lit
+    if isinstance(lit, (int, float)):
+        if isinstance(lit, float) and math.isnan(lit):
+            return None
+        return "num", lit
+    if isinstance(lit, str):
+        return "str", lit
+    if isinstance(lit, _dt.datetime):  # before date: datetime IS a date
+        return "us", _ts_micros(lit)
+    if isinstance(lit, _dt.date):
+        return "days", _date_days(lit)
+    return None
+
+
+def can_match(entry: dict, col: str, op: str, lit) -> bool:
+    """May this committed file contain a row satisfying ``col op lit``?
+    False only when the manifest PROVES it cannot. ``entry`` is one
+    manifest file dict; files from pre-stats manifests always match."""
+    if op not in OPS:
+        raise ValueError(f"unsupported op {op!r}; use one of {OPS}")
+    cols = entry.get("cols")
+    if cols is not None and col not in cols:
+        return False  # column absent -> all null -> null-rejecting op fails
+    st = (entry.get("stats") or {}).get(col)
+    if st is None:
+        return True
+    lk = _literal_kind(lit)
+    if lk is None or lk[0] != st["kind"]:
+        return True
+    _, v = lk
+    lo, hi = st["min"], st["max"]
+    if lo is None and hi is None:
+        n_rows = entry.get("n_rows")
+        if n_rows is not None and st["nulls"] >= n_rows:
+            return False  # provably all-null
+        return True
+    if st.get("float") and op in (">", ">="):
+        return True  # NaN orders above every bound in Spark; max is not one
+    if op == "=":
+        return lo <= v <= hi
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    return hi >= v  # ">="
+
+
+def prune(entries: list[dict], where: list[tuple]) -> tuple[list[dict], int]:
+    """(surviving manifest entries, number skipped) for a conjunction of
+    ``(col, op, literal)`` predicates."""
+    kept = [
+        e
+        for e in entries
+        if all(can_match(e, c, op, lit) for c, op, lit in where)
+    ]
+    return kept, len(entries) - len(kept)
+
+
+def residual_condition(where: list[tuple]):
+    """The same conjunction as a Spark Column — pruning is a superset
+    filter, so the reader always re-applies the exact predicate."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for col, op, lit in where:
+        c = F.col(col)
+        piece = {
+            "=": c == lit, "<": c < lit, "<=": c <= lit,
+            ">": c > lit, ">=": c >= lit,
+        }[op]
+        cond = piece if cond is None else cond & piece
+    return cond

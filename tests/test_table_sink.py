@@ -715,3 +715,145 @@ def test_read_since_tailing_maintains_exact_matview(spark, sf_dir, tmp_path):
     for k in full:
         assert view[k][0] == full[k][0]
         assert abs(view[k][1] - full[k][1]) < 1e-6
+
+
+def test_stats_pruned_read_equals_full_read(spark, sf_dir, tmp_path):
+    """Data skipping: manifests carry footer min/max per file; a
+    predicate read opens only files whose bounds can match, and the
+    result is value-identical to filter-after-full-scan."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    # three batches with DISJOINT event_id ranges -> per-file bounds
+    # separate them even though every file has the same schema
+    ids = sorted(r.event_id for r in ev.select("event_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    table_sink.write_batch(
+        ev.filter(F.col("event_id") < cuts[0]).repartition(2), 0, root)
+    table_sink.write_batch(
+        ev.filter((F.col("event_id") >= cuts[0]) & (F.col("event_id") < cuts[1]))
+        .repartition(2), 1, root)
+    table_sink.write_batch(
+        ev.filter(F.col("event_id") >= cuts[1]).repartition(2), 2, root)
+
+    where = [("event_id", ">=", int(cuts[1]))]
+    plan = table_sink.prune_plan(root, where)
+    assert plan["total"] == 6 and plan["skipped"] == 4  # two batches skipped
+
+    got = sorted(
+        r.event_id
+        for r in table_sink.read_committed(spark, root, where=where).collect()
+    )
+    want = sorted(
+        r.event_id
+        for r in table_sink.read_committed(spark, root)
+        .filter(F.col("event_id") >= int(cuts[1])).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # string bounds prune too (event_type is low-cardinality: no file
+    # lacks it -> nothing skipped, but equality must stay value-exact)
+    w2 = [("event_type", "=", "purchase")]
+    got2 = table_sink.read_committed(spark, root, where=w2).count()
+    want2 = table_sink.read_committed(spark, root).filter(
+        F.col("event_type") == "purchase").count()
+    assert got2 == want2 > 0
+
+
+def test_stats_prune_missing_column_and_all_null(spark, tmp_path):
+    """Schema drift strengthens skipping: files written BEFORE a column
+    existed are pruned for any predicate on it; an all-null file is
+    provably unmatchable by a null-rejecting predicate."""
+    root = str(tmp_path / "tbl")
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    drifted = spark.createDataFrame(
+        [(3, "c", 10.0), (4, "d", 20.0)], "id int, s string, score double")
+    allnull = spark.createDataFrame(
+        [(5, "e", None), (6, "f", None)], "id int, s string, score double")
+    table_sink.write_batch(old.coalesce(1), 0, root)
+    table_sink.write_batch(drifted.coalesce(1), 1, root)
+    table_sink.write_batch(allnull.coalesce(1), 2, root)
+
+    plan = table_sink.prune_plan(root, [("score", ">=", 5.0)])
+    assert plan["total"] == 3 and plan["skipped"] == 2  # pre-drift + all-null
+    df = table_sink.read_committed(spark, root, where=[("score", ">=", 5.0)])
+    assert sorted(r.id for r in df.collect()) == [3, 4]
+
+    # predicate on a column NO file has: every file pruned, None returned
+    assert table_sink.read_committed(spark, root, where=[("nope", "=", 1)]) is None
+
+
+def test_stats_survive_compaction(spark, sf_dir, tmp_path):
+    """Compaction recomputes bounds for rewritten bins and carries
+    singleton entries forward verbatim — pruning keeps working (and the
+    result stays exact) across the snapshot boundary."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    ids = sorted(r.event_id for r in ev.select("event_id").collect())
+    cut = ids[len(ids) // 2]
+    lo, hi = ev.filter(F.col("event_id") < cut), ev.filter(F.col("event_id") >= cut)
+    table_sink.write_batch(lo.repartition(2), 0, root)
+    # compact the lo half into ONE rewritten file (its stats are the
+    # executor-recomputed footer bounds, not carried manifest entries)
+    res = table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    assert res["files_rewritten"] == 2 and res["files_now"] == 1
+    # then append the hi half: a batch manifest ABOVE the snapshot
+    table_sink.write_batch(hi.repartition(1), 1, root)
+
+    with open(os.path.join(root, "_commits", "snapshot-00000000.json")) as fh:
+        snap = json.load(fh)
+    assert all("stats" in f and "cols" in f for f in snap["files"])
+
+    # both directions prune exactly one side, values stay exact
+    for where, want_df in (
+        ([("event_id", "<", int(cut))], lo),
+        ([("event_id", ">=", int(cut))], hi),
+    ):
+        plan = table_sink.prune_plan(root, where)
+        assert plan["skipped"] == 1 and plan["total"] == 2
+        got = sorted(
+            r.event_id
+            for r in table_sink.read_committed(spark, root, where=where).collect()
+        )
+        assert got == sorted(r.event_id for r in want_df.collect())
+
+    # a re-compaction that rewrites nothing (target below every file)
+    # carries ALL entries forward verbatim — stats survive unchanged
+    res2 = table_sink.compact_table(spark, root, target_bytes=1)
+    assert res2["files_rewritten"] == 0
+    plan2 = table_sink.prune_plan(root, [("event_id", "<", int(cut))])
+    assert plan2["skipped"] == 1 and plan2["total"] == 2
+
+
+def test_stats_nan_never_prunes_upper_bound(spark, tmp_path):
+    """Spark orders NaN above every float, but parquet footers exclude
+    NaN from min/max — a lying upper bound. The sink writes NaN-holding
+    float columns WITHOUT footer stats (so even Spark's own row-group
+    pushdown cannot mis-prune them), and the manifest layer refuses
+    max-based pruning for float kinds; the NaN row must survive a
+    `> huge` read through every layer."""
+    import math
+    root = str(tmp_path / "tbl")
+    nan = spark.createDataFrame(
+        [(1, float("nan")), (2, 3.0)], "id int, x double")
+    clean = spark.createDataFrame([(3, 5.0), (4, 7.0)], "id int, x double")
+    table_sink.write_batch(nan.coalesce(1), 0, root)
+    table_sink.write_batch(clean.coalesce(1), 1, root)
+
+    # NaN > 100.0 is TRUE under Spark ordering: the NaN row must appear,
+    # and the pruned read must equal the unpruned + filter path
+    plan = table_sink.prune_plan(root, [("x", ">", 100.0)])
+    assert plan["skipped"] == 0
+    rows = table_sink.read_committed(
+        spark, root, where=[("x", ">", 100.0)]).collect()
+    assert [r.id for r in rows] == [1] and math.isnan(rows[0].x)
+    full = table_sink.read_committed(spark, root).filter(
+        F.col("x") > 100.0).collect()
+    assert sorted(r.id for r in full) == sorted(r.id for r in rows)
+
+    # lower-bound pruning on the clean file is still allowed and exact
+    plan2 = table_sink.prune_plan(root, [("x", "<", 1.0)])
+    assert plan2["skipped"] == 1  # clean file's min=5.0 proves empty
+    df2 = table_sink.read_committed(spark, root, where=[("x", "<", 1.0)])
+    assert df2 is None or df2.count() == 0
