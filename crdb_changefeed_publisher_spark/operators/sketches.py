@@ -531,3 +531,52 @@ def quantile_sketch_estimate(
     ]
     keep = [c for c in sketch_df.columns if c != sketch_col]
     return sketch_df.select(*keep, *cols)
+
+
+def exact_heavy_hitters(
+    df: DataFrame, key_col: str, num: int, den: int
+) -> DataFrame:
+    """EXACT heavy hitters at unbounded key cardinality: every non-null
+    key whose count satisfies ``cnt * den > n * num`` (strictly more than
+    the fraction num/den of rows), with its exact count and share — the
+    standard two-pass scheme:
+
+    1. CANDIDATES: one scan through Spark's `freqItems` (the Karp/
+       Misra-Gries counter family) — per-partition summaries of at most
+       ~den/num counters, merged JVM-side. The guarantee is one-sided:
+       every key above the threshold IS in the result, false positives
+       possible — a superset, which is all a pruning pass needs. The
+       collected candidate list is bounded by den/num (NOT by key
+       cardinality), so it ships back as plan literals like the Bloom
+       probe vehicle (operators/bloom.py).
+    2. EXACT RECOUNT restricted to candidates: the `isin` drops
+       non-candidates AT THE SCAN, so the groupBy shuffles at most
+       den/num keys' partial counts per partition — at 100 TB the wire
+       cost is (partitions x den/num), never (partitions x vocabulary).
+       False positives from pass 1 die here against the exact threshold.
+
+    Threshold arithmetic stays in INTEGERS (`cnt * den > n * num`) so an
+    oracle's HAVING clause lands on the identical boundary — the repo's
+    float-half-tie rule. Null keys are excluded (freqItems cannot track
+    them and `isin` is null-rejecting); filter upstream if nulls matter.
+    """
+    if num <= 0 or den <= 0:
+        raise ValueError("threshold num/den must be positive integers")
+    cap = den // num
+    if cap > 100_000:
+        raise ValueError(
+            f"support {num}/{den} admits up to {cap} heavy hitters; a list "
+            "that size should ship as a Bloom/broadcast probe "
+            "(operators/bloom.py), not freqItems plan literals"
+        )
+    keyed = df.select(key_col).filter(F.col(key_col).isNotNull())
+    support = max(num / den, 1e-4)
+    cands = keyed.freqItems([key_col], support=support).collect()[0][0]
+    n = keyed.count()
+    return (
+        keyed.filter(F.col(key_col).isin(list(cands)))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * F.lit(den) > F.lit(n * num))
+        .withColumn("share", F.round(F.col("cnt") / F.lit(float(n)), 6))
+    )

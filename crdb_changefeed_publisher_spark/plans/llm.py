@@ -2510,3 +2510,36 @@ def order_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.quantile_sketch_estimate(
         sk, {"p25": 2500, "p50": 5000, "p75": 7500, "p90": 9000}
     )
+
+
+@query(
+    "word_heavy_hitters",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ),
+    c AS (SELECT word, count(*) AS cnt FROM words
+          WHERE word IS NOT NULL GROUP BY 1),
+    n AS (SELECT sum(cnt) AS tot FROM c)
+    SELECT word, cnt, round(cnt / CAST(tot AS DOUBLE), 6) AS share
+    FROM c CROSS JOIN n
+    WHERE cnt * 50 > tot * 1
+    """,
+    doc="EXACT heavy hitters over unbounded key cardinality (frequent-"
+    "token detection for tokenizer/contamination triage): every word "
+    "strictly above 1/50 of the corpus, exact count + share, via the "
+    "two-pass Misra-Gries scheme — freqItems candidate superset (<= 50 "
+    "plan literals, scan-side drop), then an exact recount whose shuffle "
+    "is candidate-sized, never vocabulary-sized. Integer threshold "
+    "cnt*50 > n*1 on both engines "
+    "(operators/sketches.py::exact_heavy_hitters).",
+)
+def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    )
+    return sketches.exact_heavy_hitters(words, "word", num=1, den=50)

@@ -48,10 +48,9 @@ def test_retired_set_is_the_expected_one():
     assert RETIRED == [
         "asof_purchase_last_click",
         "best_order_per_customer",
-        "bloom_semijoin_stats",
         "cdc_envelopes_orders",
-        "cdc_schema_evolution",
         "cdc_upsert_view",
+        "conditional_aggs_orders",
         "date_funcs_orders",
         "dedup_minhash_lsh",
         "doc_bm25_search",
@@ -97,11 +96,14 @@ def test_retired_set_is_the_expected_one():
         "orders_profile",
         "orders_zorder_key",
         "pivot_returnflag_linestatus",
+        "running_revenue_by_customer",
+        "sales_rollup",
         "string_funcs_part",
         "supplier_customer_pagerank",
         "token_vocab_coverage",
         "top_expensive_orders",
         "top_shingles_corpus",
+        "word_heavy_hitters",
     ]
 
 

@@ -411,3 +411,31 @@ def test_quantile_sketch_k_validation():
         sketches.quantile_sketch(None, "v", "id", k=0)
     with pytest.raises(ValueError):
         sketches.quantile_sketch_union(None, k=sketches.QSK_MAX_K + 1)
+
+
+def test_exact_heavy_hitters_boundary_and_skew(spark):
+    """Two-pass exact heavy hitters: a planted distribution with one key
+    EXACTLY on the integer threshold (the strict inequality must exclude
+    it), one above, a null (excluded by contract), and a distinct tail
+    whose false-positive candidates must die in the exact recount."""
+    from crdb_changefeed_publisher_spark.operators.sketches import exact_heavy_hitters
+
+    # n = 100 non-null rows; threshold 1/5: qualify iff cnt * 5 > 100
+    rows = (
+        [("a",)] * 30            # 30*5=150 > 100 -> in
+        + [("b",)] * 20          # 20*5=100 -> NOT > 100 -> boundary-out
+        + [(f"t{i}",) for i in range(50)]  # uniform tail, all out
+        + [(None,)] * 7          # nulls excluded from n AND output
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r.k: (r.cnt, r.share) for r in
+           exact_heavy_hitters(df, "k", num=1, den=5).collect()}
+    assert got == {"a": (30, 0.3)}
+
+    # superset guarantee at a finer threshold: everything above 1/100
+    got2 = {r.k: r.cnt for r in
+            exact_heavy_hitters(df, "k", num=1, den=100).collect()}
+    assert got2 == {"a": 30, "b": 20}  # tail keys cnt*100 = 100, not > 100
+
+    with pytest.raises(ValueError):
+        exact_heavy_hitters(df, "k", num=1, den=50_000_000)
