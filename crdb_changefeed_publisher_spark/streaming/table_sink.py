@@ -80,6 +80,45 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+_PART_SCHEMA = "file string, n_rows long, n_bytes long, meta string"
+
+
+def _part_writer(data: str, name_fmt: str):
+    """Executor-side parquet part writer (Arrow in, Arrow out — NOT
+    mapInPandas: the pandas round trip represents both NULL and NaN as
+    float NaN, so a NaN VALUE in a double column comes back as a null;
+    measured before the switch). Writes this task's rows to
+    ``name_fmt.format(pid=partition_id)`` via tmp + fsync + atomic
+    rename (a replayed task overwrites its own previous attempt), and
+    yields one manifest row carrying the footer-derived column stats for
+    data skipping — computed right here, while the footer is page-cache
+    hot."""
+
+    def write_parts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        name = name_fmt.format(pid=pid)
+        final = os.path.join(data, name)
+        tmp = final + f".tmp-{os.getpid()}"
+        t = pa.Table.from_batches(got)
+        pq.write_table(t, tmp,
+                       write_statistics=table_stats.nan_safe_write_statistics(t))
+        with open(tmp, "rb") as fh:
+            os.fsync(fh.fileno())
+        os.replace(tmp, final)
+        meta = table_stats.footer_meta(final)
+        yield pa.RecordBatch.from_pydict(
+            {"file": [name], "n_rows": [t.num_rows],
+             "n_bytes": [os.path.getsize(final)], "meta": [json.dumps(meta)]}
+        )
+
+    return write_parts
+
+
 def write_batch(batch_df: DataFrame, batch_id: int, root: str) -> int:
     """foreachBatch body: write this micro-batch's rows as batch-keyed
     parquet files + one manifest. Returns the committed row count.
@@ -96,38 +135,9 @@ def write_batch(batch_df: DataFrame, batch_id: int, root: str) -> int:
     data, commits = _data_dir(root), _commits_dir(root)
     os.makedirs(data, exist_ok=True)
     os.makedirs(commits, exist_ok=True)
-
-    def write_parts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        # Arrow in, Arrow out — NOT mapInPandas: the pandas round trip
-        # represents both NULL and NaN as float NaN, so a NaN VALUE in a
-        # double column comes back as a null (measured: from_pandas wrote
-        # null_count=1 for a [NaN, 3.0] column). Spark distinguishes the
-        # two; a table sink must preserve them exactly.
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        got = [b for b in batches if b.num_rows]
-        if not got:
-            return
-        name = f"batch-{batch_id:08d}-part-{pid:05d}.parquet"
-        final = os.path.join(data, name)
-        tmp = final + f".tmp-{os.getpid()}"
-        t = pa.Table.from_batches(got)
-        pq.write_table(t, tmp,
-                       write_statistics=table_stats.nan_safe_write_statistics(t))
-        with open(tmp, "rb") as fh:
-            os.fsync(fh.fileno())
-        os.replace(tmp, final)
-        # footer-only stats for manifest-level data skipping: computed on
-        # the executor that just wrote the file (footer is page-cache hot)
-        meta = table_stats.footer_meta(final)
-        yield pa.RecordBatch.from_pydict(
-            {"file": [name], "n_rows": [t.num_rows],
-             "n_bytes": [os.path.getsize(final)], "meta": [json.dumps(meta)]}
-        )
-
     manifest_rows = batch_df.mapInArrow(
-        write_parts, "file string, n_rows long, n_bytes long, meta string"
+        _part_writer(data, f"batch-{batch_id:08d}-part-{{pid:05d}}.parquet"),
+        _PART_SCHEMA,
     ).collect()
     files = sorted(
         ({"file": r.file, "n_rows": int(r.n_rows), "n_bytes": int(r.n_bytes),
@@ -316,6 +326,23 @@ def compact_table(
         out_files.extend(
             spark.sparkContext.parallelize(jobs, len(jobs)).map(_rewrite_bin).collect()
         )
+    _publish_snapshot(root, new_gen, high_water, out_files)
+    return {
+        "generation": new_gen,
+        "covers": high_water,
+        "bins": len(bins),
+        "files_rewritten": rewritten,
+        "files_now": len(out_files),
+    }
+
+
+def _publish_snapshot(
+    root: str, new_gen: int, high_water: int, out_files: list[dict]
+) -> None:
+    """Atomically publish a compaction snapshot, then prune the batch
+    manifests it supersedes (snapshot is durable first, so a crash
+    between the two is harmless — the snapshot already supersedes
+    them)."""
     _atomic_write_json(
         os.path.join(_commits_dir(root), f"snapshot-{new_gen:08d}.json"),
         {
@@ -324,18 +351,74 @@ def compact_table(
             "files": sorted(out_files, key=lambda d: d["file"]),
         },
     )
-    # prune superseded batch manifests (snapshot is durable at this point)
     commits = _commits_dir(root)
     for name in os.listdir(commits):
         if name.startswith("batch-") and name.endswith(".json"):
             if int(name[len("batch-"):-len(".json")]) <= high_water:
                 os.remove(os.path.join(commits, name))
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    root: str,
+    col_a: str,
+    col_b: str,
+    target_bytes: int = 128 << 20,
+    bits: int = 16,
+    num_files: int | None = None,
+) -> dict:
+    """OPTIMIZE ... ZORDER BY (col_a, col_b): rewrite the ENTIRE
+    committed set clustered on the interleaved key (operators/layout.py::
+    zvalue) and publish the result as a compaction snapshot. Where
+    `compact_table` repacks whole files (layout-preserving bin packing),
+    this is the layout-CHANGING maintenance pass: rows are globally
+    range-partitioned by z-value and sorted within each file, so every
+    file owns a rectangle in (col_a, col_b) space and the manifest
+    data-skipping stats (table_stats.py) prune on EITHER column — a
+    linear sort clusters only its leading key. The Delta OPTIMIZE
+    ZORDER BY recipe, expressed as one Spark job: repartitionByRange
+    keeps the shuffle to a single pass, file count is total_bytes /
+    target_bytes, and the rewritten files' stats come from their own
+    footers like any other write.
+
+    Concurrency contract == compact_table: single-writer vs other
+    maintenance ops; streaming appends landing during the rewrite stay
+    visible (their batch ids exceed the published `covers`). A crash
+    before the snapshot rename leaves only orphan data files for vacuum."""
+    from pyspark.sql import functions as F
+
+    from crdb_changefeed_publisher_spark.operators.layout import zvalue
+
+    gen, _covers, high_water, entries = _committed_state(root)
+    if not entries:
+        return {"generation": gen, "covers": high_water, "files_now": 0,
+                "n_rows": 0}
+    df = read_committed(spark, root)
+    total = sum(int(e["n_bytes"]) for e in entries)
+    n_files = num_files if num_files is not None else max(1, -(-total // target_bytes))
+    new_gen = gen + 1
+    clustered = (
+        df.withColumn("_z", zvalue(F.col(col_a), F.col(col_b), bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out_files = [
+        {"file": r.file, "n_rows": int(r.n_rows), "n_bytes": int(r.n_bytes),
+         **json.loads(r.meta)}
+        for r in clustered.mapInArrow(
+            _part_writer(
+                _data_dir(root), f"compact-{new_gen:08d}-{{pid:05d}}.parquet"
+            ),
+            _PART_SCHEMA,
+        ).collect()
+    ]
+    _publish_snapshot(root, new_gen, high_water, out_files)
     return {
         "generation": new_gen,
         "covers": high_water,
-        "bins": len(bins),
-        "files_rewritten": rewritten,
         "files_now": len(out_files),
+        "n_rows": sum(f["n_rows"] for f in out_files),
     }
 
 

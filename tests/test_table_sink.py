@@ -857,3 +857,55 @@ def test_stats_nan_never_prunes_upper_bound(spark, tmp_path):
     assert plan2["skipped"] == 1  # clean file's min=5.0 proves empty
     df2 = table_sink.read_committed(spark, root, where=[("x", "<", 1.0)])
     assert df2 is None or df2.count() == 0
+
+
+def test_optimize_zorder_improves_data_skipping_on_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER BY composed with manifest data skipping: after the
+    clustered rewrite, predicates on EITHER dimension prune files; a
+    linear sort by x clusters only x (y-predicates open everything).
+    Rows are preserved exactly through the rewrite."""
+    from pyspark.sql import functions as F
+
+    n, dim = 1 << 12, 64  # x, y uniform in [0, 64)
+    base = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % dim).alias("x"),
+        ((F.col("id") * 2654435761) % dim).alias("y"),
+    )
+
+    def build(root, mode):
+        if mode == "zorder":
+            table_sink.write_batch(base.repartition(8), 0, root)
+            res = table_sink.optimize_zorder(
+                spark, root, "x", "y", bits=6, num_files=8)
+            assert res["n_rows"] == n and res["files_now"] == 8
+        else:  # linear sort by x, same file count as the z table
+            table_sink.write_batch(
+                base.repartitionByRange(8, "x").sortWithinPartitions("x"),
+                0, root)
+
+    zroot, lroot = str(tmp_path / "z"), str(tmp_path / "lin")
+    build(zroot, "zorder")
+    build(lroot, "linear")
+
+    # exact preservation through the clustered rewrite
+    got = sorted(r.rid for r in table_sink.read_committed(spark, zroot).collect())
+    assert got == list(range(n))
+
+    quarter = dim // 4
+    for col in ("x", "y"):
+        w = [(col, "<", quarter)]
+        zplan = table_sink.prune_plan(zroot, w)
+        assert zplan["skipped"] > 0, f"z-order must prune on {col}"
+        zread = table_sink.read_committed(spark, zroot, where=w)
+        assert zread.count() == base.filter(F.col(col) < quarter).count()
+    # the linear layout prunes x but NOT y — that asymmetry is the point
+    assert table_sink.prune_plan(lroot, [("x", "<", quarter)])["skipped"] > 0
+    assert table_sink.prune_plan(lroot, [("y", "<", quarter)])["skipped"] == 0
+
+    # maintenance op composes with later appends (ids above covers)
+    extra = spark.range(n, n + 10).select(
+        F.col("id").alias("rid"),
+        F.lit(0).cast("long").alias("x"), F.lit(0).cast("long").alias("y"))
+    table_sink.write_batch(extra, 1, zroot)
+    assert table_sink.read_committed(spark, zroot).count() == n + 10
