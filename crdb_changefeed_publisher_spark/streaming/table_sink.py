@@ -219,6 +219,27 @@ def prune_plan(root: str, where: list[tuple]) -> dict:
     }
 
 
+def _load_entries(
+    spark: SparkSession, root: str, entries: list[dict],
+    where: list[tuple] | None,
+) -> DataFrame | None:
+    """Shared pruned loader behind every read path: drop entries whose
+    stats prove no match, scan the survivors with mergeSchema, re-apply
+    the exact predicate. None when nothing can match."""
+    if where:
+        entries, _ = table_stats.prune(entries, where)
+    if not entries:
+        return None
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(_data_dir(root), e["file"]) for e in entries]
+    )
+    if where:
+        if any(c not in df.columns for c, _, _ in where):
+            return None  # every surviving file lacks the column: no row matches
+        df = df.filter(table_stats.residual_condition(where))
+    return df
+
+
 def read_committed(
     spark: SparkSession, root: str, where: list[tuple] | None = None
 ) -> DataFrame | None:
@@ -246,19 +267,8 @@ def read_committed(
     driver-side loop; a format that wanted to avoid even that would record
     the schema in each manifest and pre-merge driver-side — noted as the
     upgrade path, not needed at this table's file counts."""
-    if where:
-        files = prune_plan(root, where)["files"]
-    else:
-        files = committed_files(root)
-    if not files:
-        return None
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
-    if where:
-        missing = [c for c, _, _ in where if c not in df.columns]
-        if missing:
-            return None  # every surviving file lacks the column: no row matches
-        df = df.filter(table_stats.residual_condition(where))
-    return df
+    _, _, _, entries = _committed_state(root)
+    return _load_entries(spark, root, entries, where)
 
 
 def _rewrite_bin(job: tuple) -> dict:
@@ -472,7 +482,10 @@ def vacuum(
     return gone
 
 
-def as_of_batch(spark: SparkSession, root: str, batch_id: int) -> DataFrame | None:
+def as_of_batch(
+    spark: SparkSession, root: str, batch_id: int,
+    where: list[tuple] | None = None,
+) -> DataFrame | None:
     """Time-travel read: the table as it stood after batch `batch_id`
     committed — the latest snapshot at or below that batch plus the batch
     manifests in between. History granularity is the manifest set that
@@ -509,7 +522,7 @@ def as_of_batch(spark: SparkSession, root: str, batch_id: int) -> DataFrame | No
             "that history was compacted away; earliest readable state is "
             f"as_of_batch({floor})"
         )
-    files = [f["file"] for f in snap["files"]] if snap else []
+    entries = list(snap["files"]) if snap else []
     applicable = sorted(
         (m for m in batches if covers < int(m["batch_id"]) <= batch_id),
         key=lambda m: int(m["batch_id"]),
@@ -532,16 +545,13 @@ def as_of_batch(spark: SparkSession, root: str, batch_id: int) -> DataFrame | No
             "no longer reconstructible"
         )
     for m in applicable:
-        files.extend(f["file"] for f in m["files"])
-    if not files:
-        return None
-    return spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(_data_dir(root), f) for f in files]
-    )
+        entries.extend(m["files"])
+    return _load_entries(spark, root, entries, where)
 
 
 def read_since(
-    spark: SparkSession, root: str, after_batch: int
+    spark: SparkSession, root: str, after_batch: int,
+    where: list[tuple] | None = None,
 ) -> tuple[DataFrame | None, int]:
     """Incremental changelog read for an APPEND-ONLY table: the rows that
     committed in batches (after_batch, high_water], plus the new
@@ -566,7 +576,7 @@ def read_since(
             "read_committed() or raise compaction cadence"
         )
     commits = _commits_dir(root)
-    files: list[str] = []
+    entries: list[dict] = []
     if os.path.isdir(commits):
         for name in sorted(os.listdir(commits)):
             if not (name.startswith("batch-") and name.endswith(".json")):
@@ -574,13 +584,8 @@ def read_since(
             with open(os.path.join(commits, name)) as fh:
                 m = json.load(fh)
             if after_batch < int(m["batch_id"]) <= high_water:
-                files.extend(f["file"] for f in m["files"])
-    if not files:
-        return None, high_water
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(_data_dir(root), f) for f in files]
-    )
-    return df, high_water
+                entries.extend(m["files"])
+    return _load_entries(spark, root, entries, where), high_water
 
 
 def table_history(root: str) -> list[dict]:

@@ -909,3 +909,25 @@ def test_optimize_zorder_improves_data_skipping_on_both_dims(spark, tmp_path):
         F.lit(0).cast("long").alias("x"), F.lit(0).cast("long").alias("y"))
     table_sink.write_batch(extra, 1, zroot)
     assert table_sink.read_committed(spark, zroot).count() == n + 10
+
+
+def test_where_pruning_on_time_travel_and_incremental_reads(spark, tmp_path):
+    """The same data-skipping predicate path serves as_of_batch and
+    read_since: a tailing consumer or time traveler with a selective
+    predicate opens only matching delta files."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    for b in range(4):  # batch b holds ids [100b, 100b+100)
+        df = spark.range(100 * b, 100 * b + 100).select(F.col("id"))
+        table_sink.write_batch(df.coalesce(1), b, root)
+
+    tt = table_sink.as_of_batch(spark, root, 2, where=[("id", ">=", 250)])
+    assert sorted(r.id for r in tt.collect()) == list(range(250, 300))
+    assert table_sink.as_of_batch(spark, root, 1, where=[("id", ">=", 250)]) is None
+
+    df, hw = table_sink.read_since(spark, root, 0, where=[("id", "<", 150)])
+    assert hw == 3
+    assert sorted(r.id for r in df.collect()) == list(range(100, 150))
+    none_df, _ = table_sink.read_since(spark, root, 1, where=[("id", "<", 150)])
+    assert none_df is None  # batches 2-3 provably out of range
