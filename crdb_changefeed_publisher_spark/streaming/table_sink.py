@@ -371,8 +371,8 @@ def _publish_snapshot(
 def optimize_zorder(
     spark: SparkSession,
     root: str,
-    col_a: str,
-    col_b: str,
+    col_a,
+    col_b,
     target_bytes: int = 128 << 20,
     bits: int = 16,
     num_files: int | None = None,
@@ -399,6 +399,10 @@ def optimize_zorder(
 
     from crdb_changefeed_publisher_spark.operators.layout import zvalue
 
+    # col_a / col_b: stored column names, or Column EXPRESSIONS deriving a
+    # range-compressed integer from stored columns (e.g. a parsed CDC key)
+    # — clustering by a derived key still tightens the stored columns'
+    # per-file bounds, which is what the manifest stats prune on.
     gen, _covers, high_water, entries = _committed_state(root)
     if not entries:
         return {"generation": gen, "covers": high_water, "files_now": 0,
@@ -408,7 +412,14 @@ def optimize_zorder(
     n_files = num_files if num_files is not None else max(1, -(-total // target_bytes))
     new_gen = gen + 1
     clustered = (
-        df.withColumn("_z", zvalue(F.col(col_a), F.col(col_b), bits))
+        df.withColumn(
+            "_z",
+            zvalue(
+                F.col(col_a) if isinstance(col_a, str) else col_a,
+                F.col(col_b) if isinstance(col_b, str) else col_b,
+                bits,
+            ),
+        )
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")

@@ -211,6 +211,29 @@ def main() -> None:
     assert got2 == want, "apply mismatch after compaction+vacuum"
     files_after = len(table_sink.committed_files(root))
 
+    # --- layout maintenance + data skipping under the same feed ----------
+    # OPTIMIZE ZORDER BY (version, parsed CDC key) — the key is a JSON
+    # array string, so the clustering key is a DERIVED integer — then a
+    # selective version read must prune files via manifest stats and
+    # stay value-exact vs the unpruned scan.
+    from pyspark.sql import functions as F
+
+    zsum = table_sink.optimize_zorder(
+        spark, root, "version",
+        F.expr(r"CAST(regexp_extract(key, '\\[(\\d+)\\]', 1) AS BIGINT)"),
+        bits=22, num_files=8,
+    )
+    assert zsum["n_rows"] == n_changes, zsum
+    cut = int(n_changes * 0.9)
+    where = [("version", ">", cut)]
+    plan = table_sink.prune_plan(root, where)
+    assert plan["skipped"] >= 1, plan
+    pruned = table_sink.read_committed(spark, root, where=where)
+    n_hot = 0 if pruned is None else pruned.count()
+    n_hot_full = table_sink.read_committed(spark, root).filter(
+        F.col("version") > cut).count()
+    assert n_hot == n_hot_full, (n_hot, n_hot_full)
+
     print(
         json.dumps(
             {
@@ -226,6 +249,11 @@ def main() -> None:
                 "files_after_compact": files_after,
                 "files_vacuumed": len(gone),
                 "compaction": summary,
+                "zorder": zsum,
+                "hot_key_prune": {
+                    "files_total": plan["total"],
+                    "files_skipped": plan["skipped"],
+                },
             }
         )
     )
