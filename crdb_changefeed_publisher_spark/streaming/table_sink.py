@@ -83,7 +83,7 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 _PART_SCHEMA = "file string, n_rows long, n_bytes long, meta string"
 
 
-def _part_writer(data: str, name_fmt: str):
+def _part_writer(data: str, name_fmt: str, bloom_cols: list[str] | None = None):
     """Executor-side parquet part writer (Arrow in, Arrow out — NOT
     mapInPandas: the pandas round trip represents both NULL and NaN as
     float NaN, so a NaN VALUE in a double column comes back as a null;
@@ -111,6 +111,8 @@ def _part_writer(data: str, name_fmt: str):
             os.fsync(fh.fileno())
         os.replace(tmp, final)
         meta = table_stats.footer_meta(final)
+        if bloom_cols:
+            meta["blooms"] = table_stats.file_blooms(t, bloom_cols)
         yield pa.RecordBatch.from_pydict(
             {"file": [name], "n_rows": [t.num_rows],
              "n_bytes": [os.path.getsize(final)], "meta": [json.dumps(meta)]}
@@ -119,7 +121,10 @@ def _part_writer(data: str, name_fmt: str):
     return write_parts
 
 
-def write_batch(batch_df: DataFrame, batch_id: int, root: str) -> int:
+def write_batch(
+    batch_df: DataFrame, batch_id: int, root: str,
+    bloom_cols: list[str] | None = None,
+) -> int:
     """foreachBatch body: write this micro-batch's rows as batch-keyed
     parquet files + one manifest. Returns the committed row count.
 
@@ -136,7 +141,8 @@ def write_batch(batch_df: DataFrame, batch_id: int, root: str) -> int:
     os.makedirs(data, exist_ok=True)
     os.makedirs(commits, exist_ok=True)
     manifest_rows = batch_df.mapInArrow(
-        _part_writer(data, f"batch-{batch_id:08d}-part-{{pid:05d}}.parquet"),
+        _part_writer(data, f"batch-{batch_id:08d}-part-{{pid:05d}}.parquet",
+                     bloom_cols),
         _PART_SCHEMA,
     ).collect()
     files = sorted(
@@ -279,7 +285,7 @@ def _rewrite_bin(job: tuple) -> dict:
     instead of serially through the driver. Requires the table root on
     storage every executor can reach — the same shared-filesystem
     assumption the manifest protocol itself makes."""
-    data, new_gen, idx, names = job
+    data, new_gen, idx, names, bloom_cols = job
     src = [os.path.join(data, f) for f in names]
     t = pa.concat_tables([pq.read_table(p) for p in src], promote_options="default")
     name = f"compact-{new_gen:08d}-{idx:05d}.parquet"
@@ -290,13 +296,16 @@ def _rewrite_bin(job: tuple) -> dict:
     with open(tmp, "rb") as fh:
         os.fsync(fh.fileno())
     os.replace(tmp, final)
+    meta = table_stats.footer_meta(final)
+    if bloom_cols:
+        meta["blooms"] = table_stats.file_blooms(t, bloom_cols)
     return {"file": name, "n_rows": t.num_rows,
-            "n_bytes": os.path.getsize(final),
-            **table_stats.footer_meta(final)}
+            "n_bytes": os.path.getsize(final), **meta}
 
 
 def compact_table(
-    spark: SparkSession, root: str, target_bytes: int = 128 << 20
+    spark: SparkSession, root: str, target_bytes: int = 128 << 20,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Compact the committed file set with the FFD planner and publish a
     snapshot manifest atomically. Returns a summary dict. Single-writer
@@ -328,7 +337,7 @@ def compact_table(
             # (stats included) carries forward verbatim into the snapshot
             out_files.append(dict(by_name[b[0][0]]))
             continue
-        jobs.append((data, new_gen, i, [f for f, _ in b]))
+        jobs.append((data, new_gen, i, [f for f, _ in b], bloom_cols))
         rewritten += len(b)
     if jobs:
         # one Spark job, one task per bin — the driver only plans bins and
@@ -376,6 +385,7 @@ def optimize_zorder(
     target_bytes: int = 128 << 20,
     bits: int = 16,
     num_files: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE ... ZORDER BY (col_a, col_b): rewrite the ENTIRE
     committed set clustered on the interleaved key (operators/layout.py::
@@ -429,7 +439,8 @@ def optimize_zorder(
          **json.loads(r.meta)}
         for r in clustered.mapInArrow(
             _part_writer(
-                _data_dir(root), f"compact-{new_gen:08d}-{{pid:05d}}.parquet"
+                _data_dir(root), f"compact-{new_gen:08d}-{{pid:05d}}.parquet",
+                bloom_cols,
             ),
             _PART_SCHEMA,
         ).collect()

@@ -167,6 +167,117 @@ def footer_meta(path: str) -> dict:
     return {"cols": cols, "stats": acc}
 
 
+BLOOM_K = 5
+BLOOM_MAX_BITS = 1 << 20  # ~171 KB base64 per (file, column) manifest cap
+
+
+def _bloom_positions_py(value_str: str, m_bits: int, k: int) -> list[int]:
+    """Python twin of operators/bloom.bloom_positions — same portable
+    52-bit sha2 hash (sketches.kmv_hash), same affine transforms — so a
+    manifest bloom built here is bit-compatible with the SQL/Spark
+    construction (and cross-checked against bloom_build in tests)."""
+    import hashlib
+
+    from crdb_changefeed_publisher_spark.operators.bloom import (
+        BLOOM_COEFFS, BLOOM_MOD, BLOOM_SEED,
+    )
+
+    h = int(hashlib.sha256(
+        f"{BLOOM_SEED}:{value_str}".encode()).hexdigest()[:13], 16)
+    return [((h * a + b) % BLOOM_MOD) % m_bits for a, b in BLOOM_COEFFS[:k]]
+
+
+def bloom_words_py(value_strs, m_bits: int, k: int = BLOOM_K) -> list[int]:
+    """Signed-int64 bloom words over canonical value strings (the same
+    packing as operators/bloom.bloom_build)."""
+    words = [0] * (m_bits // 64)
+    for s in value_strs:
+        for pos in _bloom_positions_py(s, m_bits, k):
+            words[pos // 64] |= 1 << (pos % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_contains_py(words: list[int], m_bits: int, k: int, value_str: str) -> bool:
+    for pos in _bloom_positions_py(value_str, m_bits, k):
+        w = words[pos // 64]
+        if w < 0:
+            w += 1 << 64
+        if not (w >> (pos % 64)) & 1:
+            return False
+    return True
+
+
+def file_blooms(t, cols: list[str]) -> dict:
+    """Per-file manifest blooms for point-lookup skipping: min/max bounds
+    cannot prune equality probes on UNCLUSTERED high-cardinality columns
+    (every file's range spans the domain), but a KB-sized bloom per file
+    answers "might this file contain key X?" with zero false negatives —
+    the Delta/parquet bloom-filter pattern lifted to the manifest so no
+    data file is opened at all. Built from the Arrow table being written
+    (string/integer columns only — the canonical value string matches
+    Spark's cast-to-string), sized by bloom_m_bits_for on the DISTINCT
+    count; columns whose filter would exceed the manifest cap are skipped
+    (absent bloom = keep the file, never wrong). The per-unique sha2 loop
+    is the build cost — opt-in via bloom_cols for exactly the columns
+    worth a point-lookup index."""
+    import base64
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from crdb_changefeed_publisher_spark.operators.bloom import bloom_m_bits_for
+
+    out = {}
+    names = {f.name: f.type for f in t.schema}
+    for col in cols:
+        typ = names.get(col)
+        if typ is None:
+            continue
+        if not (pa.types.is_integer(typ) or pa.types.is_string(typ)
+                or pa.types.is_large_string(typ)):
+            continue
+        uniq = [v for v in pc.unique(t.column(col)).to_pylist() if v is not None]
+        if not uniq:
+            continue
+        # clamp at the manifest cap (2^20): an oversubscribed filter
+        # degrades to more false positives (keep more files), never to a
+        # wrong prune
+        m_bits = bloom_m_bits_for(len(uniq), bits_per_key=10, hi=20)
+        words = bloom_words_py((str(v) for v in uniq), m_bits, BLOOM_K)
+        packed = struct.pack(f"<{len(words)}q", *words)
+        out[col] = {
+            "m": m_bits,
+            "k": BLOOM_K,
+            "kind": "num" if pa.types.is_integer(typ) else "str",
+            "b64": base64.b64encode(packed).decode("ascii"),
+        }
+    return out
+
+
+def _bloom_reject(entry: dict, col: str, lit) -> bool:
+    """True when the file's manifest bloom PROVES `col = lit` matches no
+    row. Only int/str literals (the kinds file_blooms indexes); missing
+    bloom or kind mismatch never rejects."""
+    import base64
+    import struct
+
+    b = (entry.get("blooms") or {}).get(col)
+    if b is None:
+        return False
+    # the canonical probe string must come from the SAME kind the filter
+    # was built over: Spark would cast '05' = intcol to 5, but str('05')
+    # != str(5) — a cross-kind probe could wrongly prune, so it never does
+    if isinstance(lit, bool) or not isinstance(lit, (int, str)):
+        return False
+    lit_kind = "num" if isinstance(lit, int) else "str"
+    if lit_kind != b.get("kind"):
+        return False
+    words = list(struct.unpack(
+        f"<{b['m'] // 64}q", base64.b64decode(b["b64"])))
+    return not bloom_contains_py(words, b["m"], b["k"], str(lit))
+
+
 def _literal_kind(lit) -> tuple[str, object] | None:
     """(kind tag, normalized literal) through the same mapping as
     footer_meta, or None for literals we never prune on."""
@@ -194,6 +305,8 @@ def can_match(entry: dict, col: str, op: str, lit) -> bool:
     cols = entry.get("cols")
     if cols is not None and col not in cols:
         return False  # column absent -> all null -> null-rejecting op fails
+    if op == "=" and _bloom_reject(entry, col, lit):
+        return False  # manifest bloom: zero false negatives by construction
     st = (entry.get("stats") or {}).get(col)
     if st is None:
         return True

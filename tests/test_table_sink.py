@@ -931,3 +931,81 @@ def test_where_pruning_on_time_travel_and_incremental_reads(spark, tmp_path):
     assert sorted(r.id for r in df.collect()) == list(range(100, 150))
     none_df, _ = table_sink.read_since(spark, root, 1, where=[("id", "<", 150)])
     assert none_df is None  # batches 2-3 provably out of range
+
+
+def test_manifest_bloom_matches_spark_bloom_build(spark):
+    """The Python manifest bloom must be BIT-IDENTICAL to the Spark/SQL
+    construction (operators/bloom.py) — same portable sha2 hash, same
+    affine positions, same signed packing."""
+    from crdb_changefeed_publisher_spark.operators import bloom as bl
+    from crdb_changefeed_publisher_spark.streaming import table_stats
+
+    vals = [f"key-{i}" for i in range(200)] + [str(i * 37) for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    want = bl.bloom_build(df, "k", m_bits=1 << 12, k=5)
+    got = table_stats.bloom_words_py(vals, 1 << 12, k=5)
+    assert got == want
+
+
+def test_manifest_bloom_point_lookup_skipping(spark, tmp_path):
+    """Point lookups on an UNCLUSTERED high-cardinality key: min/max
+    bounds overlap across every file, but manifest blooms prune all
+    files that cannot hold the key — and an absent key opens nothing."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    # 4 batches of hex-hashed ids: every file's lexicographic [min, max]
+    # spans nearly the whole domain, so bounds never prune
+    for b in range(4):
+        df = spark.range(b * 500, b * 500 + 500).select(
+            F.sha2(F.col("id").cast("string"), 256).substr(1, 16).alias("k"),
+            F.col("id").alias("v"),
+        )
+        table_sink.write_batch(df.coalesce(1), b, root, bloom_cols=["k"])
+
+    probe = spark.range(700, 701).select(
+        F.sha2(F.col("id").cast("string"), 256).substr(1, 16).alias("k")
+    ).collect()[0].k
+    where = [("k", "=", probe)]
+    plan = table_sink.prune_plan(root, where)
+    assert plan["skipped"] >= 3, plan  # bounds alone would skip 0
+    got = table_sink.read_committed(spark, root, where=where).collect()
+    assert len(got) == 1 and got[0].v == 700
+
+    absent = "0" * 16
+    plan2 = table_sink.prune_plan(root, [("k", "=", absent)])
+    # zero false negatives is the guarantee; typically all 4 prune here
+    df2 = table_sink.read_committed(spark, root, where=[("k", "=", absent)])
+    assert df2 is None or df2.count() == 0
+    assert plan2["skipped"] >= 3
+
+    # kind guard: '05'-style cross-kind probes must never bloom-prune
+    iroot = str(tmp_path / "int")
+    idf = spark.createDataFrame([(5, "five")], "c long, s string")
+    table_sink.write_batch(idf.coalesce(1), 0, iroot, bloom_cols=["c"])
+    got = table_sink.read_committed(spark, iroot, where=[("c", "=", "05")])
+    # Spark casts '05' -> 5: the row matches, so pruning must keep it
+    assert got is not None and got.count() == 1
+
+
+def test_manifest_bloom_survives_compaction_and_zorder(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    for b in range(3):
+        df = spark.range(b * 100, b * 100 + 100).select(
+            F.sha2(F.col("id").cast("string"), 256).substr(1, 16).alias("k"),
+            (F.col("id") % 64).alias("x"), (F.col("id") % 7).alias("y"),
+        )
+        table_sink.write_batch(df.coalesce(1), b, root, bloom_cols=["k"])
+    table_sink.optimize_zorder(
+        spark, root, "x", "y", bits=6, num_files=2, bloom_cols=["k"])
+
+    probe = spark.range(150, 151).select(
+        F.sha2(F.col("id").cast("string"), 256).substr(1, 16).alias("k")
+    ).collect()[0].k
+    got = table_sink.read_committed(spark, root, where=[("k", "=", probe)])
+    assert got.count() == 1
+    with open(os.path.join(root, "_commits", "snapshot-00000000.json")) as fh:
+        snap = json.load(fh)
+    assert all("blooms" in f and "k" in f["blooms"] for f in snap["files"])
