@@ -610,6 +610,125 @@ def read_since(
     return _load_entries(spark, root, entries, where), high_water
 
 
+def _files_touching_keys(
+    entries: list[dict], key_col: str, keys: list,
+) -> tuple[list[dict], list[dict]]:
+    """(affected, untouched) committed entries for a key set, decided
+    from MANIFEST metadata only: an entry is untouched when every key is
+    provably absent — outside its [min, max] bounds, or rejected by its
+    per-file bloom (zero false negatives). Probes are (files x keys)
+    driver-side, so keys ship collected; callers bound that (merge caps
+    it and falls back to bounds-only / all-affected)."""
+    affected, untouched = [], []
+    for e in entries:
+        if any(table_stats.can_match(e, key_col, "=", k) for k in keys):
+            affected.append(e)
+        else:
+            untouched.append(e)
+    return affected, untouched
+
+
+def merge_upsert(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_col: str,
+    delete_col: str | None = None,
+    target_bytes: int = 128 << 20,
+    bloom_cols: list[str] | None = None,
+    max_probe_keys: int = 200_000,
+) -> dict:
+    """MERGE INTO, copy-on-write: apply `updates` (one row per key —
+    last-writer-wins resolution is the caller's job, asserted here) to
+    the committed table, rewriting ONLY the files that can contain a
+    matched key and publishing the result as one atomic snapshot. The
+    lakehouse-apply materialization of the CDC loop: where
+    `latest_changes` (operators/changefeed.py) is the VIRTUAL upsert view
+    over the append-only log, merge_upsert makes the applied state
+    physical — the reference's apply-loop domain (src/main.rs), ending in a queryable table instead of a queue.
+
+    The write amplification IS the data-skipping story: affected files
+    are found from manifest bounds + per-file blooms alone
+    (`_files_touching_keys` — no data file is opened to decide), so a
+    point-keyed delta against a z-ordered or bloom-indexed table
+    rewrites a handful of files, not the table. Unmatched rows in
+    affected files are preserved byte-exactly (Arrow path end to end);
+    untouched files carry their manifest entries (stats, blooms) forward
+    verbatim.
+
+    With `delete_col`, update rows where that boolean column is true are
+    TOMBSTONES: the key's rows are removed and the tombstone row is not
+    inserted. New keys (matching no file) insert. More than
+    `max_probe_keys` distinct keys degrades gracefully: every file is
+    treated as affected (a full COW rewrite — correct, just not
+    targeted).
+
+    Snapshot semantics match the other maintenance ops: `covers` = the
+    current high water, concurrent appends above it stay visible, batch
+    manifests at or below it are pruned (a replayed pre-merge batch
+    re-commits as superseded — invisible, exactly-once preserved)."""
+    from pyspark.sql import functions as F
+
+    gen, _covers, high_water, entries = _committed_state(root)
+    new_gen = gen + 1
+    data = _data_dir(root)
+    os.makedirs(data, exist_ok=True)
+    os.makedirs(_commits_dir(root), exist_ok=True)
+
+    n_updates = updates.count()
+    n_keys = updates.select(key_col).distinct().count()
+    if n_updates != n_keys:
+        raise ValueError(
+            f"updates carry {n_updates} rows over {n_keys} keys: resolve "
+            "last-writer-wins upstream (e.g. latest_changes) before merging"
+        )
+
+    if n_keys <= max_probe_keys:
+        keys = [r[0] for r in updates.select(key_col).collect()]
+        affected, untouched = _files_touching_keys(entries, key_col, keys)
+    else:
+        affected, untouched = entries, []
+
+    if delete_col is not None:
+        inserts = updates.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+        inserts = inserts.drop(delete_col)
+    else:
+        inserts = updates
+    if affected:
+        base = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(data, e["file"]) for e in affected]
+        )
+        kept = base.join(
+            updates.select(F.col(key_col).alias("__mk")),
+            on=base[key_col] == F.col("__mk"),
+            how="left_anti",
+        )
+        merged = kept.unionByName(inserts, allowMissingColumns=True)
+    else:
+        merged = inserts
+
+    total = sum(int(e["n_bytes"]) for e in affected) or 1
+    n_files = max(1, -(-total // target_bytes))
+    out_files = [
+        {"file": r.file, "n_rows": int(r.n_rows), "n_bytes": int(r.n_bytes),
+         **json.loads(r.meta)}
+        for r in merged.repartition(n_files).mapInArrow(
+            _part_writer(data, f"compact-{new_gen:08d}-{{pid:05d}}.parquet",
+                         bloom_cols),
+            _PART_SCHEMA,
+        ).collect()
+    ]
+    _publish_snapshot(root, new_gen, high_water, untouched + out_files)
+    return {
+        "generation": new_gen,
+        "covers": high_water,
+        "files_rewritten": len(affected),
+        "files_untouched": len(untouched),
+        "files_written": len(out_files),
+        "n_updates": n_updates,
+    }
+
+
 def table_history(root: str) -> list[dict]:
     """The commit log as metadata rows (newest last): one entry per live
     manifest — snapshots (kind='compact') and batch appends

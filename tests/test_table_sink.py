@@ -1009,3 +1009,73 @@ def test_manifest_bloom_survives_compaction_and_zorder(spark, tmp_path):
     with open(os.path.join(root, "_commits", "snapshot-00000000.json")) as fh:
         snap = json.load(fh)
     assert all("blooms" in f and "k" in f["blooms"] for f in snap["files"])
+
+
+def test_merge_upsert_copy_on_write_targets_only_affected_files(spark, tmp_path):
+    """MERGE INTO: updates + deletes + new keys applied in one atomic
+    snapshot; files the manifest metadata proves unaffected are carried
+    forward VERBATIM (same file names), and the merged state equals the
+    dict-semantics oracle."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    # 4 disjoint key-range files -> bounds alone can target the rewrite
+    for b in range(4):
+        df = spark.range(b * 100, b * 100 + 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        table_sink.write_batch(df.coalesce(1), b, root)
+
+    updates = spark.createDataFrame(
+        [(5, -1, False), (7, -2, False), (150, 0, True), (1000, 42, False)],
+        "k long, v long, is_del boolean",
+    )
+    before = set(os.path.basename(f) for f in table_sink.committed_files(root))
+    res = table_sink.merge_upsert(spark, root, updates, "k", delete_col="is_del")
+    # files for batches 2 (300s) and 3: untouched (keys 5,7 hit batch 0;
+    # 150 hits batch 1; 1000 hits nothing)
+    assert res["files_rewritten"] == 2 and res["files_untouched"] == 2, res
+    after = set(os.path.basename(f) for f in table_sink.committed_files(root))
+    assert len(before & after) == 2  # the two untouched files survive by name
+
+    want = {k: k * 10 for k in range(400)}
+    want[5], want[7] = -1, -2
+    del want[150]
+    want[1000] = 42
+    got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
+    assert got == want
+
+    # the merge snapshot composes with data skipping and later appends
+    assert table_sink.read_committed(
+        spark, root, where=[("k", "=", 1000)]).collect()[0].v == 42
+    table_sink.write_batch(
+        spark.createDataFrame([(2000, 1)], "k long, v long"), 4, root)
+    assert table_sink.read_committed(spark, root).count() == len(want) + 1
+
+    # duplicate keys in updates must be refused (LWW is the caller's job)
+    with pytest.raises(ValueError):
+        table_sink.merge_upsert(
+            spark, root,
+            spark.createDataFrame([(1, 1), (1, 2)], "k long, v long"), "k")
+
+
+def test_merge_upsert_uses_blooms_on_unclustered_keys(spark, tmp_path):
+    """With overlapping bounds everywhere, only manifest blooms keep the
+    rewrite targeted."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    for b in range(4):
+        df = spark.range(b * 500, b * 500 + 500).select(
+            F.sha2(F.col("id").cast("string"), 256).substr(1, 16).alias("k"),
+            F.col("id").alias("v"))
+        table_sink.write_batch(df.coalesce(1), b, root, bloom_cols=["k"])
+
+    probe = spark.range(700, 701).select(
+        F.sha2(F.col("id").cast("string"), 256).substr(1, 16).alias("k")
+    ).collect()[0].k
+    updates = spark.createDataFrame([(probe, -700)], "k string, v long")
+    res = table_sink.merge_upsert(
+        spark, root, updates, "k", bloom_cols=["k"])
+    assert res["files_untouched"] >= 3, res
+    got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
+    assert len(got) == 2000 and got[probe] == -700
