@@ -1079,3 +1079,84 @@ def test_merge_upsert_uses_blooms_on_unclustered_keys(spark, tmp_path):
     assert res["files_untouched"] >= 3, res
     got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
     assert len(got) == 2000 and got[probe] == -700
+
+
+def test_streaming_cdc_merge_apply_kill_resume(spark, tmp_path):
+    """The full CDC APPLY materialization: an upsert/delete stream is
+    resolved last-writer-wins per micro-batch, then merge_upsert'd into
+    a physical table — through an injected kill AFTER a merge committed
+    but before Spark's offset commit. merge_upsert is idempotent by
+    VALUE (re-applying the same resolved delta reaches the same state),
+    so the replayed batch converges and the final table equals the
+    dict-semantics apply of the whole feed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "tbl")
+
+    # feed: versions 0..999 over 50 keys; key k deleted when the last
+    # write for it has version % 7 == 0
+    n, keys = 1000, 50
+    feed = spark.range(n).select(
+        F.col("id").alias("ver"),
+        (F.col("id") % keys).alias("k"),
+        (F.col("id") * 3).alias("v"),
+        ((F.col("id") % 7) == 0).alias("is_del"),
+    )
+    feed.orderBy("ver").coalesce(1).write.parquet(src + "/p0")
+    # four more waves as separate files -> multiple micro-batches
+    for w in range(1, 5):
+        spark.range(n * w, n * (w + 1)).select(
+            F.col("id").alias("ver"),
+            (F.col("id") % keys).alias("k"),
+            (F.col("id") * 3).alias("v"),
+            ((F.col("id") % 7) == 0).alias("is_del"),
+        ).coalesce(1).write.parquet(src + f"/p{w}")
+
+    killed = {"done": False}
+
+    def apply(batch_df, batch_id):
+        # LWW within the batch on the feed's version column
+        w = Window.partitionBy("k").orderBy(F.col("ver").desc())
+        resolved = (
+            batch_df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r", "ver")
+        )
+        table_sink.merge_upsert(spark, root, resolved, "k",
+                                delete_col="is_del")
+        if batch_id == 1 and not killed["done"]:
+            killed["done"] = True
+            raise RuntimeError("injected kill after merge commit")
+
+    def start():
+        sdf = (
+            spark.readStream.schema("ver long, k long, v long, is_del boolean")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/p*")
+        )
+        return (
+            sdf.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    q2 = start()
+    assert q2.awaitTermination(600)
+
+    # dict-semantics oracle over the full feed in version order
+    want = {}
+    for ver in range(5 * n):
+        k = ver % keys
+        if ver % 7 == 0:
+            want.pop(k, None)
+        else:
+            want[k] = ver * 3
+    got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
+    assert got == want
