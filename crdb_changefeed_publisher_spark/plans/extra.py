@@ -618,3 +618,54 @@ def bloom_semijoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom.bloom_semijoin_stats(
         li, orders, "l_orderkey", "o_orderkey", "l_returnflag"
     )
+
+
+_REACHABILITY_SQL = """
+WITH RECURSIVE
+trade AS (
+    SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+    FROM {lineitem} l
+    JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+    JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+    JOIN {customer} c ON c.c_custkey = o.o_custkey
+    WHERE s.s_nationkey <> c.c_nationkey
+),
+ud AS (SELECT src, dst FROM trade UNION SELECT dst, src FROM trade),
+reach(node, hops) AS (
+    SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+    UNION ALL
+    SELECT ud.dst, r.hops + 1
+    FROM reach r JOIN ud ON ud.src = r.node
+    WHERE r.hops < 3
+)
+SELECT CAST(node AS BIGINT) AS nationkey, CAST(min(hops) AS BIGINT) AS hops
+FROM reach GROUP BY node
+"""
+
+
+@query(
+    "nation_trade_reachability",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=_REACHABILITY_SQL.format(
+        lineitem="lineitem", orders="orders",
+        supplier="supplier", customer="customer",
+    ),
+    doc="ITERATIVE traversal via WITH RECURSIVE (new in Spark 4): BFS "
+    "min-hop distances from nation 0 over the cross-nation trade graph. "
+    "The corpus-sized work is the edge CONTRACTION (lineitem x orders x "
+    "dims -> distinct nation pairs, one distributed join tree with "
+    "broadcast dims); the recursion then iterates on the 25-node "
+    "contracted graph, so UNION ALL path growth is bounded by "
+    "25 * deg^3, never by corpus size — the same iterate-on-the-"
+    "contraction posture as pagerank's unrolled rounds. Spark supports "
+    "only UNION ALL in the recursive step (probed: "
+    "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so dedup happens in the "
+    "final min() — identical multiset semantics in DuckDB.",
+)
+def nation_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "supplier", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_reach")
+    return spark.sql(_REACHABILITY_SQL.format(
+        lineitem="lineitem_reach", orders="orders_reach",
+        supplier="supplier_reach", customer="customer_reach",
+    ))

@@ -86,6 +86,7 @@ def test_retired_set_is_the_expected_one():
         "math_funcs_lineitem",
         "multimodal_fake_features",
         "multimodal_image_quality",
+        "nation_trade_reachability",
         "order_price_quantile_sketch",
         "order_ship_latency",
         "order_value_buckets",
