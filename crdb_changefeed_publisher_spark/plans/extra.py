@@ -669,3 +669,75 @@ def nation_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem="lineitem_reach", orders="orders_reach",
         supplier="supplier_reach", customer="customer_reach",
     ))
+
+
+@query(
+    "lineitem_unpivot_measures",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, 'l_quantity' AS metric,
+               CAST(round(l_quantity * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice',
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount',
+               CAST(round(l_discount * 100, 0) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax',
+               CAST(round(l_tax * 100, 0) AS BIGINT) FROM lineitem
+    )
+    SELECT l_returnflag, metric, count(*) AS n, sum(cents) AS total_cents
+    FROM long GROUP BY 1, 2
+    """,
+    doc="UNPIVOT/melt (wide -> long) — the missing inverse of the pivot "
+    "row: four lineitem measures melt into (metric, value) pairs via "
+    "Spark's native `unpivot` (an Expand node: one scan, rows x 4, no "
+    "shuffle until the partial-agg), then aggregate per (flag, metric). "
+    "Values flow as integer CENTS (round-then-cast on both engines) so "
+    "the melted sums are order-exact; the oracle is the UNION ALL "
+    "desugaring, which is exactly what Expand computes.",
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.select(
+        "l_returnflag",
+        *[F.round(F.col(m) * 100, 0).cast("long").alias(m) for m in measures],
+    ).unpivot(["l_returnflag"], measures, "metric", "cents")
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
+    )
+
+
+_LATERAL_TOP_SQL = """
+    SELECT n.n_nationkey, n.n_name, t.s_name AS top_supplier,
+           round(t.s_acctbal, 2) AS acctbal
+    FROM {nation} n, LATERAL (
+        SELECT s_name, s_acctbal FROM {supplier} s
+        WHERE s.s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_name LIMIT 1
+    ) t
+"""
+
+
+@query(
+    "lateral_top_supplier_per_nation",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=_LATERAL_TOP_SQL.format(nation="nation", supplier="supplier"),
+    doc="Correlated LATERAL join (Spark 4 SQL surface): per-nation top-1 "
+    "supplier via a correlated ORDER BY ... LIMIT 1 subquery — the "
+    "per-row-subquery SHAPE users port from Postgres/DuckDB, planned by "
+    "Catalyst as a rewritten join (no per-row re-execution; semantically "
+    "the window top-k of top_orders_per_customer). Deterministic "
+    "tiebreak (acctbal DESC, name); inner-lateral drops supplier-less "
+    "nations in both engines.",
+)
+def lateral_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_lat")
+    return spark.sql(
+        _LATERAL_TOP_SQL.format(nation="nation_lat", supplier="supplier_lat")
+    )

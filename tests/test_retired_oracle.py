@@ -81,8 +81,10 @@ def test_retired_set_is_the_expected_one():
         "grouping_sets_revenue",
         "kmv_shard_overlap",
         "lang_mixture_weights",
+        "lateral_top_supplier_per_nation",
         "left_join_order_counts",
         "lineitem_stats_agg",
+        "lineitem_unpivot_measures",
         "math_funcs_lineitem",
         "multimodal_fake_features",
         "multimodal_image_quality",
