@@ -356,7 +356,8 @@ def compact_table(
 
 
 def _publish_snapshot(
-    root: str, new_gen: int, high_water: int, out_files: list[dict]
+    root: str, new_gen: int, high_water: int, out_files: list[dict],
+    op: str = "compact",
 ) -> None:
     """Atomically publish a compaction snapshot, then prune the batch
     manifests it supersedes (snapshot is durable first, so a crash
@@ -367,6 +368,7 @@ def _publish_snapshot(
         {
             "generation": new_gen,
             "covers": high_water,
+            "op": op,
             "files": sorted(out_files, key=lambda d: d["file"]),
         },
     )
@@ -445,7 +447,7 @@ def optimize_zorder(
             _PART_SCHEMA,
         ).collect()
     ]
-    _publish_snapshot(root, new_gen, high_water, out_files)
+    _publish_snapshot(root, new_gen, high_water, out_files, op="zorder")
     return {
         "generation": new_gen,
         "covers": high_water,
@@ -718,7 +720,8 @@ def merge_upsert(
             _PART_SCHEMA,
         ).collect()
     ]
-    _publish_snapshot(root, new_gen, high_water, untouched + out_files)
+    _publish_snapshot(root, new_gen, high_water, untouched + out_files,
+                      op="merge")
     return {
         "generation": new_gen,
         "covers": high_water,
@@ -747,7 +750,7 @@ def table_history(root: str) -> list[dict]:
                 s = json.load(fh)
             out.append(
                 {
-                    "kind": "compact",
+                    "kind": s.get("op", "compact"),
                     "id": int(s["generation"]),
                     "covers": int(s["covers"]),
                     "n_files": len(s["files"]),
@@ -768,5 +771,5 @@ def table_history(root: str) -> list[dict]:
                     "n_bytes": sum(f["n_bytes"] for f in m["files"]),
                 }
             )
-    out.sort(key=lambda d: (d["id"], d["kind"] == "compact"))
+    out.sort(key=lambda d: (d["id"], d["covers"] is not None))
     return out

@@ -1160,3 +1160,33 @@ def test_streaming_cdc_merge_apply_kill_resume(spark, tmp_path):
             want[k] = ver * 3
     got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
     assert got == want
+
+
+def test_history_op_kinds_and_vacuum_after_merge(spark, tmp_path):
+    """The commit log distinguishes compact / zorder / merge snapshots,
+    and vacuum reclaims the pre-merge originals of rewritten files while
+    untouched files stay."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    for b in range(2):  # disjoint ranges: merge will touch only file 0
+        df = spark.range(b * 100, b * 100 + 100).select(
+            F.col("id").alias("k"), F.col("id").alias("v"))
+        table_sink.write_batch(df.coalesce(1), b, root)
+    table_sink.merge_upsert(
+        spark, root,
+        spark.createDataFrame([(5, -5)], "k long, v long"), "k")
+    table_sink.optimize_zorder(
+        spark, root, "k", "v", bits=8, num_files=1)
+
+    kinds = [h["kind"] for h in table_sink.table_history(root)]
+    assert kinds.count("merge") == 1 and kinds.count("zorder") == 1
+
+    gone = table_sink.vacuum(root, assume_quiesced=True)
+    # batch 0's original was rewritten by the merge; batch 1's file was
+    # carried into the merge snapshot by name, then superseded by zorder
+    assert any(n.startswith("batch-00000000") for n in gone)
+    got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
+    want = {k: k for k in range(200)}
+    want[5] = -5
+    assert got == want
