@@ -732,6 +732,62 @@ def merge_upsert(
     }
 
 
+def describe_table(root: str) -> dict:
+    """DESCRIBE DETAIL from manifests alone — no data file opened: row /
+    byte / file counts, snapshot generation and high-water batch, and a
+    per-column profile folded across every committed file's stats:
+    global [min, max] (None when any file CONTAINING the column lacks
+    usable stats for it — absent stats means unknown, never a guess),
+    null count (files that predate the column count as all-null — the
+    schema-drift reading), and n_files_with. The KB-sized answer to
+    "what is in this table" that at 100 TB must not cost a scan."""
+    gen, covers, high_water, entries = _committed_state(root)
+    names: list[str] = []
+    for e in entries:
+        for c in e.get("cols") or []:
+            if c not in names:
+                names.append(c)
+    cols: dict[str, dict] = {}
+    for c in names:
+        lo = hi = None
+        nulls = 0
+        kind = None
+        n_with = 0
+        bounded = True
+        for e in entries:
+            rows = int(e["n_rows"] or 0)
+            if c not in (e.get("cols") or []):
+                nulls += rows  # pre-drift file: the column reads all-null
+                continue
+            n_with += 1
+            ent = (e.get("stats") or {}).get(c)
+            if ent is None:
+                bounded = False
+                continue
+            kind = kind or ent["kind"]
+            nulls += ent["nulls"]
+            if ent["min"] is not None:
+                lo = ent["min"] if lo is None else min(lo, ent["min"])
+            if ent["max"] is not None:
+                hi = ent["max"] if hi is None else max(hi, ent["max"])
+        cols[c] = {
+            "kind": kind,
+            "min": lo if bounded else None,
+            "max": hi if bounded else None,
+            "nulls": nulls,
+            "n_files_with": n_with,
+        }
+    return {
+        "generation": gen,
+        "covers": covers,
+        "high_water_batch": high_water,
+        "n_files": len(entries),
+        "n_rows": sum(int(e["n_rows"] or 0) for e in entries),
+        "n_bytes": sum(int(e["n_bytes"]) for e in entries),
+        "columns": cols,
+    }
+
+
 def table_history(root: str) -> list[dict]:
     """The commit log as metadata rows (newest last): one entry per live
     manifest — snapshots (kind='compact') and batch appends

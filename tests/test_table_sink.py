@@ -1190,3 +1190,22 @@ def test_history_op_kinds_and_vacuum_after_merge(spark, tmp_path):
     want = {k: k for k in range(200)}
     want[5] = -5
     assert got == want
+
+
+def test_describe_table_from_manifests_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    table_sink.write_batch(
+        spark.range(100).select(F.col("id").alias("k")), 0, root)
+    table_sink.write_batch(
+        spark.range(100, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")), 1, root)
+    d = table_sink.describe_table(root)
+    assert d["n_rows"] == 200 and d["high_water_batch"] == 1
+    assert d["columns"]["k"]["min"] == 0 and d["columns"]["k"]["max"] == 199
+    # v exists only in batch 1: bounds fold over files containing it, and
+    # batch 0's 100 rows count as all-null for it (the schema-drift read)
+    assert d["columns"]["v"]["min"] == 200 and d["columns"]["v"]["max"] == 398
+    assert d["columns"]["v"]["nulls"] == 100
+    assert d["columns"]["v"]["n_files_with"] < d["n_files"]
