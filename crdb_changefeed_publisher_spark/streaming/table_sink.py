@@ -83,7 +83,8 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 _PART_SCHEMA = "file string, n_rows long, n_bytes long, meta string"
 
 
-def _part_writer(data: str, name_fmt: str, bloom_cols: list[str] | None = None):
+def _part_writer(data: str, name_fmt: str, bloom_cols: list[str] | None = None,
+                 constraints: list[tuple] | None = None):
     """Executor-side parquet part writer (Arrow in, Arrow out — NOT
     mapInPandas: the pandas round trip represents both NULL and NaN as
     float NaN, so a NaN VALUE in a double column comes back as a null;
@@ -105,6 +106,10 @@ def _part_writer(data: str, name_fmt: str, bloom_cols: list[str] | None = None):
         final = os.path.join(data, name)
         tmp = final + f".tmp-{os.getpid()}"
         t = pa.Table.from_batches(got)
+        if constraints:
+            # CHECK at the commit boundary: a raise fails the task, the
+            # manifest is never published, the table is untouched
+            table_stats.check_constraints(t, constraints)
         pq.write_table(t, tmp,
                        write_statistics=table_stats.nan_safe_write_statistics(t))
         with open(tmp, "rb") as fh:
@@ -124,6 +129,7 @@ def _part_writer(data: str, name_fmt: str, bloom_cols: list[str] | None = None):
 def write_batch(
     batch_df: DataFrame, batch_id: int, root: str,
     bloom_cols: list[str] | None = None,
+    constraints: list[tuple] | None = None,
 ) -> int:
     """foreachBatch body: write this micro-batch's rows as batch-keyed
     parquet files + one manifest. Returns the committed row count.
@@ -142,7 +148,7 @@ def write_batch(
     os.makedirs(commits, exist_ok=True)
     manifest_rows = batch_df.mapInArrow(
         _part_writer(data, f"batch-{batch_id:08d}-part-{{pid:05d}}.parquet",
-                     bloom_cols),
+                     bloom_cols, constraints),
         _PART_SCHEMA,
     ).collect()
     files = sorted(

@@ -358,3 +358,57 @@ def residual_condition(where: list[tuple]):
         }[op]
         cond = piece if cond is None else cond & piece
     return cond
+
+
+def check_constraints(t, constraints: list[tuple]) -> None:
+    """Write-time CHECK constraints over the Arrow table a part writer is
+    about to commit (the Delta CHECK-constraint boundary). Raises on the
+    first violation — the task fails, the batch manifest is never
+    published, and the table is untouched (partial part files are
+    invisible orphans for vacuum): constraint enforcement composes with
+    the manifest-commit atomicity instead of needing its own machinery.
+
+    Forms (SQL CHECK semantics — null satisfies everything except
+    not_null):
+
+    * ``(col, "not_null")``
+    * ``(col, "range", lo, hi)``   — inclusive, nulls pass
+    * ``(col, "isin", values)``    — membership, nulls pass
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = {f.name for f in t.schema}
+    for c in constraints:
+        col, kind = c[0], c[1]
+        if col not in names:
+            if kind == "not_null":
+                raise ValueError(
+                    f"constraint {col} not_null: column missing from batch "
+                    "(reads as all-null)")
+            continue  # absent column is all-null: passes range/isin
+        arr = t.column(col)
+        if kind == "not_null":
+            if arr.null_count:
+                raise ValueError(
+                    f"constraint {col} not_null violated by "
+                    f"{arr.null_count} row(s)")
+        elif kind == "range":
+            lo, hi = c[2], c[3]
+            vals = pc.drop_null(arr)
+            if len(vals):
+                mm = pc.min_max(vals).as_py()
+                if mm["min"] < lo or mm["max"] > hi:
+                    raise ValueError(
+                        f"constraint {col} range [{lo}, {hi}] violated: "
+                        f"observed [{mm['min']}, {mm['max']}]")
+        elif kind == "isin":
+            allowed = c[2]
+            vals = pc.drop_null(arr)
+            ok = pc.is_in(vals, value_set=pa.array(list(allowed)))
+            n_bad = len(vals) - pc.sum(ok.cast("int64")).as_py() if len(vals) else 0
+            if n_bad:
+                raise ValueError(
+                    f"constraint {col} isin violated by {n_bad} row(s)")
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")

@@ -1209,3 +1209,37 @@ def test_describe_table_from_manifests_only(spark, tmp_path):
     assert d["columns"]["v"]["min"] == 200 and d["columns"]["v"]["max"] == 398
     assert d["columns"]["v"]["nulls"] == 100
     assert d["columns"]["v"]["n_files_with"] < d["n_files"]
+
+
+def test_write_time_check_constraints_refuse_atomically(spark, tmp_path):
+    """Delta-style CHECK constraints at the commit boundary: a violating
+    batch raises, publishes NO manifest, and leaves the committed table
+    untouched (partial part files are vacuumable orphans); the corrected
+    batch commits under the same id."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    cons = [("v", "not_null"), ("v", "range", 0, 100),
+            ("tag", "isin", ["a", "b"])]
+    ok = spark.createDataFrame([(1, 5, "a"), (2, 100, "b")],
+                               "k long, v long, tag string")
+    table_sink.write_batch(ok, 0, root, constraints=cons)
+
+    bad_range = spark.createDataFrame([(3, 101, "a")], "k long, v long, tag string")
+    bad_null = spark.createDataFrame([(3, None, "a")], "k long, v long, tag string")
+    bad_isin = spark.createDataFrame([(3, 5, "z")], "k long, v long, tag string")
+    for bad in (bad_range, bad_null, bad_isin):
+        with pytest.raises(Exception):
+            table_sink.write_batch(bad.repartition(2), 1, root,
+                                   constraints=cons)
+        assert table_sink.read_committed(spark, root).count() == 2
+
+    # nulls satisfy range/isin (SQL CHECK semantics) when not_null is off
+    nullok = spark.createDataFrame([(3, None, None)], "k long, v long, tag string")
+    table_sink.write_batch(nullok, 1, root,
+                           constraints=[("v", "range", 0, 100),
+                                        ("tag", "isin", ["a", "b"])])
+    assert table_sink.read_committed(spark, root).count() == 3
+    # the refused attempts' orphans are reclaimable
+    table_sink.vacuum(root, assume_quiesced=True)
+    assert table_sink.read_committed(spark, root).count() == 3
