@@ -378,6 +378,71 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_evolution_report(changes)
 
 
+# SCD2 wire: user-keyed change replay versioned by event_id (the
+# _UPSERT_WIRE_SQL key scheme), tracking event_type as the dimension
+# attribute; every 211th event is a tombstone. Deterministic integers and
+# strings only — both engines build the identical stream.
+_SCD2_WIRE_SQL = """
+    SELECT user_id AS k, event_id AS v,
+           CASE WHEN event_id % 211 = 0 THEN NULL ELSE event_type END AS attr,
+           (event_id % 211 = 0) AS del
+    FROM events
+"""
+
+
+@query(
+    "cdc_scd2_history",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH wire AS ({_SCD2_WIRE_SQL}),
+    lagged AS (
+        SELECT *, lag(del) OVER w AS pdel, lag(attr) OVER w AS pattr
+        FROM wire WINDOW w AS (PARTITION BY k ORDER BY v)
+    ),
+    boundaries AS (
+        SELECT * FROM lagged
+        WHERE del OR pdel IS NULL OR pdel OR attr IS DISTINCT FROM pattr
+    ),
+    intervals AS (
+        SELECT *, lead(v) OVER (PARTITION BY k ORDER BY v) AS valid_to
+        FROM boundaries
+    )
+    SELECT k AS user_id, attr AS event_type, v AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM intervals WHERE NOT del
+    """,
+    doc="SCD TYPE 2 dimension history from the change stream — the classic "
+    "warehouse consumer of the reference's per-key upsert envelopes "
+    "(README.md:37): per-user validity intervals of the tracked attribute "
+    "(event_type), versioned by event_id, with change-point COMPRESSION "
+    "(consecutive no-change upserts collapse into the open interval) and "
+    "tombstones (every 211th event) closing intervals so deleted keys have "
+    "no current row until reopened. One shuffle on the key: both window "
+    "passes (lag change-point detection, lead valid_to assignment) share "
+    "the (key, version) Exchange+Sort, the boundary filter between them "
+    "preserving order (operators/scd.py::scd2_history).",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    is_del = F.col("event_id") % 211 == 0
+    wire = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("v"),
+        F.when(is_del, F.lit(None)).otherwise(F.col("event_type")).alias("attr"),
+        is_del.alias("del"),
+    )
+    out = scd2_history(wire, "k", "v", ["attr"], deleted_col="del")
+    return out.select(
+        F.col("k").alias("user_id"),
+        F.col("attr").alias("event_type"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
 @query(
     "orders_matview_totals",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest

@@ -742,3 +742,40 @@ def test_block_saturation_diagnostic(spark, sf_dir):
         .collect()
     ]
     assert max(pops) == r.max_block
+
+
+def test_scd2_history_handcrafted_edges(spark):
+    """SCD2 semantics on a hand-built stream covering every edge: collapse
+    of no-change upserts, attr change, delete closing an interval, reopen
+    AFTER a delete with the SAME attr (must open a new interval, not
+    resurrect the old one), consecutive deletes, and a key whose first
+    event is a tombstone."""
+    from crdb_changefeed_publisher_spark.operators.scd import scd2_history
+
+    rows = [
+        # key 1: A(1) A(2 collapse) B(3) del(4) B(5 reopen same attr) -> 3 rows
+        (1, 1, "A", False),
+        (1, 2, "A", False),
+        (1, 3, "B", False),
+        (1, 4, None, True),
+        (1, 5, "B", False),
+        # key 2: del(1 first-ever), del(2 consecutive), A(3) -> 1 row
+        (2, 1, None, True),
+        (2, 2, None, True),
+        (2, 3, "A", False),
+        # key 3: A(1) then deleted(2) and never reopened -> 1 closed row
+        (3, 1, "A", False),
+        (3, 2, None, True),
+    ]
+    df = spark.createDataFrame(rows, "k long, v long, attr string, del boolean")
+    got = {
+        (r.k, r.attr, r.valid_from): (r.valid_to, r.is_current)
+        for r in scd2_history(df, "k", "v", ["attr"], deleted_col="del").collect()
+    }
+    assert got == {
+        (1, "A", 1): (3, False),
+        (1, "B", 3): (4, False),
+        (1, "B", 5): (None, True),
+        (2, "A", 3): (None, True),
+        (3, "A", 1): (2, False),
+    }

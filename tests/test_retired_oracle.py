@@ -49,6 +49,7 @@ def test_retired_set_is_the_expected_one():
         "asof_purchase_last_click",
         "best_order_per_customer",
         "cdc_envelopes_orders",
+        "cdc_scd2_history",
         "cdc_upsert_view",
         "conditional_aggs_orders",
         "date_funcs_orders",
