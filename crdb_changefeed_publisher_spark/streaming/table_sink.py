@@ -42,6 +42,18 @@ Protocol (a deliberately minimal manifest-commit table format):
   spares batch files above the committed high-water mark and fresh
   *.tmp-* files (a live write_batch's mid-commit data lives exactly
   there). `assume_quiesced=True` reclaims those too.
+* `delete_where` is the MERGE-ON-READ row-level delete: instead of
+  rewriting every file containing a matching row (copy-on-write — the
+  `merge_upsert` path), it writes per-file DELETION VECTORS (parquet
+  files of (file, pos) row ordinals, built executor-side) and attaches
+  them to the affected entries' manifest records; every read path
+  subtracts DV positions via an anti-join on parquet's
+  (_metadata.file_name, _metadata.row_index). At 100 TB this is the
+  difference between a GDPR delete rewriting terabytes and writing a
+  few KB: write cost tracks the DELETED ROW COUNT, not the bytes of
+  the files they live in. Compaction / OPTIMIZE / merge MATERIALIZE
+  the vectors (rewritten files drop the rows physically), restoring
+  pure-scan reads — the Delta deletion-vector lifecycle.
 
 Everything is plain JSON + parquet + atomic rename; no services. The
 single-writer assumption (one streaming query per table root, as Spark's
@@ -231,20 +243,63 @@ def prune_plan(root: str, where: list[tuple]) -> dict:
     }
 
 
+# Above this many deleted rows the DV anti-join abandons the broadcast
+# hint and lets the planner shuffle — a corpus whose deletions rival its
+# size should be compacted (materialized), not broadcast.
+_DV_BROADCAST_MAX = 2_000_000
+
+
+def _scan_entries(
+    spark: SparkSession, root: str, entries: list[dict]
+) -> DataFrame:
+    """Scan a committed entry list with deletion vectors applied: the
+    mergeSchema parquet scan, minus every (file, pos) recorded in the
+    entries' DV references — an anti-join on the scan-provided
+    (_metadata.file_name, _metadata.row_index), so deleted rows are
+    subtracted WITHOUT rewriting data files (merge-on-read). The DV side
+    is manifest-sized (sum of per-entry `n`), broadcast while small;
+    data rows never shuffle either way."""
+    from pyspark.sql import functions as F
+
+    data = _data_dir(root)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(data, e["file"]) for e in entries]
+    )
+    dv_files = sorted(
+        {d["file"] for e in entries for d in e.get("dvs") or []}
+    )
+    if not dv_files:
+        return df
+    n_deleted = sum(d["n"] for e in entries for d in e.get("dvs") or [])
+    dv = spark.read.parquet(*[os.path.join(data, f) for f in dv_files]).select(
+        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    )
+    if n_deleted <= _DV_BROADCAST_MAX:
+        dv = F.broadcast(dv)
+    cols = df.columns
+    return (
+        df.withColumn("__dv_file", F.col("_metadata.file_name"))
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+        .select(*cols)
+    )
+
+
 def _load_entries(
     spark: SparkSession, root: str, entries: list[dict],
     where: list[tuple] | None,
 ) -> DataFrame | None:
     """Shared pruned loader behind every read path: drop entries whose
-    stats prove no match, scan the survivors with mergeSchema, re-apply
-    the exact predicate. None when nothing can match."""
+    stats prove no match, scan the survivors with mergeSchema (deletion
+    vectors applied), re-apply the exact predicate. None when nothing
+    can match. Manifest stats remain sound under DVs: they describe the
+    PHYSICAL file, a superset of the live rows, so pruning stays a
+    superset filter."""
     if where:
         entries, _ = table_stats.prune(entries, where)
     if not entries:
         return None
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(_data_dir(root), e["file"]) for e in entries]
-    )
+    df = _scan_entries(spark, root, entries)
     if where:
         if any(c not in df.columns for c, _, _ in where):
             return None  # every surviving file lacks the column: no row matches
@@ -291,9 +346,14 @@ def _rewrite_bin(job: tuple) -> dict:
     instead of serially through the driver. Requires the table root on
     storage every executor can reach — the same shared-filesystem
     assumption the manifest protocol itself makes."""
-    data, new_gen, idx, names, bloom_cols = job
-    src = [os.path.join(data, f) for f in names]
-    t = pa.concat_tables([pq.read_table(p) for p in src], promote_options="default")
+    data, new_gen, idx, names_dvs, bloom_cols = job
+    t = pa.concat_tables(
+        [
+            _apply_dvs_pa(pq.read_table(os.path.join(data, f)), data, f, dvs)
+            for f, dvs in names_dvs
+        ],
+        promote_options="default",
+    )
     name = f"compact-{new_gen:08d}-{idx:05d}.parquet"
     final = os.path.join(data, name)
     tmp = final + f".tmp-{os.getpid()}"
@@ -338,12 +398,18 @@ def compact_table(
     bins = ffd_bins(sized, target_bytes)
     out_files, rewritten, jobs = [], 0, []
     for i, b in enumerate(bins):
-        if len(b) == 1:
+        if len(b) == 1 and not by_name[b[0][0]].get("dvs"):
             # singleton bin: the file survives as-is, so its manifest entry
-            # (stats included) carries forward verbatim into the snapshot
+            # (stats included) carries forward verbatim into the snapshot.
+            # A file carrying a deletion vector always rewrites, even as a
+            # singleton — compaction is where DVs MATERIALIZE.
             out_files.append(dict(by_name[b[0][0]]))
             continue
-        jobs.append((data, new_gen, i, [f for f, _ in b], bloom_cols))
+        jobs.append((
+            data, new_gen, i,
+            [(f, by_name[f].get("dvs") or []) for f, _ in b],
+            bloom_cols,
+        ))
         rewritten += len(b)
     if jobs:
         # one Spark job, one task per bin — the driver only plans bins and
@@ -482,8 +548,11 @@ def vacuum(
     data = _data_dir(root)
     if not os.path.isdir(data):
         return []
-    _, _, high_water, entries = _committed_state(root)
+    gen, _, high_water, entries = _committed_state(root)
     keep_set = {e["file"] for e in entries}
+    # deletion-vector files referenced by any committed entry are part of
+    # the readable state exactly like data files
+    keep_set |= {d["file"] for e in entries for d in e.get("dvs") or []}
     now = time.time()
     gone = []
     for name in sorted(os.listdir(data)):
@@ -496,6 +565,15 @@ def vacuum(
                     if now - os.path.getmtime(path) < tmp_grace_secs:
                         continue
                 except OSError:
+                    continue
+            elif name.startswith("dv-"):
+                # an in-flight delete_where writes dv files for generation
+                # committed+1 BEFORE publishing its snapshot
+                try:
+                    dv_gen = int(name.split("-")[1])
+                except (IndexError, ValueError):
+                    dv_gen = None
+                if dv_gen is not None and dv_gen > gen:
                     continue
             elif name.startswith("batch-"):
                 try:
@@ -510,6 +588,177 @@ def vacuum(
             continue
         gone.append(name)
     return gone
+
+
+def _spark_semantics_mask(t: pa.Table, where: list[tuple]):
+    """Boolean numpy mask of rows matching a (col, op, lit) conjunction,
+    with SPARK's comparison semantics — so a DV delete agrees row-for-row
+    with `read_committed().filter(...)`: NaN orders ABOVE every value
+    (`>`/`>=` on a float column must match NaN rows; `<`/`<=`/`=` must
+    not), and a null in any compared column fails the conjunction. NaN
+    literals are refused (can_match never prunes on them either)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    mask = None
+    for col, op, lit in where:
+        if isinstance(lit, float) and lit != lit:
+            raise ValueError("NaN literals are not supported in delete_where")
+        arr = t.column(col)
+        fn = {
+            "=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+            ">": pc.greater, ">=": pc.greater_equal,
+        }[op]
+        piece = fn(arr, lit)
+        if pa.types.is_floating(arr.type) and op in (">", ">="):
+            # both sides null exactly where arr is null -> plain or_ is safe
+            piece = pc.or_(piece, pc.is_nan(arr))
+        piece = pc.fill_null(piece, False)
+        np_piece = piece.to_numpy(zero_copy_only=False).astype(bool)
+        mask = np_piece if mask is None else (mask & np_piece)
+    return mask
+
+
+def _existing_dv_positions(data: str, name: str, dvs: list[dict]):
+    """Already-deleted row ordinals of data file `name`, unioned across
+    its DV references."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    out = []
+    for d in dvs or []:
+        dvt = pq.read_table(os.path.join(data, d["file"]), columns=["file", "pos"])
+        sel = pc.equal(dvt.column("file"), name)
+        out.append(
+            pc.filter(dvt.column("pos"), sel).to_numpy(zero_copy_only=False)
+        )
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out).astype(np.int64)
+
+
+def _apply_dvs_pa(t: pa.Table, data: str, name: str, dvs: list[dict]) -> pa.Table:
+    """pyarrow-side DV application for rewrite tasks (compaction/merge
+    materialization): drop the recorded ordinals of `name` from `t`."""
+    import numpy as np
+
+    pos = _existing_dv_positions(data, name, dvs)
+    if not len(pos):
+        return t
+    keep = np.ones(t.num_rows, dtype=bool)
+    keep[pos] = False
+    return t.filter(pa.array(keep))
+
+
+def _delete_scan(job: tuple) -> dict | None:
+    """Executor task of delete_where: evaluate the predicate over ONE
+    candidate data file (predicate columns only — never the full row
+    width), subtract positions already covered by existing DVs, and
+    write this file's new deletion vector as a (file, pos) parquet via
+    tmp + fsync + atomic rename (a retried task overwrites its own tmp).
+    Returns the manifest DV reference, or None when no live row
+    matches."""
+    import numpy as np
+
+    data, new_gen, idx, name, dvs, where = job
+    path = os.path.join(data, name)
+    pred_cols = sorted({c for c, _, _ in where})
+    schema_names = set(pq.ParquetFile(path).schema_arrow.names)
+    if any(c not in schema_names for c in pred_cols):
+        return None  # pre-drift file: column reads all-null, matches nothing
+    t = pq.read_table(path, columns=pred_cols)
+    mask = _spark_semantics_mask(t, where)
+    already = _existing_dv_positions(data, name, dvs)
+    if len(already):
+        mask[already] = False
+    pos = np.nonzero(mask)[0].astype(np.int64)
+    if not len(pos):
+        return None
+    dv_name = f"dv-{new_gen:08d}-{idx:05d}.parquet"
+    final = os.path.join(data, dv_name)
+    tmp = final + f".tmp-{os.getpid()}"
+    pq.write_table(
+        pa.table({"file": pa.array([name] * len(pos)), "pos": pa.array(pos)}),
+        tmp,
+    )
+    with open(tmp, "rb") as fh:
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+    return {"file": name, "dv": dv_name, "n": int(len(pos))}
+
+
+def delete_where(
+    spark: SparkSession, root: str, where: list[tuple]
+) -> dict:
+    """DELETE FROM ... WHERE, merge-on-read: mark matching rows deleted
+    via per-file deletion vectors instead of rewriting the files
+    (contrast `merge_upsert`, the copy-on-write path keyed by exact
+    keys). Three costs, none proportional to table bytes:
+
+    * candidate files come from MANIFEST stats/bloom pruning alone
+      (`table_stats.prune`) — a predicate outside every file's bounds
+      touches nothing and publishes nothing;
+    * each candidate is scanned once, PREDICATE COLUMNS ONLY, in one
+      Spark job (one task per file); matching row ordinals are written
+      as that file's DV — KB for a point delete, never a file rewrite;
+    * the snapshot publish is the usual atomic manifest rename: entries
+      for files that gained a DV carry the reference (appended to any
+      existing DVs — stacked deletes union at read time and later
+      deletes see earlier ones, so a row deletes once); every other
+      entry, stats and blooms included, carries forward verbatim.
+
+    Readers subtract DVs via the (_metadata.file_name, row_index)
+    anti-join in `_scan_entries`; `compact_table` / `optimize_zorder` /
+    `merge_upsert` MATERIALIZE them (and `vacuum` then reclaims the DV
+    files). Snapshot `covers` semantics match the other maintenance ops,
+    so concurrent streaming appends above the high-water mark stay
+    visible and unaffected."""
+    for _, op, _ in where:
+        if op not in table_stats.OPS:
+            raise ValueError(f"unsupported op {op!r}; use one of {table_stats.OPS}")
+    gen, _covers, high_water, entries = _committed_state(root)
+    candidates, skipped = table_stats.prune(entries, where)
+    new_gen = gen + 1
+    data = _data_dir(root)
+    jobs = [
+        (data, new_gen, i, e["file"], e.get("dvs") or [], where)
+        for i, e in enumerate(candidates)
+    ]
+    refs: list[dict] = []
+    if jobs:
+        refs = [
+            r
+            for r in spark.sparkContext.parallelize(jobs, len(jobs))
+            .map(_delete_scan)
+            .collect()
+            if r is not None
+        ]
+    if not refs:
+        return {
+            "generation": gen, "covers": high_water, "files_scanned": len(jobs),
+            "files_skipped": skipped, "files_with_deletes": 0, "n_deleted": 0,
+        }
+    by_file = {r["file"]: r for r in refs}
+    out_entries = []
+    for e in entries:
+        r = by_file.get(e["file"])
+        if r is None:
+            out_entries.append(e)
+        else:
+            e2 = dict(e)
+            e2["dvs"] = list(e.get("dvs") or []) + [
+                {"file": r["dv"], "n": r["n"]}
+            ]
+            out_entries.append(e2)
+    _publish_snapshot(root, new_gen, high_water, out_entries, op="delete")
+    return {
+        "generation": new_gen,
+        "covers": high_water,
+        "files_scanned": len(jobs),
+        "files_skipped": skipped,
+        "files_with_deletes": len(refs),
+        "n_deleted": sum(r["n"] for r in refs),
+    }
 
 
 def as_of_batch(
@@ -703,9 +952,9 @@ def merge_upsert(
     else:
         inserts = updates
     if affected:
-        base = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(data, e["file"]) for e in affected]
-        )
+        # DV-aware scan: rows already deleted in an affected file must not
+        # resurrect through the rewrite (merge MATERIALIZES its files' DVs)
+        base = _scan_entries(spark, root, affected)
         kept = base.join(
             updates.select(F.col(key_col).alias("__mk")),
             on=base[key_col] == F.col("__mk"),
@@ -788,7 +1037,13 @@ def describe_table(root: str) -> dict:
         "covers": covers,
         "high_water_batch": high_water,
         "n_files": len(entries),
+        # physical rows in committed files; live rows = n_rows - n_deleted_rows
+        # (per-column stats likewise describe the physical files — sound
+        # upper bounds for pruning under deletion vectors)
         "n_rows": sum(int(e["n_rows"] or 0) for e in entries),
+        "n_deleted_rows": sum(
+            d["n"] for e in entries for d in e.get("dvs") or []
+        ),
         "n_bytes": sum(int(e["n_bytes"]) for e in entries),
         "columns": cols,
     }
