@@ -439,3 +439,62 @@ def order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
     )
+
+
+@query(
+    "q21_waiting_suppliers",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting) adapted to the "
+    "fixture's columns: late = shipped more than 60 days after the order "
+    "date, on finalized ('F') orders. The ORACLE is the literal doubly-"
+    "correlated EXISTS / NOT-EXISTS form; the Spark plan is the SCALE "
+    "REWRITE — one per-order aggregation pass (distinct suppliers, "
+    "distinct LATE suppliers) replaces both correlated self-joins, so "
+    "lineitem is shuffled once on l_orderkey and the semi/anti semantics "
+    "fall out of two integer comparisons (n_supps > 1, n_late = 1). The "
+    "driver-style row equality proves the rewrite. Supplier names join "
+    "broadcast (dim-sized); all boundaries are integer days.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    jf = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    per_order = jf.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    sole_late = jf.filter("is_late").join(
+        per_order.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1)),
+        "l_orderkey",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )

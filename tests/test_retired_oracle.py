@@ -100,6 +100,7 @@ def test_retired_set_is_the_expected_one():
         "orders_profile",
         "orders_zorder_key",
         "pivot_returnflag_linestatus",
+        "q21_waiting_suppliers",
         "running_revenue_by_customer",
         "sales_rollup",
         "string_funcs_part",
