@@ -108,6 +108,7 @@ def test_retired_set_is_the_expected_one():
         "token_vocab_coverage",
         "top_expensive_orders",
         "top_shingles_corpus",
+        "window_rank_family",
         "word_heavy_hitters",
     ]
 

@@ -234,6 +234,37 @@ def main() -> None:
         F.col("version") > cut).count()
     assert n_hot == n_hot_full, (n_hot, n_hot_full)
 
+    # --- merge-on-read retention purge (deletion vectors) -----------------
+    # DELETE the oldest 10% of versions WITHOUT rewriting data files: after
+    # the z-order pass the layout is version-clustered, so manifest pruning
+    # confines the delete to the few files owning the old range; the rest
+    # are never opened. The applied state is invariant under a retention
+    # purge of superseded versions — the strongest end-to-end check the
+    # feed offers. Compaction then MATERIALIZES the vectors and vacuum
+    # reclaims them.
+    cut_low = int(n_changes * 0.1)
+    n_old = table_sink.read_committed(spark, root).filter(
+        F.col("version") <= cut_low).count()
+    names_before_dv = set(
+        os.path.basename(p) for p in table_sink.committed_files(root))
+    dv = table_sink.delete_where(spark, root, [("version", "<=", cut_low)])
+    assert dv["n_deleted"] == n_old, (dv, n_old)
+    assert dv["files_skipped"] >= 1, dv
+    names_after_dv = set(
+        os.path.basename(p) for p in table_sink.committed_files(root))
+    assert names_after_dv == names_before_dv, "delete_where rewrote data files"
+    committed3 = table_sink.read_committed(spark, root)
+    assert committed3.count() == n_changes - n_old
+    got3 = {
+        r.key: json.loads(r.value)["after"]["v"]
+        for r in latest_changes(committed3).collect()
+    }
+    assert got3 == want, "retention purge changed the applied state"
+    psum = table_sink.compact_table(spark, root, target_bytes=256 << 20)
+    dv_gone = table_sink.vacuum(root)
+    assert table_sink.read_committed(spark, root).count() == n_changes - n_old
+    assert table_sink.describe_table(root)["n_deleted_rows"] == 0
+
     print(
         json.dumps(
             {
@@ -253,6 +284,15 @@ def main() -> None:
                 "hot_key_prune": {
                     "files_total": plan["total"],
                     "files_skipped": plan["skipped"],
+                },
+                "retention_purge": {
+                    "n_deleted": dv["n_deleted"],
+                    "files_with_deletes": dv["files_with_deletes"],
+                    "files_skipped": dv["files_skipped"],
+                    "apply_invariant": True,
+                    "materialized_files_rewritten": psum["files_rewritten"],
+                    "dv_files_vacuumed": sum(
+                        1 for n in dv_gone if n.startswith("dv-")),
                 },
             }
         )
