@@ -116,6 +116,165 @@ def pca_prefilter_topk(
     )
 
 
+def quantize_vec(vec, scale: int = 1024):
+    """Element-wise ``floor(x * scale)`` as an array<long> — the exact-
+    arithmetic domain for kmeans_quantized. float->double cast and the
+    multiply are identical IEEE ops on any engine, so the quantized
+    vectors are engine-exact by construction."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"))
+
+
+def kmeans_seeds(
+    emb: DataFrame, k: int, scale: int = 1024,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> list[list[int]]:
+    """Deterministic pseudo-random initial centroids: the quantized vectors
+    of the k points with the smallest ``sha2('kmeans:' || id)`` digest
+    (id tiebreak). A hash order is as good as a shuffle for seeding and —
+    unlike RNG state — any engine reproduces it from the data alone. The
+    selection is a top-k (TakeOrderedAndProject at scale, never a full
+    sort materialization); k rows collect (KB)."""
+    rows = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.sha2(F.concat(F.lit("kmeans:"), F.col(id_col).cast("string")), 256).alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    return _quantize_np([r._v for r in rows], scale).tolist()
+
+
+def _quantize_np(vals, scale: int) -> "np.ndarray":
+    """numpy twin of quantize_vec: float32 -> float64 is exact, the
+    multiply and floor are the same IEEE ops Spark/DuckDB run, so all
+    three paths produce identical int64 components."""
+    X = np.stack(vals).astype(np.float64)
+    return np.floor(X * scale).astype(np.int64)
+
+
+def kmeans_assign(
+    emb: DataFrame, centroids: list[list[int]], scale: int = 1024,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (exact integer squared
+    L2; ties break to the lower cluster id): (id, cluster, sq_dist).
+    Arrow-batched numpy — one (batch x k) GEMM-shaped distance per batch,
+    no shuffle, no per-row Python — so one Lloyd assignment pass over a
+    100 TB corpus is scan-bound. int64 throughout: components span
+    ~[-2*scale, 2*scale], each squared term <= (4*scale)^2, the d-term
+    sums stay far below 2^63, and np.argmin's first-minimum rule IS the
+    lower-cluster-id tiebreak."""
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
+            # (n, k, d) diff tensor is exact int64; k*d is small by design
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": best.astype(np.int32),
+                    "sq_dist": d2[np.arange(len(best)), best],
+                }
+            )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} {id_type}, cluster int, sq_dist long"
+    )
+
+
+def kmeans_quantized(
+    emb: DataFrame, k: int = 8, n_iters: int = 3, scale: int = 1024,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd k-means in EXACT INTEGER arithmetic — the learned
+    clustering is deterministic and engine-exact, so even the training
+    loop is oracle-verifiable (the property that lets the frozen-codebook
+    convention in functions/codebooks.py be replaced by in-engine
+    training at scale).
+
+    Scheme: quantize components to ``floor(x * scale)`` (int64), seed k
+    centroids by hash order (kmeans_seeds), then per iteration one
+    Arrow-batched pass per partition (the gram_covariance partial-
+    reduction shape) computes the argmin assignment AND accumulates
+    per-cluster component sums + counts locally; only k*(d+1) longs per
+    partition shuffle into a groupBy(cluster, pos) combine, and k rows
+    collect (KB). New centroids are ELEMENT-WISE FLOOR MEANS — exact
+    ``sums[i] // n`` on the driver — so centroids stay integer and every
+    distance stays exact; empty clusters carry their previous centroid
+    forward. The oracle's ``floor(sum::DOUBLE / n)`` equals exact floor
+    division because a non-integer quotient sits at least 1/n from any
+    integer while the double quotient of exact-<2^53 operands errs by
+    <= ~2^-40 of that (see plans/llm.py spec).
+
+    Returns the final assignment (id, cluster, sq_dist) — the IVF-style
+    cell structure consumers block on (dedup_semantic). Driver state per
+    iteration is k*d ints, independent of corpus size; total cost is
+    n_iters + 1 scans, each shuffling partition-count-sized partials."""
+    import pandas as pd
+
+    cents = kmeans_seeds(emb, k, scale, vec_col, id_col)
+    d = len(cents[0])
+    vecs = emb.select(vec_col).persist()
+
+    def update_pass(C: np.ndarray):
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            S = np.zeros((k, d), dtype=np.int64)
+            n = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
+                best = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                np.add.at(S, best, Q)
+                n += np.bincount(best, minlength=k)
+            live = np.nonzero(n)[0]
+            if not len(live):
+                return
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(live, d + 1).astype(np.int32),
+                    "pos": np.tile(np.arange(-1, d), len(live)).astype(np.int32),
+                    "val": np.concatenate(
+                        [np.concatenate(([n[c]], S[c])) for c in live]
+                    ),
+                }
+            )
+
+        return part
+
+    try:
+        for _ in range(n_iters):
+            C = np.asarray(cents, dtype=np.int64)
+            stats = (
+                vecs.mapInPandas(update_pass(C), "cluster int, pos int, val long")
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("v"))
+                .collect()
+            )
+            sums: dict[int, dict[int, int]] = {}
+            for r in stats:
+                sums.setdefault(int(r.cluster), {})[int(r.pos)] = int(r.v)
+            new_cents = list(cents)  # empty clusters keep their centroid
+            for cid, by_pos in sums.items():
+                n = by_pos[-1]
+                new_cents[cid] = [by_pos[i] // n for i in range(d)]
+            cents = new_cents
+    finally:
+        vecs.unpersist()
+    return kmeans_assign(emb, cents, scale, vec_col, id_col)
+
+
 def gram_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(vectors) -> one row per (i, j): Gram entry ``sum_k x_ki * x_kj`` and
     covariance ``E[x_i x_j] - E[x_i] E[x_j]``, both rounded to 4.

@@ -1825,6 +1825,142 @@ def embedding_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_prefilter_topk(queries, emb, PCA_COMPONENTS, PCA_MEAN, k=5, n_candidates=50)
 
 
+# --- in-engine clustering (exact-arithmetic k-means) -------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 1024
+_KM_DIST = (
+    "CAST(list_sum(list_transform(range(1, 65), "
+    "i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT)"
+)
+
+
+def _kmeans_ctes(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
+                 scale: int = KMEANS_SCALE) -> str:
+    """Unrolled-Lloyd CTE chain mirroring operators/linalg.py::
+    kmeans_quantized step for step: v = floor-quantized int vectors,
+    c0 = hash-order seeds, then per iteration an argmin assignment
+    (exact int64 squared L2, cid tiebreak) and floor-mean centroid
+    update with empty clusters carrying forward. The update's
+    ``floor(sum::DOUBLE / n)`` equals Python's exact ``sum // n``:
+    both operands are exact (<2^53), a non-integer quotient is >= 1/n
+    from any integer, and the division's rounding error is ~2^-40 of
+    that margin; an integer quotient divides exactly."""
+    parts = [
+        "v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor(x * {scale}) AS BIGINT)) AS q FROM embeddings)",
+        "c0 AS (SELECT cid, c FROM ("
+        "  SELECT row_number() OVER ("
+        "    ORDER BY sha256('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id"
+        "  ) - 1 AS cid, q AS c FROM v"
+        f") WHERE cid < {k})",
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, q, cid FROM ("
+            f"  SELECT v.vec_id, v.q, c.cid, row_number() OVER ("
+            f"    PARTITION BY v.vec_id ORDER BY {_KM_DIST}, c.cid) AS rn"
+            f"  FROM v, c{t - 1} c"
+            f") WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT cid, list(m ORDER BY pos) AS c FROM ("
+            f"  SELECT cid, pos, CAST(floor(CAST(sum(q[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS m"
+            f"  FROM a{t}, range(1, 65) r{t}(pos) GROUP BY cid, pos"
+            f") GROUP BY cid)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT * FROM m{t} UNION ALL "
+            f"SELECT p.cid, p.c FROM c{t - 1} p "
+            f"WHERE p.cid NOT IN (SELECT cid FROM m{t}))"
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "embedding_kmeans",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, cluster, sq_dist FROM (
+        SELECT vec_id, cid AS cluster, sq_dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sq_dist, cid) AS rn
+        FROM (
+            SELECT v.vec_id, c.cid, {_KM_DIST} AS sq_dist
+            FROM v, c{KMEANS_ITERS} c
+        )
+    ) WHERE rn = 1
+    """,
+    doc="Distributed Lloyd k-means TRAINED IN-ENGINE in exact integer "
+    "arithmetic (components floor-quantized at scale=1024, centroids as "
+    "element-wise floor means, hash-order seeds): 3 iterations, k=8, and "
+    "the LEARNED result is value-exact against the unrolled-SQL oracle — "
+    "the training loop itself is verified, not just a frozen artifact. "
+    "Each assignment pass is a codegen map (k*d literal multiply-adds, no "
+    "shuffle); each update is one partial-agg groupBy collecting k rows "
+    "(KB) to the driver — n_iters scans total, driver state independent "
+    "of corpus size (operators/linalg.py::kmeans_quantized).",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.linalg import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_quantized(
+        emb, k=KMEANS_K, n_iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+
+
+@query(
+    "dedup_semantic",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cid AS cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sq_dist, cid) AS rn
+            FROM (
+                SELECT v.vec_id, c.cid, {_KM_DIST} AS sq_dist
+                FROM v, c{KMEANS_ITERS} c
+            )
+        ) WHERE rn = 1
+    ),
+    ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, aa.cluster,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cos_sim
+    FROM assign aa JOIN assign ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+    JOIN ve a ON a.vec_id = aa.vec_id
+    JOIN ve b ON b.vec_id = ab.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic near-dup pairs found INSIDE "
+    "LEARNED k-means cells — the published scale recipe for embedding "
+    "dedup, here with the cells trained in-engine (embedding_kmeans) "
+    "instead of taken from the fixture's label column "
+    "(dedup_embedding_cosine's blocking key). One GEMM per cell via "
+    "applyInPandas; the cell key bounds the candidate set so no all-pairs "
+    "stage exists at any scale, and the whole composition — training, "
+    "assignment, within-cell cosine — is value-exact against the oracle.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.linalg import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_quantized(
+        emb, k=KMEANS_K, n_iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    ).select("vec_id", "cluster")
+    blocked = emb.join(cells, "vec_id")
+    pairs = dedup.embedding_cosine_pairs(blocked, threshold=0.3, cell_col="cluster")
+    clusters = blocked.select(F.col("vec_id").alias("vec_a"), "cluster")
+    return pairs.join(clusters, "vec_a").select("vec_a", "vec_b", "cluster", "cos_sim")
+
+
 @query(
     "doc_shuffle_layout",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest

@@ -779,3 +779,79 @@ def test_scd2_history_handcrafted_edges(spark):
         (2, "A", 3): (None, True),
         (3, "A", 1): (2, False),
     }
+
+
+# --- exact-integer k-means (operators/linalg.py::kmeans_quantized) ----------
+
+
+def _kmeans_reference(vecs, ids, k, n_iters, scale):
+    """Driver-side Python fold of the exact-arithmetic Lloyd spec: hash-order
+    seeds, int64 argmin with first-minimum tiebreak, exact floor-mean
+    update with empty-cluster carry-forward. Every step is exact integer
+    arithmetic, so agreement with the distributed operator is equality,
+    not approximation."""
+    import hashlib
+
+    import numpy as np
+
+    Q = np.floor(np.stack(vecs).astype(np.float64) * scale).astype(np.int64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.sha256(f"kmeans:{ids[i]}".encode()).hexdigest(), ids[i]),
+    )
+    C = Q[order[:k]].copy()
+    for _ in range(n_iters):
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        for c in range(k):
+            sel = Q[best == c]
+            if len(sel):
+                C[c] = np.array([int(s) // len(sel) for s in sel.sum(axis=0)])
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    best = d2.argmin(axis=1)
+    return {int(i): (int(b), int(d2[r, b])) for r, (i, b) in enumerate(zip(ids, best))}
+
+
+def test_kmeans_quantized_matches_python_fold(spark):
+    """kmeans_quantized on a handcrafted 2-d frame (negative components so
+    floor means differ from truncation; k > populated clusters so the
+    empty-cluster carry-forward path runs) equals the Python fold exactly."""
+    from crdb_changefeed_publisher_spark.operators.linalg import kmeans_quantized
+
+    vecs = [
+        [-1.5, -1.3], [-1.4, -1.6], [-1.55, -1.45],  # a negative-mean blob
+        [2.0, 2.1], [2.2, 1.9],                      # a positive blob
+        [0.1, -0.05],                                # a loner
+    ]
+    ids = list(range(10, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    import numpy as np
+
+    got = {
+        int(r.vec_id): (int(r.cluster), int(r.sq_dist))
+        for r in kmeans_quantized(df, k=5, n_iters=2, scale=8).collect()
+    }
+    want = _kmeans_reference(
+        [[float(np.float32(x)) for x in v] for v in vecs], ids, 5, 2, 8
+    )
+    assert got == want
+
+
+def test_kmeans_assign_tiebreak_and_exactness(spark):
+    """Equidistant point assigns to the LOWER cluster id, and sq_dist is
+    the exact integer squared L2 in the quantized domain."""
+    from crdb_changefeed_publisher_spark.operators.linalg import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[-4, -4], [4, 4]]  # quantized at scale=4: (0,0) is equidistant
+    got = {
+        int(r.vec_id): (int(r.cluster), int(r.sq_dist))
+        for r in kmeans_assign(df, cents, scale=4).collect()
+    }
+    assert got == {1: (0, 32), 2: (1, 0)}

@@ -54,6 +54,7 @@ def test_retired_set_is_the_expected_one():
         "conditional_aggs_orders",
         "date_funcs_orders",
         "dedup_minhash_lsh",
+        "dedup_semantic",
         "doc_bm25_search",
         "doc_boilerplate_report",
         "doc_budget_selection",
@@ -67,6 +68,7 @@ def test_retired_set_is_the_expected_one():
         "domain_mixture_sample",
         "embedding_gram_covariance",
         "embedding_hard_negatives",
+        "embedding_kmeans",
         "embedding_pca_project",
         "embedding_topk_pca",
         "embedding_topk_pq",
