@@ -491,6 +491,61 @@ def dedup_cluster_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_components_altstar",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    ),
+    edges AS (
+        SELECT vec_a AS s, vec_b AS d FROM pairs
+        UNION
+        SELECT vec_b, vec_a FROM pairs
+    ),
+    walk(vec_id, label) AS (
+        SELECT vec_id, vec_id FROM v
+        UNION
+        SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.vec_id
+    )
+    SELECT vec_id, min(label) AS cluster_id,
+           count(*) OVER (PARTITION BY min(label)) AS cluster_size
+    FROM walk GROUP BY vec_id
+    """,
+    doc="Connected components by ALTERNATING LARGE-STAR/SMALL-STAR rounds "
+    "(Kiveris et al. 2014) over the embedding-cosine near-dup graph: the "
+    "O(log n)-round 100 TB resolution path — min-label propagation "
+    "(dedup_cluster_keep_list's oracle semantics, connected_components' "
+    "fallback) needs O(component diameter) shuffle rounds, which a long "
+    "duplicate CHAIN makes unbounded; the alternating-star fixed point is "
+    "topology-independent, keeps zero driver state, and each round is two "
+    "groupBy-min shuffles of the (id, id) edge set "
+    "(operators/dedup.py::connected_components_altstar). The oracle states "
+    "the SEMANTIC definition (min reachable id, recursive CTE), so the "
+    "exotic algorithm is verified against the meaning, not a twin "
+    "implementation.",
+)
+def dedup_components_altstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3)
+    cc = dedup.connected_components_altstar(
+        pairs, emb.select("vec_id"), id_col="vec_id", a_col="vec_a", b_col="vec_b"
+    )
+    return cc.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    )
+
+
 _SIMHASH_VOTES = ",\n               ".join(
     f"sum(CASE WHEN ((h * {a} + {b}) % 1000000007) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
     for j, (a, b) in enumerate(dedup.SIMHASH_COEFFS)

@@ -855,3 +855,58 @@ def test_kmeans_assign_tiebreak_and_exactness(spark):
         for r in kmeans_assign(df, cents, scale=4).collect()
     }
     assert got == {1: (0, 32), 2: (1, 0)}
+
+
+# --- alternating-star connected components ----------------------------------
+
+
+def test_altstar_long_chain_and_singletons(spark):
+    """A 200-link chain resolves in O(log n) alternating-star rounds
+    (min-label propagation would need ~200 shuffle rounds — the scale
+    motivation); singletons label themselves."""
+    from crdb_changefeed_publisher_spark.operators.dedup import (
+        connected_components_altstar,
+    )
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n + 3)], "doc_id long"  # +3 isolated nodes
+    )
+    got = {
+        int(r.doc_id): int(r.cluster_id)
+        for r in connected_components_altstar(pairs, nodes, max_iter=12).collect()
+    }
+    want = {i: 0 for i in range(n)}
+    want.update({n: n, n + 1: n + 1, n + 2: n + 2})
+    assert got == want
+
+
+def test_altstar_agrees_with_union_find_path(spark, sf_dir):
+    """connected_components_altstar and connected_components are
+    interchangeable: identical labels on the embedding-cosine near-dup
+    graph of the real fixture."""
+    from crdb_changefeed_publisher_spark.operators.dedup import (
+        connected_components,
+        connected_components_altstar,
+        embedding_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, threshold=0.3)
+    nodes = emb.select("vec_id")
+    a = {
+        (int(r.doc_id), int(r.cluster_id))
+        for r in connected_components_altstar(
+            pairs, nodes, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+        ).collect()
+    }
+    b = {
+        (int(r.doc_id), int(r.cluster_id))
+        for r in connected_components(
+            pairs, nodes, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+        ).collect()
+    }
+    assert a == b

@@ -53,6 +53,7 @@ def test_retired_set_is_the_expected_one():
         "cdc_upsert_view",
         "conditional_aggs_orders",
         "date_funcs_orders",
+        "dedup_components_altstar",
         "dedup_minhash_lsh",
         "dedup_semantic",
         "doc_bm25_search",
