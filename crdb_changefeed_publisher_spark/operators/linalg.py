@@ -193,10 +193,10 @@ def kmeans_assign(
     )
 
 
-def kmeans_quantized(
+def kmeans_train(
     emb: DataFrame, k: int = 8, n_iters: int = 3, scale: int = 1024,
     vec_col: str = "embedding", id_col: str = "vec_id",
-) -> DataFrame:
+) -> list[list[int]]:
     """Distributed Lloyd k-means in EXACT INTEGER arithmetic — the learned
     clustering is deterministic and engine-exact, so even the training
     loop is oracle-verifiable (the property that lets the frozen-codebook
@@ -217,10 +217,12 @@ def kmeans_quantized(
     integer while the double quotient of exact-<2^53 operands errs by
     <= ~2^-40 of that (see plans/llm.py spec).
 
-    Returns the final assignment (id, cluster, sq_dist) — the IVF-style
-    cell structure consumers block on (dedup_semantic). Driver state per
-    iteration is k*d ints, independent of corpus size; total cost is
-    n_iters + 1 scans, each shuffling partition-count-sized partials."""
+    Returns the final INTEGER centroids — the in-engine replacement for
+    a frozen codebook, consumed by kmeans_assign (cell index),
+    dedup_semantic (SemDeDup cells) and similarity.ivf_topk_trained (ANN
+    serving). Driver state per iteration is k*d ints, independent of
+    corpus size; total cost is n_iters scans, each shuffling
+    partition-count-sized partials."""
     import pandas as pd
 
     cents = kmeans_seeds(emb, k, scale, vec_col, id_col)
@@ -272,6 +274,17 @@ def kmeans_quantized(
             cents = new_cents
     finally:
         vecs.unpersist()
+    return cents
+
+
+def kmeans_quantized(
+    emb: DataFrame, k: int = 8, n_iters: int = 3, scale: int = 1024,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Train (kmeans_train) then assign (kmeans_assign) in one call:
+    the final (id, cluster, sq_dist) labeling under the learned
+    centroids."""
+    cents = kmeans_train(emb, k, n_iters, scale, vec_col, id_col)
     return kmeans_assign(emb, cents, scale, vec_col, id_col)
 
 

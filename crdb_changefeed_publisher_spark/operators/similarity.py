@@ -880,3 +880,87 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def ivf_topk_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids_int: list[list[int]],
+    k: int = 5,
+    n_probe: int = 3,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF serving over cells TRAINED IN-ENGINE: the complete ANN
+    lifecycle — linalg.kmeans_quantized learns the centroids, this
+    operator indexes the corpus (exact int64 nearest-centroid cells,
+    linalg.kmeans_assign) and serves queries (each probes its `n_probe`
+    nearest cells by the SAME exact integer distance, then exact cosine
+    ranks only the probed cells' vectors). Because both the training and
+    the probe arithmetic are exact and the scores round-then-tiebreak,
+    the whole approximate index is value-verifiable — no frozen-literal
+    codebook needed (contrast ivf_topk + functions/codebooks.py).
+
+    Plan shape: corpus assignment is one Arrow-batched scan (at 100 TB it
+    happens once at write time — the cell-partitioned layout — and
+    disappears from the query path); query probes are the same pass over
+    the small query side; candidates come from an equi-join on the cell
+    id, never all-pairs; per-query top-k is a ranking window keyed by
+    query."""
+    import numpy as np
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        _quantize_np,
+        kmeans_assign,
+    )
+
+    C = np.asarray(centroids_int, dtype=np.int64)
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # stable argsort on exact ints == (distance, cell-id) tiebreak
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), order.shape[1]),
+                    "cell": order.ravel().astype(np.int32),
+                }
+            )
+
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe, "query_id long, cell int"
+    )
+    cells = kmeans_assign(corpus, centroids_int, scale, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qe")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ce")
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_arrow(F.col("qe"), F.col("ce")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )

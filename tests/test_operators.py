@@ -935,3 +935,25 @@ def test_hashed_ngram_classifier_distills_teacher(spark, sf_dir):
     assert len(common) >= 400
     agree = sum(student[d] == teacher[d] for d in common) / len(common)
     assert agree >= 0.95
+
+
+def test_ivf_trained_recall_floor_vs_bruteforce(spark, sf_dir):
+    """The in-engine-trained IVF index keeps recall@5 >= 0.6 against exact
+    brute force at 3-of-8 probed cells (measured 0.74 at sf0.01, 0.68 at
+    sf0.1) — the accuracy dial behind the value-exact approximate
+    answer."""
+    from crdb_changefeed_publisher_spark.plans.llm import (
+        KMEANS_SCALE,
+        _kmeans_cents,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    ivf = similarity.ivf_topk_trained(
+        q, emb, _kmeans_cents(spark, sf_dir), k=5, n_probe=3, scale=KMEANS_SCALE
+    )
+    bf = similarity.brute_force_topk(q, emb, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    assert len(truth) > 0
+    assert len(got & truth) / len(truth) >= 0.6
