@@ -63,6 +63,85 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+SUPPORTED_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def load_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema=None,
+) -> DataFrame:
+    """Format-agnostic batch scan: the same logical table from parquet,
+    ORC, CSV, or JSON-lines — so every query in the registry is
+    format-independent (tests/test_source_formats.py round-trips tables
+    through all four and asserts value equality).
+
+    Self-describing formats (parquet, ORC) carry their own schema and
+    types; text formats REQUIRE an explicit ``schema``. That is a scale
+    rule, not a convenience: ``inferSchema`` is a second full pass over
+    the data (at 100 TB, a second 100 TB scan), and CSV/JSON type
+    guessing is lossy (int vs long, timestamp parsing). Readers that
+    need streaming get the same dispatch via ``spark.readStream`` with
+    an explicit schema — Structured Streaming refuses inference anyway.
+
+    CSV is written/read with header, explicit '"' escaping, and
+    multiLine so embedded quotes/newlines in text columns round-trip;
+    JSON uses Spark's default ISO-8601 timestamp rendering. Column
+    pruning and (parquet/ORC) predicate pushdown work through every
+    branch — the dispatch adds nothing between the scan and Catalyst."""
+    fmt = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
+    if fmt == "jsonl":
+        fmt = "json"
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    if schema is None:
+        raise ValueError(
+            f"{fmt} requires an explicit schema: inference would be a second "
+            "full pass over the data and guesses types lossily"
+        )
+    if fmt == "csv":
+        return (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("escape", '"')
+            .option("multiLine", "true")
+            .csv(path)
+        )
+    return spark.read.schema(schema).json(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str) -> None:
+    """Write a table in the given format with options symmetric to
+    load_any (CSV header + '"' escaping), used by the format round-trip
+    tests and any export path."""
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    elif fmt == "orc":
+        df.write.mode("overwrite").orc(path)
+    elif fmt == "csv":
+        (
+            df.write.mode("overwrite")
+            .option("header", "true")
+            .option("escape", '"')
+            # the WRITER defaults these to true and silently trims
+            # leading/trailing whitespace out of string values — caught by
+            # the round-trip test; a faithful export must not edit data
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(path)
+        )
+    elif fmt == "json":
+        df.write.mode("overwrite").json(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> dict[str, str]:
     """Write lineitem/orders as catalog tables bucketed+sorted on the order
     key (idempotent), returning the overrides mapping for
