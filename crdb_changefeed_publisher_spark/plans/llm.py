@@ -2116,6 +2116,53 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_triangle_counts",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    e AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.2
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+    """,
+    doc="Per-node TRIANGLE COUNTS over the embedding-cosine similarity "
+    "graph (>= 0.2 within the label cell): the clustering-coefficient "
+    "primitive that separates clique-like duplicate clusters from weak "
+    "transitive chains. The Spark plan is Cohen's degree-ORIENTED scheme "
+    "— every edge oriented from its lower-(degree, id) endpoint, so each "
+    "triangle is enumerated at exactly one vertex and per-node wedge work "
+    "is bounded by the oriented out-degree (O(sqrt(m)) under skew, never "
+    "a hub's raw degree); the oracle is the naive a<b<c 3-way self-join, "
+    "so the orientation optimization is proven result-preserving "
+    "(operators/graph.py::triangle_counts).",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.graph import triangle_counts
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.2)
+    return triangle_counts(pairs, a_col="vec_a", b_col="vec_b").select(
+        F.col("node"), F.col("n_triangles")
+    )
+
+
+@query(
     "embedding_topk_ivf_trained",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
     oracle=f"""

@@ -957,3 +957,23 @@ def test_ivf_trained_recall_floor_vs_bruteforce(spark, sf_dir):
     truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
     assert len(truth) > 0
     assert len(got & truth) / len(truth) >= 0.6
+
+
+def test_triangle_counts_handcrafted_topologies(spark):
+    """4-clique (every node in C(3,2)=3 triangles), a pendant edge, a
+    triangle-free star hub, and a chain: degree-oriented counting gets
+    each exactly once — hubs contribute wedge work only via their
+    oriented OUT-degree, never phantom triangles."""
+    from crdb_changefeed_publisher_spark.operators.graph import triangle_counts
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pendant = [(3, 10)]
+    star = [(20, x) for x in (21, 22, 23, 24)]
+    chain = [(30, 31), (31, 32), (32, 33)]
+    pairs = spark.createDataFrame(
+        clique + pendant + star + chain, "doc_a long, doc_b long"
+    )
+    got = {
+        int(r.node): int(r.n_triangles) for r in triangle_counts(pairs).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}

@@ -84,6 +84,7 @@ def test_retired_set_is_the_expected_one():
         "events_user_skew",
         "events_variant_stats",
         "events_weighted_median",
+        "graph_triangle_counts",
         "grouping_sets_revenue",
         "kmv_shard_overlap",
         "lang_mixture_weights",
