@@ -761,6 +761,77 @@ def delete_where(
     }
 
 
+def _entries_as_of(
+    root: str, batch_id: int, max_gen: int | None = None
+) -> list[dict] | None:
+    """Committed manifest entries of the table as it stood after batch
+    `batch_id` — the resolution step behind as_of_batch / table_changes.
+    `max_gen` additionally caps the snapshot GENERATION considered: the
+    batch axis addresses appends, the generation axis addresses
+    maintenance ops (delete_where / compact / merge re-publish the SAME
+    batch high-water under a new generation, so pre/post-maintenance
+    states are distinguishable only by generation). None when the commit
+    dir does not exist; raises for states a later compaction made
+    unreconstructible (the retention contract)."""
+    commits = _commits_dir(root)
+    if not os.path.isdir(commits):
+        return None
+    snaps, batches = [], []
+    for name in os.listdir(commits):
+        if name.endswith(".tmp"):
+            continue
+        if name.startswith("snapshot-") and name.endswith(".json"):
+            with open(os.path.join(commits, name)) as fh:
+                snaps.append(json.load(fh))
+        elif name.startswith("batch-") and name.endswith(".json"):
+            with open(os.path.join(commits, name)) as fh:
+                batches.append(json.load(fh))
+    base = [
+        s
+        for s in snaps
+        if int(s["covers"]) <= batch_id
+        and (max_gen is None or int(s["generation"]) <= max_gen)
+    ]
+    snap = max(base, key=lambda s: int(s["generation"])) if base else None
+    covers = int(snap["covers"]) if snap else -1
+    floor = min(
+        (int(s["covers"]) for s in snaps if int(s["covers"]) > batch_id),
+        default=None,
+    )
+    if floor is not None and snap is None and max_gen is None:
+        raise ValueError(
+            f"batch {batch_id} predates the oldest snapshot (covers {floor}): "
+            "that history was compacted away; earliest readable state is "
+            f"as_of_batch({floor})"
+        )
+    entries = list(snap["files"]) if snap else []
+    applicable = sorted(
+        (m for m in batches if covers < int(m["batch_id"]) <= batch_id),
+        key=lambda m: int(m["batch_id"]),
+    )
+    # a pruned manifest inside (covers, batch_id] would silently drop rows:
+    # detect the gap and refuse. Pruning is done by snapshots of ANY
+    # generation (a later-generation snapshot at the same covers still
+    # prunes), so the guard ignores max_gen: a needed batch is "pruned"
+    # when absent AND some snapshot's covers reaches it.
+    have = {int(m["batch_id"]) for m in batches}
+    max_pruned = max((int(s["covers"]) for s in snaps), default=-1)
+    missing = [
+        b
+        for b in range(covers + 1, batch_id + 1)
+        if b not in have and b <= max_pruned
+    ]
+    if missing:
+        raise ValueError(
+            f"batch manifests {missing[:5]}... inside ({covers}, {batch_id}] "
+            "were pruned by a later compaction; that intermediate state is "
+            "no longer reconstructible"
+        )
+    for m in applicable:
+        entries.extend(m["files"])
+    return entries
+
+
 def as_of_batch(
     spark: SparkSession, root: str, batch_id: int,
     where: list[tuple] | None = None,
@@ -775,57 +846,99 @@ def as_of_batch(
     reclaims it, no longer). Snapshot manifests themselves are never
     pruned, so every post-compaction generation boundary stays readable
     until `vacuum` removes the superseded data files."""
-    commits = _commits_dir(root)
-    if not os.path.isdir(commits):
+    entries = _entries_as_of(root, batch_id)
+    if entries is None:
         return None
-    snaps, batches = [], []
-    for name in os.listdir(commits):
-        if name.endswith(".tmp"):
-            continue
-        if name.startswith("snapshot-") and name.endswith(".json"):
-            with open(os.path.join(commits, name)) as fh:
-                snaps.append(json.load(fh))
-        elif name.startswith("batch-") and name.endswith(".json"):
-            with open(os.path.join(commits, name)) as fh:
-                batches.append(json.load(fh))
-    base = [s for s in snaps if int(s["covers"]) <= batch_id]
-    snap = max(base, key=lambda s: int(s["generation"])) if base else None
-    covers = int(snap["covers"]) if snap else -1
-    floor = min(
-        (int(s["covers"]) for s in snaps if int(s["covers"]) > batch_id),
-        default=None,
-    )
-    if floor is not None and snap is None:
-        raise ValueError(
-            f"batch {batch_id} predates the oldest snapshot (covers {floor}): "
-            "that history was compacted away; earliest readable state is "
-            f"as_of_batch({floor})"
-        )
-    entries = list(snap["files"]) if snap else []
-    applicable = sorted(
-        (m for m in batches if covers < int(m["batch_id"]) <= batch_id),
-        key=lambda m: int(m["batch_id"]),
-    )
-    # a pruned manifest inside (covers, batch_id] would silently drop rows:
-    # detect the gap and refuse (only possible if a NEWER snapshot covered
-    # them — handled above — or manual deletion)
-    have = {int(m["batch_id"]) for m in batches}
-    missing = [
-        b
-        for s in snaps
-        if int(s["covers"]) > batch_id
-        for b in range(covers + 1, batch_id + 1)
-        if b not in have
-    ]
-    if missing:
-        raise ValueError(
-            f"batch manifests {missing[:5]}... inside ({covers}, {batch_id}] "
-            "were pruned by a later compaction; that intermediate state is "
-            "no longer reconstructible"
-        )
-    for m in applicable:
-        entries.extend(m["files"])
     return _load_entries(spark, root, entries, where)
+
+
+def _dv_key(e: dict) -> tuple:
+    """Identity of an entry's deletion-vector state: same file + same DV
+    references means the entry's LIVE ROWS are byte-identical."""
+    return (e["file"], tuple(sorted(d["file"] for d in e.get("dvs") or [])))
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_state: int | tuple[int, int],
+    to_state: int | tuple[int, int],
+) -> tuple[DataFrame | None, dict]:
+    """Row-level CHANGE FEED between two committed states: what a reader
+    of ``as_of_batch(to_batch)`` sees that ``as_of_batch(from_batch)``
+    did not (``_change_type='insert'``) and vice versa (``'delete'``) —
+    the generalized CDC-out surface of the table sink (read_since covers
+    the append-only fast path; this one also surfaces DELETE_WHERE /
+    merge tombstone effects).
+
+    The scale property is MANIFEST PRUNING OF THE DIFF ITSELF: entries
+    carried between the two states with identical (file, DV set) hold
+    identical live rows BY CONSTRUCTION, so they cancel without being
+    read — only files added, removed, rewritten, or with grown deletion
+    vectors are scanned, and the exceptAll runs over just those. A
+    point delete on a 100 TB table diffs by scanning the one file the
+    DV touched, not the table. Compaction between the two states
+    rewrites bytes without changing rows: its files do scan (names
+    differ), but the multiset difference correctly comes out EMPTY —
+    asserted in tests.
+
+    A state is a batch id (the APPEND axis: as_of_batch semantics under
+    the latest generation), or a ``(batch_id, generation)`` pair — the
+    generation cap is what addresses the two sides of a maintenance op,
+    which re-publishes the SAME batch high-water under a new generation:
+    ``(covers, gen-1) -> (covers, gen)`` diffs exactly a delete_where's
+    effect.
+
+    Returns (changes_df | None, stats); stats reports how much the
+    manifest diff pruned. Inherits as_of_batch's retention contract
+    (raises if either state was compacted away)."""
+
+    def resolve(state):
+        if isinstance(state, tuple):
+            b, g = state
+            return _entries_as_of(root, b, max_gen=g) or []
+        return _entries_as_of(root, state) or []
+
+    from_entries = resolve(from_state)
+    to_entries = resolve(to_state)
+    from_keys = {_dv_key(e) for e in from_entries}
+    to_keys = {_dv_key(e) for e in to_entries}
+    from_changed = [e for e in from_entries if _dv_key(e) not in to_keys]
+    to_changed = [e for e in to_entries if _dv_key(e) not in from_keys]
+    stats = {
+        "files_from": len(from_entries),
+        "files_to": len(to_entries),
+        "files_scanned": len(from_changed) + len(to_changed),
+        "files_carried": len(from_entries) - len(from_changed),
+    }
+    if not from_changed and not to_changed:
+        return None, stats
+    old = (
+        _scan_entries(spark, root, from_changed) if from_changed else None
+    )
+    new = _scan_entries(spark, root, to_changed) if to_changed else None
+    from pyspark.sql import functions as F
+
+    if old is None:
+        diff = new.withColumn("_change_type", F.lit("insert"))
+    elif new is None:
+        diff = old.withColumn("_change_type", F.lit("delete"))
+    else:
+        # align schemas (a batch may have added columns between the states)
+        cols = list(dict.fromkeys(old.columns + new.columns))
+        for c in cols:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None))
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None))
+        old, new = old.select(*cols), new.select(*cols)
+        diff = (
+            new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+            )
+        )
+    return diff, stats
 
 
 def read_since(

