@@ -1030,6 +1030,7 @@ _PROBES_CTE = """
 
 @query(
     "embedding_topk_ivf",
+    retired=True,  # swap round 5: superseded by embedding_topk_ivf_trained
     oracle=f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
@@ -2164,7 +2165,9 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_topk_ivf_trained",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # PROMOTED in swap round 5 (third r8 session): the in-engine-trained
+    # lifecycle supersedes the frozen-codebook embedding_topk_ivf as the
+    # registered IVF row; that variant retires but stays oracle-verified.
     oracle=f"""
     WITH {_kmeans_ctes()},
     {_KM_ASSIGN_CTE},

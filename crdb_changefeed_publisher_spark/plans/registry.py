@@ -69,6 +69,9 @@ COST_HINTS: dict[str, float] = {
     # is ~0.9/1.2 s, first run pays the one-time index build
     "embedding_topk_ivf": 1.0,
     "embedding_topk_ivfpq": 1.3,
+    # r8 swap round 5: trained lifecycle; first run pays the shared kmeans
+    # training pass (~2 s at sf0.1), probe+rerank is ~1 s warm
+    "embedding_topk_ivf_trained": 2.5,
     "dedup_cluster_keep_list": 0.6,  # r6: consumes the shared pair pass
     # r5 additions: curation pays the one-time contamination pass that
     # doc_decontamination then reuses (session-persisted)

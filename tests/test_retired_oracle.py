@@ -72,7 +72,7 @@ def test_retired_set_is_the_expected_one():
         "embedding_hard_negatives",
         "embedding_kmeans",
         "embedding_pca_project",
-        "embedding_topk_ivf_trained",
+        "embedding_topk_ivf",
         "embedding_topk_pca",
         "embedding_topk_pq",
         "events_funnel_windowed",
