@@ -2083,25 +2083,43 @@ _KM_ASSIGN_CTE = f"""assign AS (
     oracle=f"""
     WITH {_kmeans_ctes()},
     {_KM_ASSIGN_CTE},
-    ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, aa.cluster,
-           round(list_dot_product(a.e, b.e)
-                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-                 6) AS cos_sim
-    FROM assign aa JOIN assign ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
-    JOIN ve a ON a.vec_id = aa.vec_id
-    JOIN ve b ON b.vec_id = ab.vec_id
-    WHERE list_dot_product(a.e, b.e)
-          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+        SELECT aa.vec_id AS vec_a, ab.vec_id AS vec_b,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+        FROM assign aa JOIN assign ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+        JOIN ve a ON a.vec_id = aa.vec_id
+        JOIN ve b ON b.vec_id = ab.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    ),
+    ends AS (
+        SELECT vec_a AS vec_id, cos_sim FROM pairs
+        UNION ALL
+        SELECT vec_b, cos_sim FROM pairs
+    ),
+    deg AS (
+        SELECT vec_id, count(*) AS n_near_dups, max(cos_sim) AS max_cos
+        FROM ends GROUP BY vec_id
+    )
+    SELECT d.vec_id, s.cluster, d.n_near_dups, d.max_cos
+    FROM deg d JOIN assign s ON s.vec_id = d.vec_id
     """,
-    doc="SemDeDup (Abbas et al. 2023): semantic near-dup pairs found INSIDE "
+    doc="SemDeDup (Abbas et al. 2023): semantic near-dups found INSIDE "
     "LEARNED k-means cells — the published scale recipe for embedding "
     "dedup, here with the cells trained in-engine (embedding_kmeans) "
     "instead of taken from the fixture's label column "
     "(dedup_embedding_cosine's blocking key). One GEMM per cell via "
     "applyInPandas; the cell key bounds the candidate set so no all-pairs "
-    "stage exists at any scale, and the whole composition — training, "
-    "assignment, within-cell cosine — is value-exact against the oracle.",
+    "stage exists at any scale. The SPEC output is the per-vector "
+    "near-dup DEGREE (+ strongest similarity) — bounded by n_vectors, "
+    "never by the pair count (the dedup_simhash r7 lesson: a registered-"
+    "shape output must not go quadratic on pathological corpora; the raw "
+    "pair stream stays the library path consumers compose on). The whole "
+    "composition — training, assignment, within-cell cosine, degree "
+    "fold — is value-exact against the oracle.",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crdb_changefeed_publisher_spark.operators.linalg import kmeans_assign
@@ -2112,8 +2130,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster")
     blocked = emb.join(cells, "vec_id")
     pairs = dedup.embedding_cosine_pairs(blocked, threshold=0.3, cell_col="cluster")
-    clusters = blocked.select(F.col("vec_id").alias("vec_a"), "cluster")
-    return pairs.join(clusters, "vec_a").select("vec_a", "vec_b", "cluster", "cos_sim")
+    ends = pairs.select(F.col("vec_a").alias("vec_id"), "cos_sim").unionByName(
+        pairs.select(F.col("vec_b").alias("vec_id"), "cos_sim")
+    )
+    deg = ends.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_near_dups"), F.max("cos_sim").alias("max_cos")
+    )
+    return deg.join(cells, "vec_id").select(
+        "vec_id", "cluster", "n_near_dups", "max_cos"
+    )
 
 
 @query(
