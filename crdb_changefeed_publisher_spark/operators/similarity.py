@@ -925,7 +925,6 @@ def ivf_topk_trained(
             d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             # stable argsort on exact ints == (distance, cell-id) tiebreak
             order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(pdf[id_col].to_numpy(), order.shape[1]),
