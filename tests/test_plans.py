@@ -98,8 +98,10 @@ def test_session_caches_are_shared_and_keyed(spark, sf_dir):
     )
     assert _encoded_index(spark, other_sf) is not idx1
 
+    # embedding_topk_ivf retired in swap round 5 — resolve via get_spec so
+    # the shared-index invariant keeps covering it
     for q in ("embedding_topk_ivf", "embedding_topk_ivfpq", "doc_decontamination"):
-        plan = plans.all_specs()[q].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        plan = plans.get_spec(q).fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan, q
 
 
