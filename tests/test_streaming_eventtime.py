@@ -1621,3 +1621,53 @@ def test_bloom_seen_filter_bootstrap_from_batch_corpus(spark, sf_dir, tmp_path):
     } - corpus_h
     assert len({h for _, _, h in got}) >= len(new_h) * 0.9
     init.unpersist()
+
+
+def test_streaming_quality_gate_into_table_sink(spark, sf_dir, tmp_path):
+    """The distilled quality gate in the INGEST path: documents stream in
+    micro-batches, each batch is scored by the frozen hashed-trigram
+    classifier (per-doc margins are batch-local — a document arrives
+    whole, so the stateless-per-batch apply is exact) and lands in the
+    exactly-once table sink. The committed table must equal the one-shot
+    batch classification of the whole corpus, row for row — the
+    100 TB ingest pattern: score at write time, queryable immediately,
+    no second corpus pass."""
+    from crdb_changefeed_publisher_spark.functions import textclf_weights as tw
+    from crdb_changefeed_publisher_spark.operators.text import hashed_ngram_classifier
+    from crdb_changefeed_publisher_spark.streaming import table_sink
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = str(tmp_path / "feed")
+    docs.repartition(4).write.mode("overwrite").parquet(feed)
+    root = str(tmp_path / "tbl")
+
+    def classify(df):
+        return hashed_ngram_classifier(
+            df, tw.WEIGHTS_INT, tw.W_DUP_INT, tw.BIAS_INT, tw.N_BUCKETS, tw.SCALE
+        )
+
+    def apply_batch(batch_df, batch_id):
+        table_sink.write_batch(classify(batch_df), batch_id, root)
+
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = sdf.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    await_done(q)
+
+    committed = table_sink.read_committed(spark, root)
+    got = {
+        r.doc_id: (r.n_grams, r.n_distinct, r.margin_int, r.repetitive_pred)
+        for r in committed.collect()
+    }
+    want = {
+        r.doc_id: (r.n_grams, r.n_distinct, r.margin_int, r.repetitive_pred)
+        for r in classify(docs).collect()
+    }
+    assert got == want and len(want) >= 400
+    # multiple micro-batches actually committed (the composition was
+    # incremental, not one big batch)
+    assert len(table_sink.table_history(root)) >= 2
