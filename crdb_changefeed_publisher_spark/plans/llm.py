@@ -1414,6 +1414,13 @@ SHARED_PASSES = {
     "contamination": _contamination,
     "ann_encode": lambda spark, sf_dir: _encoded_index(spark, sf_dir),
     "minhash_pairs": lambda spark, sf_dir: _minhash_pairs(spark, sf_dir),
+    # k-means training is eager (the Lloyd loop collects k-row updates
+    # inside _kmeans_cents); the returned 1-row frame just gives bench a
+    # materializable handle, so the registered embedding_topk_ivf_trained
+    # row reads as its MARGINAL probe+rerank cost
+    "kmeans_train": lambda spark, sf_dir: spark.createDataFrame(
+        [(len(_kmeans_cents(spark, sf_dir)),)], "k int"
+    ),
 }
 
 
