@@ -155,18 +155,48 @@ def _quantize_np(vals, scale: int) -> "np.ndarray":
     return np.floor(X * scale).astype(np.int64)
 
 
+KMEANS_K_CHOICES = tuple(1 << j for j in range(3, 11))  # 8 .. 1024
+
+
+def kmeans_k_for(n: int, cell_target: int = 250) -> int:
+    """Executable k dial (the srp_bits_for convention): the smallest
+    power-of-two cell count with ``k * cell_target >= n``, clamped to
+    KMEANS_K_CHOICES — i.e. expected cell population stays ~cell_target
+    as the corpus grows, so a fixed-probe query's candidate set is a
+    CONSTANT budget (n_probe * cell_target) instead of n/8. INTEGER-
+    EXACT on purpose: a SQL oracle derives the identical k from
+    COUNT(*) with the same comparison (no float log2 boundary to flip
+    between engines). Recall at a fixed probe count falls as the corpus
+    outgrows the probed fraction — the measured, documented trade
+    (plans/llm.py::embedding_topk_ivf_trained), same as the SRP-LSH
+    bits-per-decade rule."""
+    for k in KMEANS_K_CHOICES:
+        if k * cell_target >= n:
+            return k
+    return KMEANS_K_CHOICES[-1]
+
+
+def _int_sq_dists(Q: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Exact int64 squared L2 distances, (n, k), in matmul form:
+    ``|q|^2 - 2 q.C^T + |c|^2`` — memory is n*k ints, never the
+    (n, k, d) diff tensor (k can be 1024 by the dial). Magnitudes:
+    |q|^2 <= d*(4*scale)^2 ~ 2^28 and |q.c| <= d*(2*scale)^2 ~ 2^26,
+    exact in int64 with orders of magnitude to spare."""
+    qq = (Q * Q).sum(axis=1)
+    cc = (C * C).sum(axis=1)
+    return qq[:, None] - 2 * (Q @ C.T) + cc[None, :]
+
+
 def kmeans_assign(
     emb: DataFrame, centroids: list[list[int]], scale: int = 1024,
     vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (exact integer squared
     L2; ties break to the lower cluster id): (id, cluster, sq_dist).
-    Arrow-batched numpy — one (batch x k) GEMM-shaped distance per batch,
-    no shuffle, no per-row Python — so one Lloyd assignment pass over a
-    100 TB corpus is scan-bound. int64 throughout: components span
-    ~[-2*scale, 2*scale], each squared term <= (4*scale)^2, the d-term
-    sums stay far below 2^63, and np.argmin's first-minimum rule IS the
-    lower-cluster-id tiebreak."""
+    Arrow-batched numpy — one (batch x k) int64 matmul per batch, no
+    shuffle, no per-row Python — so one Lloyd assignment pass over a
+    100 TB corpus is scan-bound, and np.argmin's first-minimum rule IS
+    the lower-cluster-id tiebreak."""
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.int64)
@@ -176,8 +206,7 @@ def kmeans_assign(
             if not len(pdf):
                 continue
             Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
-            # (n, k, d) diff tensor is exact int64; k*d is small by design
-            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d2 = _int_sq_dists(Q, C)
             best = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -237,7 +266,7 @@ def kmeans_train(
                 if not len(pdf):
                     continue
                 Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
-                best = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                best = _int_sq_dists(Q, C).argmin(axis=1)
                 np.add.at(S, best, Q)
                 n += np.bincount(best, minlength=k)
             live = np.nonzero(n)[0]

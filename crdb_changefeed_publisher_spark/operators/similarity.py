@@ -911,6 +911,7 @@ def ivf_topk_trained(
     import numpy as np
 
     from crdb_changefeed_publisher_spark.operators.linalg import (
+        _int_sq_dists,
         _quantize_np,
         kmeans_assign,
     )
@@ -922,7 +923,7 @@ def ivf_topk_trained(
             if not len(pdf):
                 continue
             Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
-            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d2 = _int_sq_dists(Q, C)
             # stable argsort on exact ints == (distance, cell-id) tiebreak
             order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame(

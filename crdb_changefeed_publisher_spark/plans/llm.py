@@ -1967,51 +1967,61 @@ def embedding_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- in-engine clustering (exact-arithmetic k-means) -------------------------
 
-KMEANS_K = 8
 KMEANS_ITERS = 3
 KMEANS_SCALE = 1024
+KMEANS_CELL_TARGET = 250
 _KM_DIST = (
     "CAST(list_sum(list_transform(range(1, 65), "
     "i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT)"
 )
 
 
-def _kmeans_ctes(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
-                 scale: int = KMEANS_SCALE) -> str:
+def _kmeans_ctes(n_iters: int = KMEANS_ITERS, scale: int = KMEANS_SCALE) -> str:
     """Unrolled-Lloyd CTE chain mirroring operators/linalg.py::
     kmeans_quantized step for step: v = floor-quantized int vectors,
-    c0 = hash-order seeds, then per iteration an argmin assignment
-    (exact int64 squared L2, cid tiebreak) and floor-mean centroid
-    update with empty clusters carrying forward. The update's
+    kdial = the SELF-SIZING cell count (smallest power-of-two k with
+    k * cell_target >= COUNT(*) — linalg.kmeans_k_for rendered as the
+    same integer comparison over the same choice list, the
+    srp_bits_for convention; a fixture-sized k is the r7 `weak`
+    pattern: cell population, and with it the probe cost, grows with
+    the corpus), c0 = hash-order seeds, then per iteration an argmin
+    assignment (exact int64 squared L2, cid tiebreak) and floor-mean
+    centroid update with empty clusters carrying forward. The update's
     ``floor(sum::DOUBLE / n)`` equals Python's exact ``sum // n``:
     both operands are exact (<2^53), a non-integer quotient is >= 1/n
     from any integer, and the division's rounding error is ~2^-40 of
     that margin; an integer quotient divides exactly."""
+    from crdb_changefeed_publisher_spark.operators.linalg import KMEANS_K_CHOICES
+
+    choices = ", ".join(f"({k})" for k in KMEANS_K_CHOICES)
     parts = [
-        "v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        "v AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
         f"x -> CAST(floor(x * {scale}) AS BIGINT)) AS q FROM embeddings)",
-        "c0 AS (SELECT cid, c FROM ("
+        f"kdial AS MATERIALIZED (SELECT MIN(k)::INT AS k FROM (VALUES {choices}) t(k) "
+        f"WHERE k * {KMEANS_CELL_TARGET} >= (SELECT count(*) FROM embeddings) "
+        f"OR k = {KMEANS_K_CHOICES[-1]})",
+        "c0 AS MATERIALIZED (SELECT cid, c FROM ("
         "  SELECT row_number() OVER ("
         "    ORDER BY sha256('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id"
         "  ) - 1 AS cid, q AS c FROM v"
-        f") WHERE cid < {k})",
+        ") WHERE cid < (SELECT k FROM kdial))",
     ]
     for t in range(1, n_iters + 1):
         parts.append(
-            f"a{t} AS (SELECT vec_id, q, cid FROM ("
+            f"a{t} AS MATERIALIZED (SELECT vec_id, q, cid FROM ("
             f"  SELECT v.vec_id, v.q, c.cid, row_number() OVER ("
             f"    PARTITION BY v.vec_id ORDER BY {_KM_DIST}, c.cid) AS rn"
             f"  FROM v, c{t - 1} c"
             f") WHERE rn = 1)"
         )
         parts.append(
-            f"m{t} AS (SELECT cid, list(m ORDER BY pos) AS c FROM ("
+            f"m{t} AS MATERIALIZED (SELECT cid, list(m ORDER BY pos) AS c FROM ("
             f"  SELECT cid, pos, CAST(floor(CAST(sum(q[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS m"
             f"  FROM a{t}, range(1, 65) r{t}(pos) GROUP BY cid, pos"
             f") GROUP BY cid)"
         )
         parts.append(
-            f"c{t} AS (SELECT * FROM m{t} UNION ALL "
+            f"c{t} AS MATERIALIZED (SELECT * FROM m{t} UNION ALL "
             f"SELECT p.cid, p.c FROM c{t - 1} p "
             f"WHERE p.cid NOT IN (SELECT cid FROM m{t}))"
         )
@@ -2025,14 +2035,23 @@ def _kmeans_cents(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     """Session-cached trained centroids (keyed on (applicationId, sf_dir)
     like _encoded_index): one training run feeds embedding_kmeans,
     dedup_semantic AND embedding_topk_ivf_trained — centroids are k*d
-    ints, so the cache is KB-sized."""
+    ints, so the cache is KB-sized. k SELF-SIZES from a cheap corpus
+    count via kmeans_k_for (the srp_bits_for convention; the oracle
+    derives the identical k from COUNT(*) in its kdial CTE), so cell
+    population — and with it a fixed-probe query's candidate budget —
+    stays ~KMEANS_CELL_TARGET at every corpus size instead of growing
+    as n/8."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KMEANS_CACHE:
-        from crdb_changefeed_publisher_spark.operators.linalg import kmeans_train
+        from crdb_changefeed_publisher_spark.operators.linalg import (
+            kmeans_k_for,
+            kmeans_train,
+        )
 
         emb = load_table(spark, sf_dir, "embeddings")
+        k = kmeans_k_for(emb.count(), cell_target=KMEANS_CELL_TARGET)
         _KMEANS_CACHE[key] = kmeans_train(
-            emb, k=KMEANS_K, n_iters=KMEANS_ITERS, scale=KMEANS_SCALE
+            emb, k=k, n_iters=KMEANS_ITERS, scale=KMEANS_SCALE
         )
     return _KMEANS_CACHE[key]
 
@@ -2054,7 +2073,9 @@ def _kmeans_cents(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     """,
     doc="Distributed Lloyd k-means TRAINED IN-ENGINE in exact integer "
     "arithmetic (components floor-quantized at scale=1024, centroids as "
-    "element-wise floor means, hash-order seeds): 3 iterations, k=8, and "
+    "element-wise floor means, hash-order seeds): 3 iterations, k SELF-"
+    "SIZED from COUNT(*) by kmeans_k_for (~250 vectors/cell: k=8 up to "
+    "sf0.1, 128 at sf1 — both engines derive the identical dial), and "
     "the LEARNED result is value-exact against the unrolled-SQL oracle — "
     "the training loop itself is verified, not just a frozen artifact. "
     "Each assignment pass is a codegen map (k*d literal multiply-adds, no "
@@ -2071,7 +2092,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # final-centroid argmin assignment, shared by every consumer of the
 # trained cells (dedup_semantic, embedding_topk_ivf_trained)
-_KM_ASSIGN_CTE = f"""assign AS (
+_KM_ASSIGN_CTE = f"""assign AS MATERIALIZED (
         SELECT vec_id, cluster FROM (
             SELECT vec_id, cid AS cluster,
                    row_number() OVER (PARTITION BY vec_id
@@ -2238,9 +2259,17 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "offline literals). Candidates come from an equi-join on the cell id; "
     "at 100 TB the assignment is the write-time cell-partitioned layout "
     "and the probe prunes partitions at the scan "
-    "(operators/similarity.py::ivf_topk_trained). Measured recall@5 vs "
-    "brute force on the isotropic fixture: 0.74 at sf0.01, 0.68 at sf0.1 "
-    "(3 of 8 cells probed; the recall-vs-probe dial).",
+    "(operators/similarity.py::ivf_topk_trained). The cell count SELF-"
+    "SIZES from a corpus count (linalg.kmeans_k_for: smallest power-of-"
+    "two k with k*250 >= n; the oracle's kdial CTE derives the identical "
+    "k — the srp_bits_for convention) so the per-query candidate budget "
+    "stays ~n_probe*250 at every scale: the own scaling curve measured "
+    "the fixed k=8 dial at 20.7x per decade from cell fill, 2.2x after "
+    "self-sizing. Measured recall@5 vs brute force: 0.74 at sf0.01, 0.68 "
+    "at sf0.1 (3/8 cells), 0.21 at sf1 (3/128 cells = 2.3%% of the near-"
+    "isotropic fixture corpus probed — a 9x lift over the 0.023 random-"
+    "probe expectation; recall falls with the probed fraction by design, "
+    "the documented srp trade; clustered corpora sit far higher).",
 )
 def embedding_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
