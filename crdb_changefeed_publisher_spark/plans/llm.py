@@ -745,43 +745,54 @@ def _textclf_values() -> str:
     return ", ".join(f"({b}, {w})" for b, w in sorted(tw.WEIGHTS_INT.items()))
 
 
-def _textclf_oracle() -> str:
+def _textclf_ctes(p: str = "tc_") -> str:
+    """The classifier's shared CTE chain through ``{p}margin(doc_id,
+    n_grams, n_distinct, margin_int)`` — prefixed so it composes into
+    oracles that carry their own CTE namespaces (dedup_quality_keeper
+    stacks it on the MinHash walk)."""
     from crdb_changefeed_publisher_spark.functions import textclf_weights as tw
 
-    return f"""
-    WITH base AS (
+    return f"""{p}base AS (
         SELECT doc_id, lower(trim(text)) AS t FROM documents
         WHERE length(trim(text)) >= 3
     ),
-    grams AS (
+    {p}grams AS (
         SELECT doc_id,
                unnest(list_transform(range(1, length(t) - 1),
                                      i -> substr(t, i, 3))) AS g
-        FROM base
+        FROM {p}base
     ),
-    hb AS (
+    {p}hb AS (
         SELECT doc_id, g,
                ((CAST(ascii(substr(g, 1, 1)) AS BIGINT) * 31
                  + ascii(substr(g, 2, 1))) * 31
                 + ascii(substr(g, 3, 1))) % 1000000007 % {tw.N_BUCKETS} AS bucket
-        FROM grams
+        FROM {p}grams
     ),
-    w(bucket, wt) AS (VALUES {_textclf_values()}),
-    per AS (
-        SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
-               sum(coalesce(w.wt, 0)) AS sw
-        FROM hb LEFT JOIN w ON w.bucket = hb.bucket
-        GROUP BY doc_id
-    )
-    SELECT doc_id, n_grams, n_distinct,
-           CAST(sw + {tw.W_DUP_INT} * (n_grams - n_distinct)
-                + {tw.BIAS_INT} * n_grams AS BIGINT) AS margin_int,
-           round(CAST(sw + {tw.W_DUP_INT} * (n_grams - n_distinct)
-                      + {tw.BIAS_INT} * n_grams AS DOUBLE)
-                 / (n_grams * {tw.SCALE}), 6) AS score,
-           (sw + {tw.W_DUP_INT} * (n_grams - n_distinct)
-            + {tw.BIAS_INT} * n_grams) > 0 AS repetitive_pred
-    FROM per
+    {p}w(bucket, wt) AS (VALUES {_textclf_values()}),
+    {p}margin AS (
+        SELECT doc_id, n_grams, n_distinct,
+               CAST(sw + {tw.W_DUP_INT} * (n_grams - n_distinct)
+                    + {tw.BIAS_INT} * n_grams AS BIGINT) AS margin_int
+        FROM (
+            SELECT doc_id, count(*) AS n_grams,
+                   count(DISTINCT g) AS n_distinct,
+                   sum(coalesce({p}w.wt, 0)) AS sw
+            FROM {p}hb LEFT JOIN {p}w ON {p}w.bucket = {p}hb.bucket
+            GROUP BY doc_id
+        )
+    )"""
+
+
+def _textclf_oracle() -> str:
+    from crdb_changefeed_publisher_spark.functions import textclf_weights as tw
+
+    return f"""
+    WITH {_textclf_ctes()}
+    SELECT doc_id, n_grams, n_distinct, margin_int,
+           round(CAST(margin_int AS DOUBLE) / (n_grams * {tw.SCALE}), 6) AS score,
+           margin_int > 0 AS repetitive_pred
+    FROM tc_margin
     """
 
 
@@ -2166,6 +2177,64 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return deg.join(cells, "vec_id").select(
         "vec_id", "cluster", "n_near_dups", "max_cos"
+    )
+
+
+@query(
+    "dedup_quality_keeper",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= 0.2),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, w2.label FROM walk w2 JOIN edges e ON e.s = w2.doc_id
+    ),
+    cc AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
+    {_textclf_ctes()}
+    SELECT doc_id, cluster_id, margin_int, CAST(rn = 1 AS INT) AS kept FROM (
+        SELECT cc.doc_id, cc.cluster_id, m.margin_int,
+               row_number() OVER (PARTITION BY cc.cluster_id
+                                  ORDER BY m.margin_int, cc.doc_id) AS rn
+        FROM cc JOIN tc_margin m ON m.doc_id = cc.doc_id
+    )
+    """,
+    doc="QUALITY-AWARE dedup resolution — what production pipelines "
+    "actually do with a duplicate cluster: keep the BEST copy, not the "
+    "lowest id. Composition of three verified operators: portable "
+    "MinHash+LSH pairs (the session-shared pass) -> alternating-star "
+    "connected components (the O(log n) resolution path) -> the frozen "
+    "hashed-trigram quality classifier, whose exact int64 margin ranks "
+    "copies (lower margin = less repetitive = better; id tiebreak). "
+    "Every stage is engine-exact, so even the keeper CHOICE is value-"
+    "verified. One extra broadcast-sized join over the keep-list plan; "
+    "the margin ranking is a cluster-keyed window over <= n_docs rows.",
+)
+def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from crdb_changefeed_publisher_spark.functions import textclf_weights as tw
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = dedup.connected_components_altstar(pairs, docs.select("doc_id"))
+    margins = text.hashed_ngram_classifier(
+        docs, tw.WEIGHTS_INT, tw.W_DUP_INT, tw.BIAS_INT, tw.N_BUCKETS, tw.SCALE
+    ).select("doc_id", "margin_int")
+    w = Window.partitionBy("cluster_id").orderBy("margin_int", "doc_id")
+    return (
+        cc.join(margins, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "cluster_id", "margin_int",
+            (F.col("rn") == 1).cast("int").alias("kept"),
+        )
     )
 
 

@@ -55,6 +55,7 @@ def test_retired_set_is_the_expected_one():
         "date_funcs_orders",
         "dedup_components_altstar",
         "dedup_minhash_lsh",
+        "dedup_quality_keeper",
         "dedup_semantic",
         "doc_bm25_search",
         "doc_boilerplate_report",
