@@ -91,3 +91,35 @@ def test_query_answer_is_format_independent(spark, sf_dir, tmp_path):
         }
 
     assert agg(csv_df) == agg(base)
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_streaming_reads_same_rows_through_text_formats(spark, sf_dir, tmp_path, fmt):
+    """The streaming side of the format layer: readStream over a written
+    CSV/JSON table (explicit schema — Structured Streaming refuses
+    inference anyway) drains exactly the batch rows. Writer options must
+    match load_any's (the CSV trim corner applies to streams too)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / f"feed.{fmt}")
+    write_any(docs, path, fmt)
+
+    reader = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    )
+    if fmt == "csv":
+        sdf = reader.option("header", "true").option("escape", '"').option(
+            "multiLine", "true"
+        ).csv(path)
+    else:
+        sdf = reader.json(path)
+
+    seen: dict[int, str] = {}
+
+    def collect_batch(batch_df, batch_id):
+        for r in batch_df.collect():
+            seen[r.doc_id] = r.text
+
+    q = sdf.writeStream.foreachBatch(collect_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    want = {r.doc_id: r.text for r in docs.collect()}
+    assert seen == want and len(want) >= 400
