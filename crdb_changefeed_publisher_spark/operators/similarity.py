@@ -887,7 +887,7 @@ def ivf_topk_trained(
     corpus: DataFrame,
     centroids_int: list[list[int]],
     k: int = 5,
-    n_probe: int = 3,
+    n_probe: int | None = None,
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -907,16 +907,28 @@ def ivf_topk_trained(
     disappears from the query path); query probes are the same pass over
     the small query side; candidates come from an equi-join on the cell
     id, never all-pairs; per-query top-k is a ranking window keyed by
-    query."""
+    query.
+
+    ``n_probe=None`` (the default) SELF-SIZES the probe count via
+    linalg.n_probe_for (~sqrt(k), integer-exact): with kmeans_k_for
+    holding cell population constant, a fixed probe count's probed
+    fraction — and on isotropic data, recall — falls a decade per
+    decade (the r8 `weak`); ~sqrt(k) probes hold the fraction decay to
+    1/sqrt(n) at sqrt(n) candidate cost, and hold recall fully LEVEL on
+    clustered corpora (measured; see n_probe_for's docstring and
+    docs/SCALE.md)."""
     import numpy as np
 
     from crdb_changefeed_publisher_spark.operators.linalg import (
         _int_sq_dists,
         _quantize_np,
         kmeans_assign,
+        n_probe_for,
     )
 
     C = np.asarray(centroids_int, dtype=np.int64)
+    if n_probe is None:
+        n_probe = n_probe_for(len(centroids_int))
 
     def probe(batches):
         for pdf in batches:
@@ -933,8 +945,11 @@ def ivf_topk_trained(
                 }
             )
 
+    # derive the id type from the input schema (the kmeans_assign
+    # convention) — a hardcoded `long` crashes or truncates non-long ids
+    qid_type = queries.schema[id_col].dataType.simpleString()
     probes = queries.select(id_col, vec_col).mapInPandas(
-        probe, "query_id long, cell int"
+        probe, f"query_id {qid_type}, cell int"
     )
     cells = kmeans_assign(corpus, centroids_int, scale, vec_col, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")

@@ -1995,7 +1995,9 @@ def _kmeans_ctes(n_iters: int = KMEANS_ITERS, scale: int = KMEANS_SCALE) -> str:
     same integer comparison over the same choice list, the
     srp_bits_for convention; a fixture-sized k is the r7 `weak`
     pattern: cell population, and with it the probe cost, grows with
-    the corpus), c0 = hash-order seeds, then per iteration an argmin
+    the corpus; the CTE's ``OR k = last`` arm only makes MIN defined —
+    past that capacity the Spark dial RAISES before any compare runs),
+    c0 = hash-order seeds, then per iteration an argmin
     assignment (exact int64 squared L2, cid tiebreak) and floor-mean
     centroid update with empty clusters carrying forward. The update's
     ``floor(sum::DOUBLE / n)`` equals Python's exact ``sum // n``:
@@ -2293,6 +2295,10 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_kmeans_ctes()},
     {_KM_ASSIGN_CTE},
+    pdial AS MATERIALIZED (
+        SELECT MIN(p)::INT AS p FROM range(3, 40) t(p)
+        WHERE p * p >= (SELECT k FROM kdial)
+    ),
     qp AS (
         SELECT query_id, cid FROM (
             SELECT v.vec_id AS query_id, c.cid,
@@ -2300,7 +2306,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY {_KM_DIST}, c.cid) AS pr
             FROM v, c{KMEANS_ITERS} c
             WHERE v.vec_id % 25 = 0
-        ) WHERE pr <= 3
+        ) WHERE pr <= (SELECT p FROM pdial)
     ),
     ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     scored AS (
@@ -2334,11 +2340,23 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k — the srp_bits_for convention) so the per-query candidate budget "
     "stays ~n_probe*250 at every scale: the own scaling curve measured "
     "the fixed k=8 dial at 20.7x per decade from cell fill, 2.2x after "
-    "self-sizing. Measured recall@5 vs brute force: 0.74 at sf0.01, 0.68 "
-    "at sf0.1 (3/8 cells), 0.21 at sf1 (3/128 cells = 2.3%% of the near-"
-    "isotropic fixture corpus probed — a 9x lift over the 0.023 random-"
-    "probe expectation; recall falls with the probed fraction by design, "
-    "the documented srp trade; clustered corpora sit far higher).",
+    "self-sizing. The probe count ALSO self-sizes (linalg.n_probe_for: "
+    "smallest p >= 3 with p*p >= k, i.e. ~sqrt(k); the oracle's pdial "
+    "CTE derives the identical p from kdial) — a fixed n_probe=3 was "
+    "the r8 `weak`: probed fraction fell a decade per decade and "
+    "measured recall@5 fell with it (0.74 -> 0.68 -> 0.21). The sf1 "
+    "sweep (docs/SCALE.md) shows ISOTROPIC recall is a function of scan "
+    "fraction alone — the information limit of cell-blocking on iid "
+    "noise — so p ~ sqrt(k) is the chosen frontier point: candidates "
+    "grow sqrt(n), fraction decays 1/sqrt(n) instead of 1/n. Measured "
+    "recall@5 vs brute force: 0.74 at sf0.01 (3/8 cells), 0.68 at "
+    "sf0.1 (3/8), 0.47 at sf1 (12/128 = 9.4%% probed, was 0.21; pinned "
+    "floor 0.45 in tests) on the isotropic fixture — and 1.000 at both "
+    "2k and 20k points on the 16-cluster fixture with the SAME dials "
+    "(level recall at sqrt-cost wherever the corpus has structure; "
+    "tests pin both). kmeans_k_for now REFUSES past its largest "
+    "choice's capacity (the dedup_simhash saturation-guard convention) "
+    "instead of silently clamping back to n/1024 cell growth.",
 )
 def embedding_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2348,7 +2366,7 @@ def embedding_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         centroids_int=_kmeans_cents(spark, sf_dir),
         k=5,
-        n_probe=3,
+        n_probe=None,  # self-sized: linalg.n_probe_for(k), oracle pdial twin
         scale=KMEANS_SCALE,
     )
 

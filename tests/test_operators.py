@@ -3,6 +3,8 @@ Uses small deterministic frames + the sf0.001 fixtures."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import Row
@@ -939,9 +941,10 @@ def test_hashed_ngram_classifier_distills_teacher(spark, sf_dir):
 
 def test_ivf_trained_recall_floor_vs_bruteforce(spark, sf_dir):
     """The in-engine-trained IVF index keeps recall@5 >= 0.6 against exact
-    brute force at 3-of-8 probed cells (measured 0.74 at sf0.01, 0.68 at
-    sf0.1) — the accuracy dial behind the value-exact approximate
-    answer."""
+    brute force with BOTH dials self-sized (k via kmeans_k_for, n_probe
+    via n_probe_for ~ sqrt(k); measured 0.74 at sf0.01, 0.68 at sf0.1,
+    0.72 at sf1 — see test_ivf_trained_recall_floor_sf1) — the accuracy
+    dial behind the value-exact approximate answer."""
     from crdb_changefeed_publisher_spark.plans.llm import (
         KMEANS_SCALE,
         _kmeans_cents,
@@ -950,13 +953,107 @@ def test_ivf_trained_recall_floor_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 25 == 0)
     ivf = similarity.ivf_topk_trained(
-        q, emb, _kmeans_cents(spark, sf_dir), k=5, n_probe=3, scale=KMEANS_SCALE
+        q, emb, _kmeans_cents(spark, sf_dir), k=5, scale=KMEANS_SCALE
     )
     bf = similarity.brute_force_topk(q, emb, k=5)
     got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
     assert len(truth) > 0
     assert len(got & truth) / len(truth) >= 0.6
+
+
+SF1_DIR = "/root/repo/.scratch/testdata/sf1"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF1_DIR), reason="sf1 stress tier not generated"
+)
+def test_ivf_trained_recall_floor_sf1(spark):
+    """The r8 `weak`, pinned: at sf1 (20k vectors, k self-sizes to 128)
+    the FIXED n_probe=3 dial measured recall@5 = 0.21 — the self-sized
+    ~sqrt(k) probe dial (n_probe_for(128) = 12, 9.4% probed) must hold
+    materially above that. Floor 0.45 (measured 0.484 on this query
+    subset; training and scoring are exact integer arithmetic on a
+    frozen fixture, so the measurement is deterministic). The isotropic
+    fixture's recall is fraction-limited (docs/SCALE.md) — the level-
+    recall property shows on the clustered fixture below."""
+    from crdb_changefeed_publisher_spark.plans.llm import (
+        KMEANS_SCALE,
+        _kmeans_cents,
+    )
+
+    emb = load_table(spark, SF1_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 125 == 0)  # 160 queries: keeps brute force cheap
+    ivf = similarity.ivf_topk_trained(
+        q, emb, _kmeans_cents(spark, SF1_DIR), k=5, scale=KMEANS_SCALE
+    )
+    bf = similarity.brute_force_topk(q, emb, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    assert len(truth) > 0
+    assert len(got & truth) / len(truth) >= 0.45
+
+
+def test_ivf_trained_level_recall_on_clustered_corpus(spark):
+    """Where the corpus HAS cluster structure, the self-sized dials hold
+    recall LEVEL as the corpus grows (measured 1.000 at both 2k/k=8/p=3
+    and 20k/k=128/p=12 on the 16-cluster fixture — the 20k point runs in
+    the sf1-gated suite via tools/ivf_dial_study.py). This is the
+    half of the r8 `weak` answer the isotropic fixture cannot show: on
+    iid noise recall is information-limited to the scan fraction; on
+    clustered data nearest-cell probing escapes the limit entirely."""
+    import numpy as np
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_k_for,
+        kmeans_train,
+        n_probe_for,
+    )
+    from crdb_changefeed_publisher_spark.plans.llm import KMEANS_SCALE
+
+    n, dim, n_clusters = 2000, 64, 16
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, n)
+    pts = centers[labels] + 0.35 * rng.standard_normal((n, dim)) / (dim**0.5)
+    emb = spark.createDataFrame(
+        [(int(i), [float(round(x, 4)) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    k = kmeans_k_for(n)
+    assert (k, n_probe_for(k)) == (8, 3)
+    cents = kmeans_train(emb, k=k, n_iters=3, scale=KMEANS_SCALE)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    ivf = similarity.ivf_topk_trained(q, emb, cents, k=5, scale=KMEANS_SCALE)
+    bf = similarity.brute_force_topk(q, emb, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    assert len(truth) > 0
+    assert len(got & truth) / len(truth) >= 0.95
+
+
+def test_kmeans_dials_integer_exact():
+    """n_probe_for is ceil(sqrt(k)) floored at 3 (the oracle pdial twin's
+    MIN(p) WHERE p*p >= k over range(3, 40)); kmeans_k_for REFUSES past
+    its largest choice's capacity instead of silently clamping (the
+    banding saturation-guard convention — r8 verdict #1)."""
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        KMEANS_K_CHOICES,
+        kmeans_k_for,
+        n_probe_for,
+    )
+
+    assert [n_probe_for(k) for k in KMEANS_K_CHOICES] == [
+        3, 4, 6, 8, 12, 16, 23, 32,
+    ]
+    for k in KMEANS_K_CHOICES:
+        p = n_probe_for(k)
+        assert p * p >= k and (p == 3 or (p - 1) * (p - 1) < k)
+        assert p <= k  # never probe more cells than exist
+    assert kmeans_k_for(256_000) == 1024
+    with pytest.raises(ValueError, match="saturated"):
+        kmeans_k_for(256_001)
 
 
 def test_triangle_counts_handcrafted_topologies(spark):
