@@ -429,12 +429,17 @@ def compact_table(
 
 def _publish_snapshot(
     root: str, new_gen: int, high_water: int, out_files: list[dict],
-    op: str = "compact",
+    op: str = "compact", prune_covered: bool = True,
 ) -> None:
-    """Atomically publish a compaction snapshot, then prune the batch
+    """Atomically publish a maintenance snapshot, then prune the batch
     manifests it supersedes (snapshot is durable first, so a crash
     between the two is harmless — the snapshot already supersedes
-    them)."""
+    them). ``prune_covered=False`` keeps the covered batch manifests:
+    correct — and required — for DV-only ops (delete_where), which
+    supersede no data files, so pruning would needlessly destroy
+    batch-axis time travel and force every lagging incremental
+    consumer into a full rebase (the Delta deletion-vector lifecycle:
+    DELETE preserves log history; only compaction retires it)."""
     _atomic_write_json(
         os.path.join(_commits_dir(root), f"snapshot-{new_gen:08d}.json"),
         {
@@ -444,6 +449,8 @@ def _publish_snapshot(
             "files": sorted(out_files, key=lambda d: d["file"]),
         },
     )
+    if not prune_covered:
+        return
     commits = _commits_dir(root)
     for name in os.listdir(commits):
         if name.startswith("batch-") and name.endswith(".json"):
@@ -712,7 +719,11 @@ def delete_where(
     `merge_upsert` MATERIALIZE them (and `vacuum` then reclaims the DV
     files). Snapshot `covers` semantics match the other maintenance ops,
     so concurrent streaming appends above the high-water mark stay
-    visible and unaffected."""
+    visible and unaffected — but unlike them the publish RETAINS the
+    covered batch manifests (a DV-only snapshot supersedes no data
+    files): pre-delete batch states stay time-travelable and lagging
+    read_since cursors stay valid, the Delta DV lifecycle where DELETE
+    preserves log history and only compaction retires it."""
     for _, op, _ in where:
         if op not in table_stats.OPS:
             raise ValueError(f"unsupported op {op!r}; use one of {table_stats.OPS}")
@@ -750,7 +761,13 @@ def delete_where(
                 {"file": r["dv"], "n": r["n"]}
             ]
             out_entries.append(e2)
-    _publish_snapshot(root, new_gen, high_water, out_entries, op="delete")
+    # DV-only publish: no data file is superseded, so the covered batch
+    # manifests stay — pre-delete batch states remain time-travelable
+    # and lagging read_since cursors stay valid (r8 ADVICE: pruning here
+    # destroyed batch-axis history for a one-row delete)
+    _publish_snapshot(
+        root, new_gen, high_water, out_entries, op="delete", prune_covered=False
+    )
     return {
         "generation": new_gen,
         "covers": high_water,
@@ -794,16 +811,6 @@ def _entries_as_of(
     ]
     snap = max(base, key=lambda s: int(s["generation"])) if base else None
     covers = int(snap["covers"]) if snap else -1
-    floor = min(
-        (int(s["covers"]) for s in snaps if int(s["covers"]) > batch_id),
-        default=None,
-    )
-    if floor is not None and snap is None and max_gen is None:
-        raise ValueError(
-            f"batch {batch_id} predates the oldest snapshot (covers {floor}): "
-            "that history was compacted away; earliest readable state is "
-            f"as_of_batch({floor})"
-        )
     entries = list(snap["files"]) if snap else []
     applicable = sorted(
         (m for m in batches if covers < int(m["batch_id"]) <= batch_id),
@@ -813,7 +820,10 @@ def _entries_as_of(
     # detect the gap and refuse. Pruning is done by snapshots of ANY
     # generation (a later-generation snapshot at the same covers still
     # prunes), so the guard ignores max_gen: a needed batch is "pruned"
-    # when absent AND some snapshot's covers reaches it.
+    # when absent AND some snapshot's covers reaches it. A batch that is
+    # STILL PRESENT is reconstructible even below a snapshot's covers —
+    # delete_where retains its covered manifests (DV-only publish, r8
+    # ADVICE), so pre-delete batch states resolve through them.
     have = {int(m["batch_id"]) for m in batches}
     max_pruned = max((int(s["covers"]) for s in snaps), default=-1)
     missing = [
@@ -822,6 +832,16 @@ def _entries_as_of(
         if b not in have and b <= max_pruned
     ]
     if missing:
+        floor = min(
+            (int(s["covers"]) for s in snaps if int(s["covers"]) > batch_id),
+            default=None,
+        )
+        if snap is None and floor is not None:
+            raise ValueError(
+                f"batch {batch_id} predates the oldest snapshot (covers "
+                f"{floor}) and its manifests were compacted away; earliest "
+                f"readable state is as_of_batch({floor})"
+            )
         raise ValueError(
             f"batch manifests {missing[:5]}... inside ({covers}, {batch_id}] "
             "were pruned by a later compaction; that intermediate state is "
@@ -896,8 +916,18 @@ def table_changes(
     def resolve(state):
         if isinstance(state, tuple):
             b, g = state
-            return _entries_as_of(root, b, max_gen=g) or []
-        return _entries_as_of(root, state) or []
+            ent = _entries_as_of(root, b, max_gen=g)
+        else:
+            ent = _entries_as_of(root, state)
+        if ent is None:
+            # no commit log at all — a mistyped/absent table root, not a
+            # legitimately empty state; conflating them would report every
+            # row of the other state as an insert (r8 ADVICE)
+            raise ValueError(
+                f"table at {root!r} has no commit log; cannot resolve "
+                f"state {state!r} for a change diff"
+            )
+        return ent
 
     from_entries = resolve(from_state)
     to_entries = resolve(to_state)
@@ -956,27 +986,40 @@ def read_since(
     and the consumer's checkpointed `after_batch` cursor replays a crashed
     read identically.
 
-    Raises if `after_batch` predates the latest snapshot's `covers`: those
-    deltas were compacted into the snapshot and are no longer separable —
-    the consumer must rebase (read_committed) or keep up with compaction
-    cadence (the retention contract)."""
+    Raises if any needed delta batch manifest was PRUNED by a
+    compaction: those deltas were folded into a snapshot and are no
+    longer separable — the consumer must rebase (read_committed) or keep
+    up with compaction cadence (the retention contract). A DV-only
+    delete_where snapshot does NOT invalidate cursors: it supersedes no
+    data files, so its covered batch manifests survive (r8 ADVICE) and a
+    lagging consumer keeps tailing — though on a table that sees
+    delete_where, appends are only half the feed; pair with
+    table_changes for the delete effects."""
     gen, covers, high_water, _ = _committed_state(root)
-    if after_batch < covers:
-        raise ValueError(
-            f"after_batch={after_batch} predates snapshot generation {gen} "
-            f"(covers {covers}): deltas are compacted; rebase from "
-            "read_committed() or raise compaction cadence"
-        )
     commits = _commits_dir(root)
     entries: list[dict] = []
+    have: set[int] = set()
     if os.path.isdir(commits):
         for name in sorted(os.listdir(commits)):
             if not (name.startswith("batch-") and name.endswith(".json")):
                 continue
             with open(os.path.join(commits, name)) as fh:
                 m = json.load(fh)
-            if after_batch < int(m["batch_id"]) <= high_water:
+            bid = int(m["batch_id"])
+            have.add(bid)
+            if after_batch < bid <= high_water:
                 entries.extend(m["files"])
+    missing = [
+        b
+        for b in range(after_batch + 1, covers + 1)
+        if b not in have
+    ]
+    if missing:
+        raise ValueError(
+            f"after_batch={after_batch} predates snapshot generation {gen}: "
+            f"delta batch manifests {missing[:5]} were compacted into it; "
+            "rebase from read_committed() or raise compaction cadence"
+        )
     return _load_entries(spark, root, entries, where), high_water
 
 
@@ -1045,8 +1088,11 @@ def merge_upsert(
     os.makedirs(data, exist_ok=True)
     os.makedirs(_commits_dir(root), exist_ok=True)
 
-    n_updates = updates.count()
-    n_keys = updates.select(key_col).distinct().count()
+    # one aggregation pass for both counts (two separate jobs doubled the
+    # pre-merge planning latency on wide update sets — r8 verdict #3)
+    n_updates, n_keys = updates.agg(
+        F.count(F.lit(1)), F.count_distinct(F.col(key_col))
+    ).first()
     if n_updates != n_keys:
         raise ValueError(
             f"updates carry {n_updates} rows over {n_keys} keys: resolve "

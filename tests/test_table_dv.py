@@ -188,3 +188,50 @@ def test_vacuum_writer_safe_spares_in_flight_dv(spark, tmp_path):
     assert gone == []
     gone = table_sink.vacuum(root, assume_quiesced=True)
     assert gone == ["dv-00000000-00000.parquet"]
+
+
+def test_delete_preserves_batch_axis_history(spark, tmp_path):
+    """A DV-only delete supersedes no data files, so its publish RETAINS
+    the covered batch manifests (r8 ADVICE): pre-delete batch states
+    stay time-travelable, a lagging read_since cursor keeps tailing
+    instead of being forced into a full rebase, and a later REAL
+    compaction still retires the history (the Delta DV lifecycle)."""
+    root = str(tmp_path / "tbl")
+    _mk_ranged(spark, root)  # batches 0..3, keys 0..399
+    table_sink.delete_where(spark, root, [("k", "<", 10)])
+    # batch-axis time travel to a pre-delete batch still works...
+    assert table_sink.as_of_batch(spark, root, 1).count() == 200
+    # ...and reflects the PRE-delete state of those batches
+    assert table_sink.as_of_batch(
+        spark, root, 1, where=[("k", "<", 10)]).count() == 10
+    # as_of the delete's own batch reflects the delete (latest generation)
+    assert table_sink.as_of_batch(spark, root, 3).count() == 390
+    # a lagging incremental consumer's cursor survives the delete
+    delta, hw = table_sink.read_since(spark, root, 1)
+    assert hw == 3 and delta.count() == 200  # batches 2..3, raw appends
+    # the delete still surfaces on the generation axis — and with the
+    # manifests retained, even a delete that is the FIRST snapshot ever
+    # (generation 0) has a readable pre-state (max_gen=-1: manifests only)
+    diff, _ = table_sink.table_changes(spark, root, (3, -1), (3, 0))
+    assert diff.count() == 10
+    assert {r._change_type for r in diff.collect()} == {"delete"}
+    # a later real compaction retires the batch history as before
+    table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    commits = os.path.join(root, "_commits")
+    assert not any(n.startswith("batch-") for n in os.listdir(commits))
+    import pytest
+
+    with pytest.raises(ValueError, match="compact"):
+        table_sink.read_since(spark, root, 1)
+    assert table_sink.read_committed(spark, root).count() == 390
+
+
+def test_table_changes_absent_root_raises(spark, tmp_path):
+    """Diffing against a mistyped/absent table root is an error, not an
+    all-inserts diff (r8 ADVICE): _entries_as_of's None (no commit log)
+    must not be conflated with a legitimately empty state."""
+    import pytest
+
+    with pytest.raises(ValueError, match="no commit log"):
+        table_sink.table_changes(
+            spark, str(tmp_path / "nope"), 0, 1)

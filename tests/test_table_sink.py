@@ -1262,7 +1262,7 @@ def test_table_changes_appends_and_pruning(spark, sf_dir, tmp_path):
     assert all(t == "insert" for _, t in got) and len(got) == 60
     # batch-0 files carried verbatim: never scanned
     assert stats["files_carried"] == 2
-    assert stats["files_scanned"] == diff.count() and stats["files_scanned"] >= 1 or True
+    assert stats["files_scanned"] >= 1
     # identical states diff to None with zero files scanned
     none_diff, s0 = table_sink.table_changes(spark, root, 1, 1)
     assert none_diff is None and s0["files_scanned"] == 0

@@ -79,7 +79,11 @@ def main() -> None:
     X = np.zeros((n, N_BUCKETS + 1))
     y = np.zeros(n)
     for r, (doc_id, text) in enumerate(rows):
-        t = text.strip().lower()
+        # strip ASCII space ONLY: the apply path and oracle normalize with
+        # Spark/DuckDB trim(), which strips ' ' alone — Python str.strip()
+        # strips all Unicode whitespace and would skew trained features
+        # from applied features on tab/NBSP-padded text (r8 ADVICE)
+        t = text.strip(" ").lower()
         grams = [t[i : i + 3] for i in range(len(t) - 2)]
         total = len(grams)
         counts = np.zeros(N_BUCKETS)
