@@ -6,7 +6,7 @@ a queryable table.
 Protocol (a deliberately minimal manifest-commit table format):
 
     <root>/data/batch-<BBBBBBBB>-part-<PPPPP>.parquet   data files
-    <root>/data/compact-<GGG>-<bin>.parquet             compacted files
+    <root>/data/compact-<GGG>-<attempt>-<bin>.parquet   compacted files
     <root>/_commits/batch-<BBBBBBBB>.json               per-batch manifest
     <root>/_commits/snapshot-<GGG>.json                 compaction snapshot
 
@@ -56,13 +56,21 @@ Protocol (a deliberately minimal manifest-commit table format):
   pure-scan reads — the Delta deletion-vector lifecycle.
 
 Everything is plain JSON + parquet + atomic rename; no services. The
-single-writer assumption (one streaming query per table root, as Spark's
-own checkpoint dir already requires) is what lets the manifest commit be
-a rename instead of a log with CAS.
+APPEND path assumes one streaming query per table root (as Spark's own
+checkpoint dir already requires): a replayed batch re-commits its own
+manifest idempotently, so rename-replace is correct there. MAINTENANCE
+ops are safe to run concurrently with each other and with the appender:
+each snapshot generation commits via an atomic create-exclusive (CAS on
+the generation number — `_atomic_create_json`), the loser raises
+CommitConflictError having committed nothing, and every attempt's output
+files carry a per-attempt name token so a losing attempt can never
+overwrite a winner's bytes. `with_commit_retries` is the standard
+recompute-and-retry loop (the Delta/Iceberg commit protocol).
 """
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 from typing import Iterator
@@ -92,7 +100,71 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+class CommitConflictError(RuntimeError):
+    """Another maintainer committed the same snapshot generation first.
+
+    Raised by the maintenance ops (compact_table / optimize_zorder /
+    delete_where / merge_upsert) when their optimistic commit loses the
+    race: the op read generation N, computed against it, and found
+    N+1 already published at commit time. Nothing was committed and no
+    committed data was touched — re-running the op re-reads the new
+    state and computes a correct result on top of it (see
+    `with_commit_retries`)."""
+
+
+def _atomic_create_json(path: str, obj: dict) -> None:
+    """Create `path` atomically IF AND ONLY IF it does not exist — the
+    compare-and-swap behind snapshot publication. `os.link` of a
+    durable temp file is an atomic create-exclusive on POSIX
+    filesystems (rename would silently REPLACE a concurrent winner's
+    snapshot); on an object store the equivalent is a conditional put
+    (If-None-Match) — the protocol needs exactly one such primitive."""
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, indent=1, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"snapshot {os.path.basename(path)} was committed by a "
+            "concurrent maintainer; re-read the table state and recompute "
+            "(with_commit_retries wraps an op in exactly that loop)"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
+def with_commit_retries(op, attempts: int = 3):
+    """Run a maintenance-op thunk under the optimistic-concurrency
+    protocol: on CommitConflictError re-invoke it (the op re-reads the
+    committed state each run, so the retry computes against the
+    winner's result — the Delta/Iceberg commit loop). Raises the last
+    conflict after `attempts` tries.
+
+    >>> with_commit_retries(lambda: compact_table(spark, root))
+    """
+    for i in range(attempts):
+        try:
+            return op()
+        except CommitConflictError:
+            if i == attempts - 1:
+                raise
+
+
 _PART_SCHEMA = "file string, n_rows long, n_bytes long, meta string"
+
+# maintenance-attempt sequence: output data files carry a per-attempt
+# token (pid + counter) so two maintainers racing toward the same
+# generation can never write the same name — without it, the loser of
+# the snapshot CAS could overwrite the winner's already-committed bytes
+# before its own publish fails
+_ATTEMPT_SEQ = itertools.count()
+
+
+def _attempt_token() -> str:
+    return f"{os.getpid():x}a{next(_ATTEMPT_SEQ):03d}"
 
 
 def _part_writer(data: str, name_fmt: str, bloom_cols: list[str] | None = None,
@@ -346,7 +418,7 @@ def _rewrite_bin(job: tuple) -> dict:
     instead of serially through the driver. Requires the table root on
     storage every executor can reach — the same shared-filesystem
     assumption the manifest protocol itself makes."""
-    data, new_gen, idx, names_dvs, bloom_cols = job
+    data, prefix, idx, names_dvs, bloom_cols = job
     t = pa.concat_tables(
         [
             _apply_dvs_pa(pq.read_table(os.path.join(data, f)), data, f, dvs)
@@ -354,7 +426,7 @@ def _rewrite_bin(job: tuple) -> dict:
         ],
         promote_options="default",
     )
-    name = f"compact-{new_gen:08d}-{idx:05d}.parquet"
+    name = f"{prefix}-{idx:05d}.parquet"
     final = os.path.join(data, name)
     tmp = final + f".tmp-{os.getpid()}"
     pq.write_table(t, tmp,
@@ -395,6 +467,7 @@ def compact_table(
     by_name = {e["file"]: e for e in entries}
     sized = [(e["file"], int(e["n_bytes"])) for e in entries]
     new_gen = gen + 1
+    prefix = f"compact-{new_gen:08d}-{_attempt_token()}"
     bins = ffd_bins(sized, target_bytes)
     out_files, rewritten, jobs = [], 0, []
     for i, b in enumerate(bins):
@@ -406,7 +479,7 @@ def compact_table(
             out_files.append(dict(by_name[b[0][0]]))
             continue
         jobs.append((
-            data, new_gen, i,
+            data, prefix, i,
             [(f, by_name[f].get("dvs") or []) for f, _ in b],
             bloom_cols,
         ))
@@ -439,8 +512,15 @@ def _publish_snapshot(
     supersede no data files, so pruning would needlessly destroy
     batch-axis time travel and force every lagging incremental
     consumer into a full rebase (the Delta deletion-vector lifecycle:
-    DELETE preserves log history; only compaction retires it)."""
-    _atomic_write_json(
+    DELETE preserves log history; only compaction retires it).
+
+    CONCURRENT-MAINTAINER SAFETY (r8 verdict #4): the snapshot commits
+    with an atomic create-exclusive, so of two maintainers that both
+    read generation N, exactly one publishes N+1 — the loser raises
+    CommitConflictError having committed nothing (its orphaned data
+    files are vacuum's job, like any crashed attempt) and must
+    recompute against the winner's state (`with_commit_retries`)."""
+    _atomic_create_json(
         os.path.join(_commits_dir(root), f"snapshot-{new_gen:08d}.json"),
         {
             "generation": new_gen,
@@ -520,7 +600,8 @@ def optimize_zorder(
          **json.loads(r.meta)}
         for r in clustered.mapInArrow(
             _part_writer(
-                _data_dir(root), f"compact-{new_gen:08d}-{{pid:05d}}.parquet",
+                _data_dir(root),
+                f"compact-{new_gen:08d}-{_attempt_token()}-{{pid:05d}}.parquet",
                 bloom_cols,
             ),
             _PART_SCHEMA,
@@ -573,14 +654,15 @@ def vacuum(
                         continue
                 except OSError:
                     continue
-            elif name.startswith("dv-"):
-                # an in-flight delete_where writes dv files for generation
-                # committed+1 BEFORE publishing its snapshot
+            elif name.startswith(("dv-", "compact-")):
+                # an in-flight maintenance op (delete_where's DVs,
+                # compact/zorder/merge rewrites) writes files for
+                # generation committed+1 BEFORE publishing its snapshot
                 try:
-                    dv_gen = int(name.split("-")[1])
+                    op_gen = int(name.split("-")[1])
                 except (IndexError, ValueError):
-                    dv_gen = None
-                if dv_gen is not None and dv_gen > gen:
+                    op_gen = None
+                if op_gen is not None and op_gen > gen:
                     continue
             elif name.startswith("batch-"):
                 try:
@@ -667,7 +749,7 @@ def _delete_scan(job: tuple) -> dict | None:
     matches."""
     import numpy as np
 
-    data, new_gen, idx, name, dvs, where = job
+    data, prefix, idx, name, dvs, where = job
     path = os.path.join(data, name)
     pred_cols = sorted({c for c, _, _ in where})
     schema_names = set(pq.ParquetFile(path).schema_arrow.names)
@@ -681,7 +763,7 @@ def _delete_scan(job: tuple) -> dict | None:
     pos = np.nonzero(mask)[0].astype(np.int64)
     if not len(pos):
         return None
-    dv_name = f"dv-{new_gen:08d}-{idx:05d}.parquet"
+    dv_name = f"{prefix}-{idx:05d}.parquet"
     final = os.path.join(data, dv_name)
     tmp = final + f".tmp-{os.getpid()}"
     pq.write_table(
@@ -731,8 +813,9 @@ def delete_where(
     candidates, skipped = table_stats.prune(entries, where)
     new_gen = gen + 1
     data = _data_dir(root)
+    dv_prefix = f"dv-{new_gen:08d}-{_attempt_token()}"
     jobs = [
-        (data, new_gen, i, e["file"], e.get("dvs") or [], where)
+        (data, dv_prefix, i, e["file"], e.get("dvs") or [], where)
         for i, e in enumerate(candidates)
     ]
     refs: list[dict] = []
@@ -1129,8 +1212,10 @@ def merge_upsert(
         {"file": r.file, "n_rows": int(r.n_rows), "n_bytes": int(r.n_bytes),
          **json.loads(r.meta)}
         for r in merged.repartition(n_files).mapInArrow(
-            _part_writer(data, f"compact-{new_gen:08d}-{{pid:05d}}.parquet",
-                         bloom_cols),
+            _part_writer(
+                data,
+                f"compact-{new_gen:08d}-{_attempt_token()}-{{pid:05d}}.parquet",
+                bloom_cols),
             _PART_SCHEMA,
         ).collect()
     ]

@@ -1335,3 +1335,95 @@ def test_table_changes_layout_rewrite_is_row_silent(spark, sf_dir, tmp_path):
     )
     assert stats["files_scanned"] > 0 and stats["files_carried"] == 0
     assert diff is not None and diff.count() == 0
+
+
+# --- concurrent maintainers: optimistic commit (CAS on generation) -----------
+
+
+def test_racing_maintainers_cas_no_row_lost_or_duplicated(
+    spark, tmp_path, monkeypatch
+):
+    """Two maintainers race from the same committed generation — a
+    compaction and a merge (r8 verdict #4). The merge wins the commit;
+    the compaction's publish must REFUSE (CommitConflictError), leave
+    the winner's result untouched byte-for-byte, and succeed when
+    recomputed on top of it (with_commit_retries). No committed row may
+    be lost or duplicated at any point, and the loser's orphaned output
+    files are reclaimable, like any crashed attempt's."""
+    root = str(tmp_path / "tbl")
+    for b in range(3):
+        df = spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        table_sink.write_batch(df.coalesce(1), b, root)
+
+    updates = spark.createDataFrame(
+        [(50, 999), (1000, 1000)], "k long, v long")
+    want = {k: k * 3 for k in range(300)}
+    want[50] = 999
+    want[1000] = 1000
+
+    # deterministic interleave: when the compaction reads the committed
+    # state, the merge runs to completion FIRST — the compaction then
+    # computes against a stale generation and must lose the commit race
+    orig_state = table_sink._committed_state
+    fired = {"done": False}
+
+    def stale_read(r):
+        st = orig_state(r)
+        if not fired["done"]:
+            fired["done"] = True
+            table_sink.merge_upsert(spark, root, updates, "k")
+        return st
+
+    monkeypatch.setattr(table_sink, "_committed_state", stale_read)
+    with pytest.raises(table_sink.CommitConflictError, match="concurrent"):
+        table_sink.compact_table(spark, root, target_bytes=1 << 30)
+
+    # the winner's state is intact: exactly the merged rows, once each
+    got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
+    assert got == want
+
+    # retry recomputes against the winner's generation and lands
+    res = table_sink.with_commit_retries(
+        lambda: table_sink.compact_table(spark, root, target_bytes=1 << 30))
+    assert res["generation"] == 1  # merge took 0, retried compact takes 1
+    got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
+    assert got == want
+
+    # the losing attempt's outputs are unreachable orphans; vacuum
+    # reclaims them and the table still reads exactly
+    table_sink.vacuum(root, assume_quiesced=True)
+    got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
+    assert got == want
+
+
+def test_racing_identical_ops_one_wins(spark, tmp_path, monkeypatch):
+    """Same race, same OP on both sides (two compactions): exactly one
+    snapshot of the contested generation exists afterwards, and the
+    loser's differently-named output files cannot have overwritten the
+    winner's (per-attempt name tokens)."""
+    root = str(tmp_path / "tbl")
+    for b in range(2):
+        df = spark.range(b * 50, (b + 1) * 50).select(
+            F.col("id").alias("k"), F.col("id").alias("v"))
+        table_sink.write_batch(df.coalesce(1), b, root)
+
+    orig_state = table_sink._committed_state
+    fired = {"done": False}
+
+    def stale_read(r):
+        st = orig_state(r)
+        if not fired["done"]:
+            fired["done"] = True
+            table_sink.compact_table(spark, root, target_bytes=1 << 30)
+        return st
+
+    monkeypatch.setattr(table_sink, "_committed_state", stale_read)
+    with pytest.raises(table_sink.CommitConflictError):
+        table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    commits = os.path.join(root, "_commits")
+    assert [n for n in sorted(os.listdir(commits))
+            if n.startswith("snapshot-")] == ["snapshot-00000000.json"]
+    assert sorted(
+        r.k for r in table_sink.read_committed(spark, root).collect()
+    ) == list(range(100))

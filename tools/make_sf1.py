@@ -34,7 +34,18 @@ Deterministic end to end (fixed seeds, no wall clock); DuckDB oracles
 run unchanged against the output directory, so check_oracle --sf works
 at sf1 where runtime permits.
 
+``--scale 100`` builds the sf10 tier (the SIXTH decade) from the same
+sf0.1 base. Replicas 0..9 are bit-identical to sf1's (the r9 scaling
+curve can difference the two tiers); document replicas past the 31
+available vocabulary ROTATIONS switch to affine maps over the word
+index (w -> vocab[(a*idx + b) mod 31], a = 1 + r//31, b = 7r mod 31 —
+reduces to the rotation for r <= 30): two distinct affine maps agree on
+at most ONE vocab word, so cross-replica shared n-grams are limited to
+same-word runs (J << any dedup threshold) and pair counts still scale
+linearly in replicas instead of quadratically.
+
 Usage: python tools/make_sf1.py [--out /root/repo/.scratch/testdata/sf1]
+       [--scale 10]
 """
 
 from __future__ import annotations
@@ -78,7 +89,8 @@ OFFSET_TABLES = {
 }
 
 
-def replicate_sql(con: duckdb.DuckDBPyConnection, table: str, out_dir: str) -> int:
+def replicate_sql(con: duckdb.DuckDBPyConnection, table: str, out_dir: str,
+                  scale: int = SCALE) -> int:
     cols = [
         r[0]
         for r in con.sql(f"describe select * from '{BASE}/{table}.parquet'").fetchall()
@@ -92,13 +104,13 @@ def replicate_sql(con: duckdb.DuckDBPyConnection, table: str, out_dir: str) -> i
     )
     out = f"{out_dir}/{table}.parquet"
     con.sql(
-        f"COPY (SELECT {sel} FROM '{BASE}/{table}.parquet', range({SCALE}) r(r) "
+        f"COPY (SELECT {sel} FROM '{BASE}/{table}.parquet', range({scale}) r(r) "
         f"ORDER BY r.r) TO '{out}' (FORMAT PARQUET)"
     )
     return con.sql(f"select count(*) from '{out}'").fetchone()[0]
 
 
-def replicate_documents(out_dir: str) -> int:
+def replicate_documents(out_dir: str, scale: int = SCALE) -> int:
     t = pq.read_table(f"{BASE}/documents.parquet")
     doc_ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
@@ -109,12 +121,16 @@ def replicate_documents(out_dir: str) -> int:
     v = len(vocab)
 
     out_ids, out_texts, out_langs, out_srcs, out_n = [], [], [], [], []
-    for r in range(SCALE):
-        shift = (7 * r) % v
+    for r in range(scale):
+        # affine word map over the vocab index: a=1 for r < v reduces to
+        # the sf1 rotation exactly; distinct (a, b) pairs agree on at most
+        # one word, so replicas never share a multi-word n-gram beyond
+        # same-word runs (see module docstring)
+        a, b = 1 + r // v, (7 * r) % v
         for d, s, lang, src in zip(doc_ids, texts, langs, sources):
-            if shift:
+            if a != 1 or b:
                 s = " ".join(
-                    vocab[(idx[w] + shift) % v] if w else w for w in s.split(" ")
+                    vocab[(a * idx[w] + b) % v] if w else w for w in s.split(" ")
                 )
             out_ids.append(d + r * RANGES["doc_id"])
             out_texts.append(s)
@@ -134,7 +150,7 @@ def replicate_documents(out_dir: str) -> int:
     return out.num_rows
 
 
-def replicate_embeddings(out_dir: str) -> int:
+def replicate_embeddings(out_dir: str, scale: int = SCALE) -> int:
     t = pq.read_table(f"{BASE}/embeddings.parquet")
     base_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     base_vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
@@ -142,7 +158,7 @@ def replicate_embeddings(out_dir: str) -> int:
     n, d = base_vecs.shape
 
     ids, vecs, labels = [base_ids], [base_vecs], [base_labels]
-    for r in range(1, SCALE):
+    for r in range(1, scale):
         rng = np.random.default_rng(420_000 + r)
         g = rng.standard_normal((n, d)).astype(np.float32)
         g /= np.linalg.norm(g, axis=1, keepdims=True)
@@ -166,6 +182,8 @@ def replicate_embeddings(out_dir: str) -> int:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/repo/.scratch/testdata/sf1")
+    ap.add_argument("--scale", type=int, default=SCALE,
+                    help="replication factor over sf0.1 (100 = the sf10 tier)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -175,9 +193,9 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in OFFSET_TABLES:
-        print(f"{t}: {replicate_sql(con, t, args.out)} rows")
-    print(f"documents: {replicate_documents(args.out)} rows")
-    print(f"embeddings: {replicate_embeddings(args.out)} rows")
+        print(f"{t}: {replicate_sql(con, t, args.out, args.scale)} rows")
+    print(f"documents: {replicate_documents(args.out, args.scale)} rows")
+    print(f"embeddings: {replicate_embeddings(args.out, args.scale)} rows")
     print(f"wrote {args.out}")
 
 
