@@ -28,9 +28,10 @@ lands inside the prefix window. Mutation-style duplicates spread edits
 across the document, so a 24-char prefix on 150-400-char texts catches the
 planted fixture pairs exactly (measured at sf0.01/sf0.1: every pair within
 distance 16 shares the 24-char prefix). The honest boundary: an adversarial
-edit inside the first 24 chars escapes the block; the PassJoin upgrade —
-block on each of k+1 fixed segments instead of one prefix — buys exact
-recall for (k+1)x candidate fan-out. See also the saturation guard pattern
+edit inside the first 24 chars escapes the block — `fuzzy_pairs_passjoin`
+(below, r9) closes it with EXACT recall via the PassJoin k+1-segment
+pigeonhole at the documented (k+1)x candidate fan-out; `fuzzy_pairs`
+remains the cheap large-k screen. See also the saturation guard pattern
 in operators/dedup.py::banding_chunk_bits_for for when block populations
 grow past the quadratic-candidate knee.
 """
@@ -144,4 +145,160 @@ def block_saturation(
         F.count(F.lit(1)).alias("n_blocks"),
         F.max("pop").alias("max_block"),
         F.percentile_approx("pop", 0.99).alias("p99_block"),
+    )
+
+
+def fuzzy_pairs_passjoin(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 4,
+) -> DataFrame:
+    """All (doc_a < doc_b, dist) pairs with normalized edit distance
+    <= max_dist — EXACT RECALL, no blocking escape (the PassJoin upgrade
+    the prefix-blocking docstring above documents; Li/Deng/Feng, PVLDB
+    2011). Where `fuzzy_pairs` misses a pair whose edit lands inside the
+    prefix window, this one cannot miss any pair at all:
+
+    * INDEX side: each string of length l >= k+1 splits into k+1
+      contiguous segments (even partition, floor boundaries). If
+      ed(x, y) <= k, the <= k edits touch at most k segments, so at
+      least one segment of x survives VERBATIM inside y (pigeonhole).
+    * PROBE side: that surviving segment appears in y at a start shifted
+      from its position in x by delta, where the indels before it and
+      after it bound |delta| + |(len(y)-len(x)) - delta| <= k — so for
+      each candidate indexed length l in [m-k, m+k] and segment slot i,
+      y emits the substrings at the (k - |m-l| + 1)-position window
+      around the slot's start. Probe fan-out per doc is therefore
+      sum_l (k+1)(k-|m-l|+1) ~ (k+1)^2 * (k+1) — a CONSTANT in corpus
+      size (125 rows/doc at k=4), and candidates come from one
+      equi-join on (l, slot, substring), never an all-pairs stage.
+    * Candidate pairs dedupe BEFORE the DP (a pair can match on several
+      slots), then the exact length band and Spark's banded early-exit
+      levenshtein(threshold) verify, same as fuzzy_pairs.
+
+    Strings shorter than k+1 cannot donate k+1 nonempty segments; they
+    pair only with strings of length <= 2k (the length band), so the
+    short stratum joins on a constant key — bounded for prose, and the
+    exactness argument needs no pigeonhole there.
+
+    Cost vs fuzzy_pairs: exact recall for a ~(k+1)x candidate fan-out
+    (the documented PassJoin trade). k defaults to 4 (typo/OCR-level
+    edits) rather than prefix blocking's 16: the probe window is
+    O(k^3)/doc, so this is the right tool for adversarial small-k
+    linkage while prefix blocking remains the cheap large-k screen."""
+    k = max_dist
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        normalized_link_key(F.col(text_col)).alias("t"),
+    ).withColumn("len", F.length("t"))
+
+    long_t = t.filter(F.col("len") >= k + 1)
+    short_t = t.filter(F.col("len") < k + 1)
+
+    slot = F.col("slot")
+    # index: k+1 segments per string, floor-boundary even partition
+    idx = (
+        long_t.select(
+            F.col("id").alias("doc_i"),
+            F.col("t").alias("ti"),
+            F.col("len").alias("l"),
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("slot"),
+        )
+        .withColumn("s0", F.floor(slot * F.col("l") / (k + 1)).cast("int"))
+        .withColumn("s1", F.floor((slot + 1) * F.col("l") / (k + 1)).cast("int"))
+        .select(
+            "doc_i", "ti", "l", "slot",
+            F.expr("substring(ti, s0 + 1, s1 - s0)").alias("seg"),
+        )
+    )
+    # probe: for each candidate indexed length l and slot, the delta
+    # window of substrings. Integer-exact bounds: hi = (m-l+k) div 2
+    # (non-negative, truncation = floor); lo = (m-l-k) div 2
+    # (non-positive, truncation = ceil).
+    probe = (
+        t.filter(F.col("len") >= 1)  # sequence(start > stop) would descend
+        .select(
+            F.col("id").alias("doc_p"),
+            F.col("t").alias("tp"),
+            F.col("len").alias("m"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("len") - k, F.lit(k + 1)),
+                    F.col("len") + k,
+                )
+            ).alias("l"),
+        )
+        .filter(F.col("l") >= k + 1)
+        .withColumn("slot", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .withColumn("s0", F.floor(slot * F.col("l") / (k + 1)).cast("int"))
+        .withColumn(
+            "seg_len",
+            (F.floor((slot + 1) * F.col("l") / (k + 1)) - F.col("s0")).cast("int"),
+        )
+        .withColumn(
+            "delta",
+            F.explode(
+                F.sequence(
+                    F.expr(f"div(m - l - {k}, 2)"), F.expr(f"div(m - l + {k}, 2)")
+                )
+            ),
+        )
+        .withColumn("p0", F.col("s0") + F.col("delta"))
+        .filter((F.col("p0") >= 0) & (F.col("p0") <= F.col("m") - F.col("seg_len")))
+        .select(
+            "doc_p", "tp", "m", "l", "slot",
+            F.expr("substring(tp, p0 + 1, seg_len)").alias("seg"),
+        )
+    )
+    cand = (
+        idx.join(probe, ["l", "slot", "seg"])
+        .filter(F.col("doc_i") != F.col("doc_p"))
+        .select(
+            F.least("doc_i", "doc_p").alias("doc_a"),
+            F.greatest("doc_i", "doc_p").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # short stratum: strings under k+1 chars pair only within the length
+    # band, i.e. with strings of length <= 2k — constant-key join over a
+    # (for prose) tiny set, exactness needs no pigeonhole
+    short_cand = (
+        short_t.select(F.col("id").alias("doc_a"), F.col("len").alias("la"))
+        .join(
+            t.filter(F.col("len") <= 2 * k).select(
+                F.col("id").alias("doc_b"), F.col("len").alias("lb")
+            ),
+            F.col("doc_a") != F.col("doc_b"),
+        )
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    both = cand.unionByName(short_cand).distinct()
+    strs = t.select("id", "t", "len")
+    return (
+        both.join(
+            strs.select(
+                F.col("id").alias("doc_a"),
+                F.col("t").alias("ta"),
+                F.col("len").alias("la"),
+            ),
+            "doc_a",
+        )
+        .join(
+            strs.select(
+                F.col("id").alias("doc_b"),
+                F.col("t").alias("tb"),
+                F.col("len").alias("lb"),
+            ),
+            "doc_b",
+        )
+        .filter(F.abs(F.col("la") - F.col("lb")) <= k)
+        .withColumn("dist", F.levenshtein("ta", "tb", k))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= k))
+        .select("doc_a", "doc_b", "dist")
     )

@@ -135,6 +135,54 @@ def doc_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_fuzzy_linkage_exact",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS t
+        FROM documents
+    ), k AS (
+        SELECT doc_id, t, length(t) AS len FROM d
+    ), pf AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.t, b.t) AS dist
+        FROM k a JOIN k b ON a.doc_id < b.doc_id
+        WHERE abs(a.len - b.len) <= 4 AND levenshtein(a.t, b.t) <= 4
+    ), ends AS (
+        SELECT doc_a AS doc_id, doc_b AS nbr, dist FROM pf
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS nbr, dist FROM pf
+    ), deg AS (
+        SELECT doc_id, count(*) AS n_links, min(dist) AS min_dist
+        FROM ends GROUP BY 1
+    )
+    SELECT g.doc_id, g.n_links, g.min_dist, min(e.nbr) AS nearest
+    FROM deg g JOIN ends e ON e.doc_id = g.doc_id AND e.dist = g.min_dist
+    GROUP BY 1, 2, 3
+    """,
+    doc="PassJoin fuzzy linkage with EXACT recall (r8 verdict #5): per-doc "
+    "degrees under normalized edit distance <= 4 where candidates come "
+    "from the k+1-segment pigeonhole — an edit-distance-<=k pair shares "
+    "at least one untouched segment verbatim, found by an equi-join on "
+    "(indexed length, slot, substring) with the PassJoin delta window "
+    "(|delta| + |len_diff - delta| <= k) bounding probe fan-out to a "
+    "CONSTANT ~ (k+1)^2 * (k+1) rows per doc "
+    "(operators/linkage.py::fuzzy_pairs_passjoin, Li/Deng/Feng PVLDB'11). "
+    "The ORACLE is deliberately blocking-free — an exhaustive length-"
+    "banded all-pairs DP — so any recall gap in the segment blocking "
+    "would surface as a value mismatch; contrast doc_fuzzy_linkage "
+    "(prefix blocking, k=16), whose oracle mirrors its blocking and "
+    "whose documented escape (an edit inside the 24-char prefix window) "
+    "this operator closes at the documented (k+1)x fan-out price.",
+)
+def doc_fuzzy_linkage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return linkage.linkage_degrees(
+        linkage.fuzzy_pairs_passjoin(docs, max_dist=4)
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     retired=True,  # rows-only (engine-native xxhash64); portable twin is registered
     oracle=None,  # xxhash64 signatures are engine-native; rows-only check
