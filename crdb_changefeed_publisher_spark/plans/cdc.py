@@ -445,7 +445,9 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_matview_totals",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r9 swap round 6 PROMOTION: incremental MV maintenance is the
+    # production CDC-consumer pattern (r8 verdict #3); lang_id_confusion
+    # retired in trade
     oracle="""
     WITH cents AS (
         SELECT o_orderkey, o_orderpriority,

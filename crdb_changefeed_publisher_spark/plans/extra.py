@@ -140,6 +140,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_price_percentiles",
+    retired=True,  # r9 swap round 6: subsumed by order_price_quantile_sketch
     oracle="""
     SELECT o_orderpriority,
            round(quantile_cont(o_totalprice, 0.25), 2) AS p25,

@@ -1377,6 +1377,7 @@ _LANG_CASE = (
 
 @query(
     "lang_id_confusion",
+    retired=True,  # r9 swap round 6: fixture tag-join; matview promoted in trade
     oracle=f"""
     WITH padded AS (
         SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents
@@ -3057,7 +3058,9 @@ def _qsk_fold52_sql(expr: str) -> str:
 
 @query(
     "order_price_quantile_sketch",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r9 swap round 6 PROMOTION: the KB-sized mergeable rank sketch is the
+    # 100 TB percentile path (r8 verdict #3); order_price_percentiles
+    # (the exact counterpart it subsumes) retired in trade
     oracle=f"""
     WITH base AS (
         SELECT o_orderpriority,
@@ -3091,7 +3094,7 @@ def _qsk_fold52_sql(expr: str) -> str:
     "rank statistics; ~1/sqrt(k) rank error, merge = distinct+truncate "
     "like kmv_union). Estimates use type-7-FLOOR selection on the "
     "value-sorted sample — an actual data value, no interpolation, no "
-    "float-half boundary. Registered order_price_percentiles is the "
+    "float-half boundary. Retired order_price_percentiles is the "
     "exact counterpart (operators/sketches.py::quantile_sketch).",
 )
 def order_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,6 +60,8 @@ COST_HINTS: dict[str, float] = {
     "dedup_simhash": 2.0,  # r8: degree aggregate, similar cost
     "source_scorecard": 1.0,  # r8 swap promotion
     "split_leakage_pairs": 0.5,  # r8 swap promotion (shared-pass consumer)
+    "orders_matview_totals": 1.0,  # r9 swap promotion
+    "order_price_quantile_sketch": 0.7,  # r9 swap promotion
     "doc_chunks": 0.6,
     "doc_decontamination": 1.0,
     "salted_skew_agg": 0.8,

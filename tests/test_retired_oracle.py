@@ -89,6 +89,7 @@ def test_retired_set_is_the_expected_one():
         "graph_triangle_counts",
         "grouping_sets_revenue",
         "kmv_shard_overlap",
+        "lang_id_confusion",
         "lang_mixture_weights",
         "lateral_top_supplier_per_nation",
         "left_join_order_counts",
@@ -98,12 +99,11 @@ def test_retired_set_is_the_expected_one():
         "multimodal_fake_features",
         "multimodal_image_quality",
         "nation_trade_reachability",
-        "order_price_quantile_sketch",
+        "order_price_percentiles",
         "order_ship_latency",
         "order_value_buckets",
         "orderpriority_distinct_customers",
         "orders_above_avg",
-        "orders_matview_totals",
         "orders_price_drift",
         "orders_profile",
         "orders_zorder_key",

@@ -34,7 +34,7 @@ Deterministic end to end (fixed seeds, no wall clock); DuckDB oracles
 run unchanged against the output directory, so check_oracle --sf works
 at sf1 where runtime permits.
 
-``--scale 100`` builds the sf10 tier (the SIXTH decade) from the same
+``--scale 100`` builds the sf10 tier (the FIFTH decade) from the same
 sf0.1 base. Replicas 0..9 are bit-identical to sf1's (the r9 scaling
 curve can difference the two tiers); document replicas past the 31
 available vocabulary ROTATIONS switch to affine maps over the word

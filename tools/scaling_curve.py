@@ -20,7 +20,10 @@ Usage: python tools/scaling_curve.py [--json out.json] [--sf1 DIR] [query ...]
 --sf1 adds a fourth decade (the locally generated stress tier from
 tools/make_sf1.py) and reports the sf0.1 -> sf1 growth ratio alongside
 the sf0.01 -> sf0.1 one — two independent 10x steps catch a quadratic
-term that one step can hide behind fixed overhead.
+term that one step can hide behind fixed overhead. --sf10 adds a FIFTH
+decade (make_sf1.py --scale 100) and the sf1 -> sf10 ratio: every dial
+bug found so far (srp bits, simhash output bound, kmeans k, bloom
+literals, IVF probes) was invisible one decade below where it bit.
 """
 
 from __future__ import annotations
@@ -52,12 +55,21 @@ def main() -> None:
         default=None,
         help="path to an sf1 tier (tools/make_sf1.py output); adds a 4th column",
     )
+    ap.add_argument(
+        "--sf10",
+        default=None,
+        help="path to an sf10 tier (make_sf1.py --scale 100); adds a 5th column",
+    )
     args = ap.parse_args()
     sfs = list(SFS)
     sf_dirs = {sf: f"/root/testdata/sf{sf}" for sf in sfs}
     if args.sf1:
         sfs.append("1")
         sf_dirs["1"] = args.sf1
+    if args.sf10:
+        assert args.sf1, "--sf10 needs --sf1 (the ratio is sf1 -> sf10)"
+        sfs.append("10")
+        sf_dirs["10"] = args.sf10
 
     spark = get_spark("scaling-curve")
     materialize(spark.read.parquet("/root/testdata/sf0.001/region.parquet"))
@@ -85,8 +97,10 @@ def main() -> None:
     hdr = f"{'query':<34} {'sf0.001':>8} {'sf0.01':>8} {'sf0.1':>8} {'x(.01->.1)':>10}"
     if args.sf1:
         hdr += f" {'sf1':>8} {'x(.1->1)':>9}"
+    if args.sf10:
+        hdr += f" {'sf10':>8} {'x(1->10)':>9}"
     print(hdr)
-    ratios, ratios1 = [], []
+    ratios, ratios1, ratios10 = [], [], []
     for name in names:
         r = rows[name]
         ratio = round(r["0.1"] / r["0.01"], 1) if r["0.01"] > 0 and r["0.1"] > 0 else float("nan")
@@ -98,6 +112,11 @@ def main() -> None:
             if ratio1 == ratio1:
                 ratios1.append(ratio1)
             line += f" {r.get('1', -1.0):>8.2f} {ratio1:>9}"
+        if args.sf10:
+            ratio10 = round(r["10"] / r["1"], 1) if r.get("1", -1) > 0 and r.get("10", -1) > 0 else float("nan")
+            if ratio10 == ratio10:
+                ratios10.append(ratio10)
+            line += f" {r.get('10', -1.0):>8.2f} {ratio10:>9}"
         print(line)
     if ratios:
         ratios.sort()
@@ -107,6 +126,10 @@ def main() -> None:
         ratios1.sort()
         med1 = ratios1[len(ratios1) // 2]
         print(f"median 10x-data growth ratio (.1->1):  {med1}  (max {max(ratios1)})")
+    if ratios10:
+        ratios10.sort()
+        med10 = ratios10[len(ratios10) // 2]
+        print(f"median 10x-data growth ratio (1->10):  {med10}  (max {max(ratios10)})")
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(rows, fh, indent=1, sort_keys=True)
