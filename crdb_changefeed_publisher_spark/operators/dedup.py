@@ -154,6 +154,7 @@ def jaccard_pairs_minhash_block(
     n: int = 3,
     threshold: float = 0.2,
     block_cap: int = 1000,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard, blocked on the MIN
     PORTABLE HASH of the shingles (true 1-permutation MinHash).
@@ -193,6 +194,15 @@ def jaccard_pairs_minhash_block(
         .localCheckpoint(eager=True)
     )
     sizes = sets.groupBy("block").agg(F.count(F.lit(1)).alias("m"))
+    if candidate_budget is not None:
+        # measured saturation guard (r9): min-hash blocking degenerates
+        # when shingle diversity is small vs corpus size — every replica
+        # of a saturated shingle space shares the globally-min-hash
+        # shingles, so blocks grow with n and candidates with n^2
+        block_candidate_guard(
+            sizes, "m", docs.count(), candidate_budget,
+            "jaccard_pairs_minhash_block",
+        )
     salted = sets.join(sizes, "block").withColumn(
         "n_salt", F.ceil(F.col("m") / F.lit(block_cap)).cast("int")
     )
@@ -222,6 +232,48 @@ def jaccard_pairs_minhash_block(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def block_candidate_guard(
+    pops: DataFrame, pop_col: str, n_items: int,
+    budget_per_item: int, what: str,
+) -> None:
+    """MEASURED saturation guard for any blocked candidate join (the
+    executable form of docs/SCALE.md caveat (a): clustering inflates real
+    blocks beyond any uniform-dial estimate, and only the data can say by
+    how much). `pops` is the per-block population frame the caller
+    already has; projected candidate pairs = sum(pop*(pop-1))/2. When
+    that exceeds budget_per_item * n_items, the join is growing
+    quadratically in corpus size and the plan REFUSES with the measured
+    numbers instead of melting down — the r9 sf10 lesson: dedup_simhash's
+    15-bit chunks held 568 candidates/doc at sf1 (10 s) and 5,670/doc at
+    sf10 (1,299 s, pop ∝ n), a knee invisible one decade below, and the
+    width dial was already at its tiling maximum so no sizing rule could
+    fix it. Cost: one partial-agg pass over block counts (KB-scale).
+
+    The refusal names the escape paths: a finer/banded signature (64-bit
+    SimHash chunks, banded MinHash-LSH with r-row bands), a tighter
+    qualifying threshold, or sampling — which one applies is corpus
+    knowledge the caller has and this guard does not."""
+    row = pops.agg(
+        F.sum(F.col(pop_col) * (F.col(pop_col) - 1) / 2).alias("cand"),
+        F.max(pop_col).alias("max_pop"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    ).first()
+    cand = int(row.cand or 0)
+    if cand > budget_per_item * n_items:
+        raise ValueError(
+            f"{what}: blocked candidate join is saturated — {cand:,} "
+            f"projected candidate pairs over {n_items:,} items "
+            f"(= {cand // max(n_items, 1):,}/item, budget "
+            f"{budget_per_item}/item; {row.n_blocks:,} blocks, max "
+            f"population {row.max_pop:,}). Block populations are growing "
+            "with the corpus (clustered signatures / saturated shingle "
+            "space), so cost is quadratic from here. Use a finer or "
+            "banded signature (64-bit simhash_pairs chunks, "
+            "minhash_lsh_pairs r-row bands), tighten the qualifying "
+            "threshold, or sample — see docs/SCALE.md 'Fifth decade'."
+        )
 
 
 def _minhash_signatures(shingle_df: DataFrame, num_hashes: int) -> DataFrame:
@@ -847,6 +899,16 @@ def simhash_portable_pairs(
     # sf0.1; at cluster scale persist the signature table instead)
     sig = simhash_portable_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
     chunks = _explode_sig_chunks(sig, n_chunks, chunk_bits)
+    if candidate_budget is not None:
+        # measured saturation guard (r9 sf10 knee: clustered signatures
+        # at the tiling-max width grew blocks with n — 127x per decade)
+        pops = chunks.groupBy("chunk_idx", "chunk").agg(
+            F.count(F.lit(1)).alias("pop")
+        )
+        block_candidate_guard(
+            pops, "pop", sig.count(), candidate_budget,
+            "simhash_near_dup_degrees",
+        )
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk"
     )
@@ -870,6 +932,7 @@ def simhash_near_dup_degrees(
     max_hamming: int = 8,
     n_chunks: int = 2,
     chunk_bits: int = 15,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Per-document near-dup DEGREE over the portable-SimHash candidate
     graph: (doc_id, n_near_dups, min_hamming) for every document with at
@@ -893,6 +956,16 @@ def simhash_near_dup_degrees(
     min_hamming is collision-count invariant."""
     sig = simhash_portable_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
     chunks = _explode_sig_chunks(sig, n_chunks, chunk_bits)
+    if candidate_budget is not None:
+        # measured saturation guard (r9 sf10 knee: clustered signatures
+        # at the tiling-max width grew blocks with n — 127x per decade)
+        pops = chunks.groupBy("chunk_idx", "chunk").agg(
+            F.count(F.lit(1)).alias("pop")
+        )
+        block_candidate_guard(
+            pops, "pop", sig.count(), candidate_budget,
+            "simhash_near_dup_degrees",
+        )
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk"
     )

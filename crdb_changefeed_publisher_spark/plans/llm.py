@@ -84,7 +84,11 @@ def _poly_hash_sql(expr: str, max_len: int = 256) -> str:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_minhash_block(
-        load_table(spark, sf_dir, "documents"), threshold=0.2
+        load_table(spark, sf_dir, "documents"), threshold=0.2,
+        # measured saturation guard (r9 sf10): 1-perm min-hash blocking
+        # degenerates when shingle diversity saturates vs corpus size
+        # (20 candidates/doc at sf1 -> 194 at sf10, quadratic trend)
+        candidate_budget=1500,
     )
 
 
@@ -664,7 +668,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(banding_chunk_bits_for needs more than the tiling width): "
             "use the 64-bit simhash_pairs variant (4 x 16-bit chunks)"
         )
-    return dedup.simhash_near_dup_degrees(docs, max_hamming=8, n_chunks=2, chunk_bits=cb)
+    return dedup.simhash_near_dup_degrees(
+        docs, max_hamming=8, n_chunks=2, chunk_bits=cb,
+        # measured saturation guard (r9 sf10): refuse when blocks grow
+        # with the corpus — 5,670 candidates/doc measured at sf10 vs 568
+        # at sf1 with the width dial already at its tiling max
+        candidate_budget=1500,
+    )
 
 
 @query(

@@ -1161,3 +1161,24 @@ def test_triangle_counts_handcrafted_topologies(spark):
         int(r.node): int(r.n_triangles) for r in triangle_counts(pairs).collect()
     }
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_block_candidate_guard_refuses_saturated_corpus(spark):
+    """The measured saturation guard (r9 sf10 lesson): a corpus whose
+    blocked candidate join grows quadratically must REFUSE with the
+    measured numbers, not melt down. 120 near-identical documents all
+    share min-hash blocks and simhash chunks -> both guarded operators
+    raise under a tight budget; the real fixture passes the registered
+    budget (covered by the oracle gates, which run the guarded plans)."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta " * 4)
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="saturated"):
+        dedup.jaccard_pairs_minhash_block(
+            docs, threshold=0.2, candidate_budget=10
+        ).collect()
+    with pytest.raises(ValueError, match="saturated"):
+        dedup.simhash_near_dup_degrees(docs, candidate_budget=10).collect()
+    # an untight budget lets the same corpus through unchanged
+    out = dedup.simhash_near_dup_degrees(docs, candidate_budget=10_000)
+    assert out.count() == 120  # all near-identical: every doc has a neighbor
