@@ -5,21 +5,28 @@ a queryable table.
 
 Protocol (a deliberately minimal manifest-commit table format):
 
-    <root>/data/batch-<BBBBBBBB>-part-<PPPPP>.parquet   data files
+    <root>/data/batch-<BBBBBBBB>-<attempt>-part-<PPPPP>.parquet data files
     <root>/data/compact-<GGG>-<attempt>-<bin>.parquet   compacted files
     <root>/_commits/batch-<BBBBBBBB>.json               per-batch manifest
     <root>/_commits/snapshot-<GGG>.json                 compaction snapshot
 
 * `write_batch` (inside foreachBatch) writes each partition's rows to a
-  file keyed by (batch_id, partition) — tmp file + atomic rename — then
-  writes the batch manifest (the list of files + row counts) with the
-  same tmp+rename. The MANIFEST IS THE COMMIT: readers resolve the table
-  to manifest-listed files only, so a crash between data and manifest
-  leaves invisible orphans, and Spark's replay of the same deterministic
-  batch under the same batch_id overwrites its own files and re-commits
-  the identical manifest. That is exactly-once at the TABLE level on top
-  of Spark's at-least-once foreachBatch contract, the same argument as
-  DirQueue's truncate-on-open — but here the artifact is queryable.
+  file keyed by (batch_id, attempt, partition) — tmp file + atomic
+  rename — then writes the batch manifest (the list of files + row
+  counts) with tmp+rename. The MANIFEST IS THE COMMIT: readers resolve
+  the table to manifest-listed files only, so a crash between data and
+  manifest leaves invisible orphans, and Spark's replay of the same
+  deterministic batch under the same batch_id re-commits the manifest,
+  atomically swapping the file list to the replay attempt's own
+  uniquely-named files (the first attempt's become vacuum-eligible
+  orphans — a replay never overwrites committed BYTES, so a snapshot
+  that carried the first attempt's files forward by name stays intact
+  under every interleaving). A batch id at or below the latest
+  snapshot's `covers` skips the write entirely: that batch is
+  permanently superseded (the Delta txn-version dedup). That is
+  exactly-once at the TABLE level on top of Spark's at-least-once
+  foreachBatch contract, the same argument as DirQueue's
+  truncate-on-open — but here the artifact is queryable.
 * `read_committed` resolves the current state: the highest-generation
   snapshot (if any) supersedes every batch manifest it covers; batch
   manifests above the snapshot's high-water batch apply on top. One
@@ -39,9 +46,10 @@ Protocol (a deliberately minimal manifest-commit table format):
   (crashed-attempt orphans, pre-compaction originals). The committed
   state is resolved first, so nothing a READER can see is touched; to
   also be safe against a concurrently-running writer, the default mode
-  spares batch files above the committed high-water mark and fresh
-  *.tmp-* files (a live write_batch's mid-commit data lives exactly
-  there). `assume_quiesced=True` reclaims those too.
+  spares batch files at or above the committed high-water mark and
+  fresh *.tmp-* files (a live write_batch's mid-commit data — first
+  attempt or replay — lives exactly there). `assume_quiesced=True`
+  reclaims those too.
 * `delete_where` is the MERGE-ON-READ row-level delete: instead of
   rewriting every file containing a matching row (copy-on-write — the
   `merge_upsert` path), it writes per-file DELETION VECTORS (parquet
@@ -118,8 +126,13 @@ def _atomic_create_json(path: str, obj: dict) -> None:
     durable temp file is an atomic create-exclusive on POSIX
     filesystems (rename would silently REPLACE a concurrent winner's
     snapshot); on an object store the equivalent is a conditional put
-    (If-None-Match) — the protocol needs exactly one such primitive."""
-    tmp = f"{path}.tmp-{os.getpid()}"
+    (If-None-Match) — the protocol needs exactly one such primitive.
+
+    The durable temp is named per ATTEMPT, not per pid: two maintainer
+    THREADS share a pid, and a shared tmp name lets the loser truncate
+    the winner's bytes between its write and its link (found by the
+    concurrency soak, tools/table_race_soak.py)."""
+    tmp = f"{path}.tmp-{_attempt_token()}"
     with open(tmp, "w") as fh:
         json.dump(obj, fh, indent=1, sort_keys=True)
         fh.flush()
@@ -216,23 +229,39 @@ def write_batch(
     constraints: list[tuple] | None = None,
 ) -> int:
     """foreachBatch body: write this micro-batch's rows as batch-keyed
-    parquet files + one manifest. Returns the committed row count.
+    parquet files + one manifest. Returns the committed row count
+    (0 for a superseded replay — see below).
 
     Each input partition writes its own file executor-side (mapInArrow —
     byte-exact, no pandas NaN/NULL conflation; partition id from
-    TaskContext) to a tmp name, fsyncs, then renames —
-    so a replayed batch's partition overwrites its own previous attempt
-    and never appends. The driver collects the (file, rows, bytes) list
-    (KB-sized) and publishes the manifest LAST: durability of data
-    precedes the commit point, and the commit point precedes Spark's own
-    offset commit — the same ordering as the reference's
-    confirm-then-checkpoint (src/main.rs:226-234)."""
+    TaskContext) to a tmp name, fsyncs, then renames. File names carry a
+    per-ATTEMPT token beyond (batch_id, partition): a replayed batch
+    writes its own fresh files and the manifest re-commit atomically
+    swaps the list — it never overwrites bytes the first attempt
+    committed, which a concurrent maintainer's snapshot may have carried
+    forward BY NAME (the attempt-token convention maintenance ops
+    already follow; within one attempt a retried TASK still overwrites
+    its own tmp+rename slot). The driver collects the (file, rows,
+    bytes) list (KB-sized) and publishes the manifest LAST: durability
+    of data precedes the commit point, and the commit point precedes
+    Spark's own offset commit — the same ordering as the reference's
+    confirm-then-checkpoint (src/main.rs:226-234).
+
+    A replayed batch at or below the latest snapshot's `covers` is a
+    NO-OP: the snapshot permanently superseded it (its manifest may
+    already be pruned), so re-committing would at best orphan data and
+    at worst resurrect compacted-away rows. This is the write-side half
+    of the Delta txn-version check."""
     data, commits = _data_dir(root), _commits_dir(root)
     os.makedirs(data, exist_ok=True)
     os.makedirs(commits, exist_ok=True)
+    if batch_id <= _latest_covers(root):
+        return 0
     manifest_rows = batch_df.mapInArrow(
-        _part_writer(data, f"batch-{batch_id:08d}-part-{{pid:05d}}.parquet",
-                     bloom_cols, constraints),
+        _part_writer(
+            data,
+            f"batch-{batch_id:08d}-{_attempt_token()}-part-{{pid:05d}}.parquet",
+            bloom_cols, constraints),
         _PART_SCHEMA,
     ).collect()
     files = sorted(
@@ -252,6 +281,21 @@ def _snapshot_gen(name: str) -> int:
     # parse the generation as an INT: lexicographic max over
     # 'snapshot-999.json' / 'snapshot-1000.json' picks the stale one
     return int(name[len("snapshot-"):-len(".json")])
+
+
+def _latest_covers(root: str) -> int:
+    """`covers` of the latest snapshot, -1 when there is none — the
+    write-side superseded-replay check (one dir listing + one KB JSON
+    read, no batch manifests touched)."""
+    commits = _commits_dir(root)
+    if not os.path.isdir(commits):
+        return -1
+    snaps = [n for n in os.listdir(commits)
+             if n.startswith("snapshot-") and n.endswith(".json")]
+    if not snaps:
+        return -1
+    with open(os.path.join(commits, max(snaps, key=_snapshot_gen))) as fh:
+        return int(json.load(fh)["covers"])
 
 
 def _committed_state(root: str) -> tuple[int, int, int, list[dict]]:
@@ -617,7 +661,8 @@ def optimize_zorder(
 
 
 def vacuum(
-    root: str, assume_quiesced: bool = False, tmp_grace_secs: float = 600.0
+    root: str, assume_quiesced: bool = False, tmp_grace_secs: float = 600.0,
+    retention_secs: float = 0.0,
 ) -> list[str]:
     """Delete data files unreachable from the committed state: crashed-
     attempt orphans, tmp leftovers, and pre-compaction originals that a
@@ -625,12 +670,21 @@ def vacuum(
     deleted is invisible to READERS — but an uncommitted file may belong
     to a concurrent writer's in-flight batch, whose manifest would then
     commit referencing deleted data. So by default vacuum is writer-safe:
-    it skips batch-* files whose batch id exceeds the committed
-    high-water mark (a live write_batch always carries a higher id than
-    anything committed) and skips *.tmp-* files younger than
+    it skips batch-* files whose batch id is AT or above the committed
+    high-water mark (a live first-attempt write_batch carries a higher
+    id than anything committed; a live REPLAY carries exactly the
+    high-water id) and skips *.tmp-* files younger than
     `tmp_grace_secs`. Pass assume_quiesced=True when no writer is running
     to reclaim those too (e.g. the newest crashed attempt before its
-    replay). Returns the deleted names."""
+    replay). Returns the deleted names.
+
+    `retention_secs` > 0 additionally spares ANY file younger than that,
+    committed or not — the Delta retention window: a reader that
+    resolved the committed state, then scanned after a maintenance op
+    superseded it, would otherwise race an eager vacuum into
+    FileNotFound. Size it to the longest query you expect against a
+    stale snapshot (readers can also just re-resolve and retry — the
+    documented client behavior either way)."""
     import time
 
     data = _data_dir(root)
@@ -647,6 +701,12 @@ def vacuum(
         if name in keep_set:
             continue
         path = os.path.join(data, name)
+        if retention_secs > 0:
+            try:
+                if now - os.path.getmtime(path) < retention_secs:
+                    continue
+            except OSError:
+                continue
         if not assume_quiesced:
             if ".tmp-" in name:
                 try:
@@ -669,8 +729,14 @@ def vacuum(
                     bid = int(name.split("-")[1])
                 except (IndexError, ValueError):
                     bid = None
-                if bid is not None and bid > high_water:
-                    continue  # possibly a mid-commit batch of a live writer
+                if bid is not None and bid >= high_water:
+                    # > high_water: a live writer's mid-commit first
+                    # attempt. == high_water: a live REPLAY of the
+                    # committed high-water batch renames its fresh
+                    # attempt's parts one task at a time before the
+                    # manifest swap — deleting them here would let the
+                    # swap commit a manifest pointing at vacuumed data
+                    continue
         try:
             os.remove(path)
         except FileNotFoundError:

@@ -1427,3 +1427,101 @@ def test_racing_identical_ops_one_wins(spark, tmp_path, monkeypatch):
     assert sorted(
         r.k for r in table_sink.read_committed(spark, root).collect()
     ) == list(range(100))
+
+
+# --- replay vs concurrent maintenance (r9) -----------------------------------
+
+
+def test_replay_of_snapshot_covered_batch_is_noop(spark, tmp_path):
+    """A replayed batch at or below the latest snapshot's `covers` is
+    permanently superseded — write_batch must commit NOTHING (no data
+    files, no manifest): re-committing could resurrect compacted-away
+    rows, and writing data files could shadow names a snapshot carried
+    forward (the write-side half of the Delta txn-version check)."""
+    root = str(tmp_path / "tbl")
+    for b in range(3):
+        df = spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        table_sink.write_batch(df.coalesce(1), b, root)
+    table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    data_before = sorted(os.listdir(os.path.join(root, "data")))
+    commits_before = sorted(os.listdir(os.path.join(root, "_commits")))
+    # replay batch 1 with a DIFFERENT partition split — the dangerous
+    # shape: a written replay could disagree with carried-forward stats
+    df = spark.range(100, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    assert table_sink.write_batch(df.repartition(3), 1, root) == 0
+    assert sorted(os.listdir(os.path.join(root, "data"))) == data_before
+    assert sorted(os.listdir(os.path.join(root, "_commits"))) == commits_before
+    got = sorted(r.k for r in table_sink.read_committed(spark, root).collect())
+    assert got == list(range(300))
+
+
+def test_replay_never_overwrites_committed_bytes(spark, tmp_path):
+    """Replay attempts write fresh uniquely-named files; the manifest
+    swap is the commit. The first attempt's files stay byte-intact (a
+    concurrent snapshot may have carried them forward BY NAME), become
+    orphans, and writer-safe vacuum spares the high-water batch id (a
+    live replay's mid-commit parts live exactly there) until a later
+    batch advances it."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    table_sink.write_batch(df.coalesce(1), 0, root)
+    first = {os.path.basename(p) for p in table_sink.committed_files(root)}
+    table_sink.write_batch(df.repartition(2), 0, root)  # replay, new split
+    second = {os.path.basename(p) for p in table_sink.committed_files(root)}
+    assert first.isdisjoint(second)
+    data = os.path.join(root, "data")
+    assert first <= set(os.listdir(data))  # originals intact as orphans
+    assert sorted(
+        r.k for r in table_sink.read_committed(spark, root).collect()
+    ) == list(range(100))
+    # writer-safe vacuum spares both attempts at bid == high_water
+    assert table_sink.vacuum(root) == []
+    # a later commit advances high_water: the stale attempt-0 orphans
+    # become reclaimable even writer-safely
+    table_sink.write_batch(
+        spark.range(100, 150).select(F.col("id").alias("k")).coalesce(1),
+        1, root)
+    gone = set(table_sink.vacuum(root))
+    assert gone == first
+    assert sorted(
+        r.k for r in table_sink.read_committed(spark, root).collect()
+    ) == list(range(150))
+
+
+def test_same_process_racing_publishes_use_distinct_tmps(tmp_path):
+    """Many same-process threads racing one snapshot generation: exactly
+    one wins, every loser raises CommitConflictError, and the winner's
+    published bytes are intact. Pre-fix, _atomic_create_json keyed its
+    durable temp by PID alone — threads SHARE a pid, so a loser could
+    truncate the winner's bytes between write and link, and the loser's
+    cleanup crashed on the already-moved temp (found by
+    tools/table_race_soak.py at 1M rows)."""
+    import threading
+
+    path = str(tmp_path / "snapshot-00000001.json")
+    results = []
+    barrier = threading.Barrier(8)
+
+    def attempt(i):
+        barrier.wait()
+        try:
+            table_sink._atomic_create_json(path, {"generation": 1, "who": i})
+            results.append(("win", i))
+        except table_sink.CommitConflictError:
+            results.append(("lose", i))
+        except Exception as exc:  # noqa: BLE001 — the pre-fix crash mode
+            results.append(("err", repr(exc)))
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [r for r in results if r[0] == "win"]
+    errs = [r for r in results if r[0] == "err"]
+    assert len(wins) == 1 and not errs, results
+    with open(path) as fh:
+        assert json.load(fh)["who"] == wins[0][1]  # intact winner bytes
+    assert not [n for n in os.listdir(tmp_path) if ".tmp-" in n]  # no litter
