@@ -782,3 +782,94 @@ def hashed_ngram_classifier(
         F.round(margin / (F.col("n_grams") * F.lit(int(scale))), 6).alias("score"),
         (margin > 0).alias("repetitive_pred"),
     )
+
+
+def exact_substring_excise(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §4.1) at word-n-gram
+    granularity: REWRITE each document with every duplicated span
+    excised, not just flagged (`duplicate_span_report` is the detect-only
+    sibling). A word position is removed when ANY n-word run covering it
+    occurs at least `min_count` times in the corpus — counting ALL
+    occurrences, within-document repeats included, so self-plagiarized
+    boilerplate is excised too. Overlapping duplicated runs merge into
+    maximal spans for free (coverage is per-position). Emits per document:
+    word count, removed-word count, removed fraction, and the excised
+    `kept_text` (every document survives, possibly empty).
+
+    Spark shape (all JVM codegen, no HOF gram builds — the
+    doc_repetition_signals 16.4 s lesson): posexplode words once, build
+    each position's gram with `lead` windows, count occurrences with ONE
+    window over 32-byte sha2 gram digests — tail positions that start no
+    gram get a per-row surrogate digest so the NULL key can never
+    concentrate (n-1) rows per document into one skewed partition — then
+    one coverage window (`max` over the trailing n-1 starts) and one
+    per-doc aggregate that reassembles kept words by position. Three
+    exchanges total (doc, digest, doc), each linear in corpus word count;
+    the final groupBy reuses the coverage window's doc partitioning.
+
+    At 100 TB this is the scalable form of the paper's suffix-array
+    pass: no global sort, no join, gram keys shuffle as fixed 32-byte
+    digests, and per-doc state is bounded by document length."""
+    w = F.split(F.trim(F.col(text_col)), " ")
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(w).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.when(
+        F.lead("word", n - 1).over(by_doc).isNotNull(),
+        F.concat_ws(
+            " ", F.col("word"),
+            *[F.lead("word", k).over(by_doc) for k in range(1, n)]),
+    )
+    keyed = rows.select(
+        "doc_id", "pos", "word",
+        F.coalesce(
+            F.unhex(F.sha2(gram, 256)),
+            # unique surrogate: gram-less rows each form their own
+            # single-row count partition instead of one NULL-key giant
+            F.unhex(F.sha2(F.concat_ws(
+                ":", F.lit("exsub-tail"), F.col("doc_id"), F.col("pos")), 256)),
+        ).alias("gk"),
+        gram.isNotNull().alias("has_gram"),
+    )
+    occ = F.count(F.lit(1)).over(Window.partitionBy("gk"))
+    flagged = keyed.withColumn(
+        "dup_start",
+        (F.col("has_gram") & (occ >= min_count)).cast("int"),
+    )
+    covered = F.max("dup_start").over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(n - 1), 0)
+    )
+    cov = flagged.withColumn("covered", covered)
+    return (
+        cov.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("covered").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("covered") == 0,
+                               F.struct("pos", "word")))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_removed").cast("long").alias("n_removed_words"),
+            F.round(F.col("n_removed") / F.col("n_words"), 4).alias(
+                "removed_fraction"),
+            "kept_text",
+        )
+    )

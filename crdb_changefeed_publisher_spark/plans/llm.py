@@ -3150,3 +3150,58 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
     )
     return sketches.exact_heavy_hitters(words, "word", num=1, den=50)
+
+
+@query(
+    "doc_exact_substring_dedup",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    posw AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                      i -> {'pos': i, 'word': w[i],
+                            'gram': CASE WHEN i + 7 <= len(w)
+                                    THEN array_to_string(w[i:i+7], ' ')
+                                    END})) AS u
+        FROM words
+    ),
+    flat AS (
+        SELECT doc_id, u.pos AS pos, u.word AS word, u.gram AS gram
+        FROM posw
+    ),
+    occ AS (
+        SELECT *, count(*) OVER (PARTITION BY gram) AS freq FROM flat
+    ),
+    cov AS (
+        SELECT *, max(CASE WHEN gram IS NOT NULL AND freq >= 2
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+        FROM occ
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(covered) AS BIGINT) AS n_removed_words,
+           round(sum(covered) / count(*), 4) AS removed_fraction,
+           coalesce(array_to_string(list(word ORDER BY pos)
+                                    FILTER (WHERE covered = 0), ' '),
+                    '') AS kept_text
+    FROM cov GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="ExactSubstr DEDUPLICATION (Lee et al. 2022 §4.1): rewrite every "
+    "document with each duplicated >=8-word span excised — the removal "
+    "step duplicate_span_report only measures. A position is removed when "
+    "any 8-gram covering it occurs >= 2 times corpus-wide (all "
+    "occurrences, within-doc repeats included); overlapping runs merge "
+    "into maximal spans via per-position coverage. kept_text is "
+    "value-compared, so the excision itself is oracle-exact. One lead-"
+    "window gram build, one count window over 32-byte digests (surrogate "
+    "keys keep gram-less tail rows out of a NULL-key skew partition), one "
+    "coverage window, one per-doc rebuild "
+    "(operators/text.py::exact_substring_excise).",
+)
+def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.exact_substring_excise(load_table(spark, sf_dir, "documents"))

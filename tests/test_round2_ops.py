@@ -1010,3 +1010,38 @@ def test_duplicate_span_report_handcrafted(spark):
     assert out[3].n_dup_grams == 0 and out[3].dup_fraction == 0.0
     # doc 4 mirrors doc 1
     assert out[4].n_dup_grams == 7 and out[4].mostly_duplicated
+
+
+def test_exact_substring_excise_handcrafted(spark):
+    """Hand-checked ExactSubstr excision semantics (n=3):
+    - docs 1/2 share the 5-word run "the quick brown fox jumps": the
+      three shared 3-grams' coverages MERGE into one maximal excised
+      span in each doc, wherever the run sits;
+    - doc 3 shares nothing -> kept verbatim;
+    - doc 4 repeats a 3-gram WITHIN itself -> both occurrences excised
+      (all corpus occurrences count, not distinct docs);
+    - doc 5 is shorter than n -> no grams, kept verbatim."""
+    from crdb_changefeed_publisher_spark.operators.text import exact_substring_excise
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog"),
+        (2, "once upon the quick brown fox jumps again ok"),
+        (3, "completely different text with no overlap at all"),
+        (4, "x y repeat me now and repeat me now z"),
+        (5, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in exact_substring_excise(docs, n=3).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].kept_text == "over a lazy dog"
+    assert (out[1].n_words, out[1].n_removed_words) == (9, 5)
+    assert out[1].removed_fraction == round(5 / 9, 4)
+    assert out[2].kept_text == "once upon again ok"
+    assert (out[2].n_words, out[2].n_removed_words) == (9, 5)
+    assert out[3].kept_text == "completely different text with no overlap at all"
+    assert out[3].n_removed_words == 0 and out[3].removed_fraction == 0.0
+    assert out[4].kept_text == "x y and z"
+    assert (out[4].n_words, out[4].n_removed_words) == (10, 6)
+    assert out[5].kept_text == "too short"
+    assert out[5].n_removed_words == 0
