@@ -596,3 +596,97 @@ def split_leakage_report(
         hi.alias("split_b"),
         "est_jaccard",
     ).orderBy("doc_a", "doc_b")
+
+
+def dsir_importance_weights(
+    pool: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    scale_bits: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score every
+    candidate document in `pool` by how much its hashed word-bigram bag
+    resembles the `target` corpus relative to the pool itself — the
+    select-from-the-crawl-what-looks-like-the-curated-set primitive.
+
+    Integer-exact variant of the paper's weights: per hashed bucket b,
+    affinity s_b = ((ct_b + 1) << scale_bits) DIV (cp_b + 1) (add-one
+    smoothing; ct/cp are target/pool bigram OCCURRENCE counts), and a
+    document's score is the integer mean of s_b over its own bigram
+    occurrences. 2^scale_bits is the neutral ratio 1.0; documents with no
+    bigram features (fewer than 2 words) score exactly neutral. The
+    paper's log-likelihood-ratio weights are float sums whose value is
+    order- and libm-dependent; the ratio-mean keeps the ranking monotone
+    in the same evidence (over-represented-in-target buckets raise it,
+    under-represented lower it) while every score is reproducible
+    bit-for-bit by a SQL oracle — the repo's integer-dial convention.
+
+    Shape at 100 TB: one shingle pass per side, two partial-agg count
+    shuffles that REDUCE to n_buckets rows each, a broadcast of the KB
+    weight table onto the pool's gram stream, one per-doc aggregate. No
+    training, no iteration, no join wider than the broadcast.
+
+    Output: (doc_id, n_bigrams, score) for EVERY pool document.
+    """
+    from crdb_changefeed_publisher_spark.functions import phash
+    from crdb_changefeed_publisher_spark.operators.dedup import shingle_rows
+
+    neutral = 1 << scale_bits
+    tg = shingle_rows(target, text_col, id_col, n=2).select(
+        (phash.poly_hash(F.col("shingle")) % n_buckets).cast("int").alias("bucket")
+    )
+    pg = shingle_rows(pool, text_col, id_col, n=2).select(
+        "doc_id",
+        (phash.poly_hash(F.col("shingle")) % n_buckets).cast("int").alias("bucket"),
+    )
+    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    pc = pg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
+    wt = pc.join(tc, "bucket", "left").selectExpr(
+        "bucket",
+        f"((coalesce(ct, CAST(0 AS BIGINT)) + 1) * {neutral}) div (cp + 1) AS s",
+    )
+    scored = (
+        pg.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("s").alias("sum_s"))
+        .selectExpr("doc_id", "n_bigrams", "sum_s div n_bigrams AS score")
+    )
+    return (
+        pool.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("score"), F.lit(neutral)).cast("long").alias("score"),
+        )
+    )
+
+
+def dsir_resample_k(
+    pool: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 1024,
+    scale_bits: int = 20,
+    seed: str = "dsir-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection end to end: importance weights, then an exact-k
+    weighted sample WITHOUT replacement via the Efraimidis-Spirakis race
+    (`weighted_sample_k` — the deterministic stand-in for the paper's
+    Gumbel-top-k, which is the same algorithm family: seeded noise on a
+    monotone transform of the weight, top-k wins). Weight = score + 1 so
+    a zero score still races. Output: (doc_id, n_bigrams, score,
+    priority), the k selected documents."""
+    wts = dsir_importance_weights(
+        pool, target, n_buckets=n_buckets, scale_bits=scale_bits,
+        text_col=text_col, id_col=id_col,
+    )
+    return weighted_sample_k(
+        wts, k=k, weight=(F.col("score") + 1).cast("double"),
+        seed=seed, id_col="doc_id",
+    )

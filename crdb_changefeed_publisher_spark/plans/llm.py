@@ -3205,3 +3205,65 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.exact_substring_excise(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_dsir_sample",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH tgt AS (SELECT text FROM documents WHERE lang = 'en'),
+    pool AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+    tg AS (
+        SELECT ({_poly_hash_sql('g')}) % 1024 AS bucket FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS g
+            FROM (SELECT string_split(trim(text), ' ') AS w FROM tgt))
+    ),
+    tc AS (SELECT bucket, count(*) AS ct FROM tg GROUP BY 1),
+    pg AS (
+        SELECT doc_id, ({_poly_hash_sql('g')}) % 1024 AS bucket FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i+1])) AS g
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM pool))
+    ),
+    pc AS (SELECT bucket, count(*) AS cp FROM pg GROUP BY 1),
+    wt AS (SELECT pc.bucket AS bucket,
+                  ((coalesce(tc.ct, 0) + 1) * 1048576) // (pc.cp + 1) AS s
+           FROM pc LEFT JOIN tc USING (bucket)),
+    ds AS (SELECT doc_id, count(*) AS n_bigrams, sum(s) // count(*) AS score
+           FROM pg JOIN wt USING (bucket) GROUP BY doc_id),
+    allp AS (SELECT p.doc_id,
+                    coalesce(ds.n_bigrams, 0) AS n_bigrams,
+                    coalesce(ds.score, 1048576) AS score
+             FROM pool p LEFT JOIN ds USING (doc_id)),
+    seeded AS (SELECT *, 'dsir-v1:' || CAST(doc_id AS VARCHAR) AS s2 FROM allp),
+    pri AS (
+        SELECT doc_id, n_bigrams, score,
+               round(-ln(((({_seeded_hash_fold('s2')}) // 256) + 0.5)
+                         / {float(2**52)!r})
+                     / (score + 1), 10) AS priority
+        FROM seeded)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(score AS BIGINT) AS score, priority
+    FROM pri ORDER BY priority, doc_id LIMIT 200
+    """,
+    doc="DSIR data selection (Xie et al. 2023): pick from the raw pool "
+    "(non-English docs) the 200 documents whose hashed word-bigram bag "
+    "most resembles the English target corpus — integer-exact bucket "
+    "affinities ((ct+1)<<20 div (cp+1), add-one smoothing, 1024 buckets "
+    "of the portable poly hash), per-doc integer-mean score, then the "
+    "seeded Efraimidis-Spirakis race with weight = score + 1 (the "
+    "deterministic Gumbel-top-k analog). Two KB-sized bucket aggs + one "
+    "broadcast + one per-doc agg; featureless docs score exactly neutral "
+    "(operators/curate.py::dsir_resample_k).",
+)
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate.dsir_resample_k(
+        docs.filter(F.col("lang") != "en"),
+        docs.filter(F.col("lang") == "en"),
+        k=200,
+    )
+    return out.select("doc_id", "n_bigrams", "score", "priority")

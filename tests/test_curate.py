@@ -385,3 +385,38 @@ def test_split_leakage_report_semantics(spark):
         assert r.split_a <= r.split_b
         assert (r.split_a, r.split_b) != ("train", "train")
     assert {r.est_jaccard for r in out} == {0.8, 1.0}
+
+
+def test_dsir_weights_discriminate_handcrafted(spark):
+    """Planted DSIR semantics (the fixture's lang column is a tag over one
+    shared vocabulary, so the spec verifies exactness — THIS corpus has
+    real distributional structure): bigrams shared with the target score
+    above neutral, bigrams alien to it below, featureless docs exactly
+    neutral, and the race returns a deterministic exact-k set."""
+    from crdb_changefeed_publisher_spark.operators.curate import (
+        dsir_importance_weights,
+        dsir_resample_k,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat with the cat") for i in range(3)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),        # target-like
+            (2, "quantum flux torsion manifold solver"),  # alien
+            (3, "hi"),                            # featureless (1 word)
+        ],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r for r in dsir_importance_weights(pool, target).collect()}
+    neutral = 1 << 20
+    assert w[3].n_bigrams == 0 and w[3].score == neutral
+    assert w[1].score > neutral, w[1]
+    assert w[2].score < neutral, w[2]
+    assert w[1].score > w[3].score > w[2].score
+
+    got1 = sorted(r.doc_id for r in dsir_resample_k(pool, target, k=2).collect())
+    got2 = sorted(r.doc_id for r in dsir_resample_k(pool, target, k=2).collect())
+    assert len(got1) == 2 and got1 == got2  # exact-k, rerun-identical
