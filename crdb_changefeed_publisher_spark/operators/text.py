@@ -817,6 +817,24 @@ def exact_substring_excise(
     At 100 TB this is the scalable form of the paper's suffix-array
     pass: no global sort, no join, gram keys shuffle as fixed 32-byte
     digests, and per-doc state is bounded by document length."""
+    keyed = _positional_grams(docs, n, text_col, id_col)
+    occ = F.count(F.lit(1)).over(Window.partitionBy("gk"))
+    flagged = keyed.withColumn(
+        "dup_start",
+        (F.col("has_gram") & (occ >= min_count)).cast("int"),
+    )
+    return _excise_covered(flagged, n)
+
+
+def _positional_grams(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, pos, word, gk, has_gram): every word position with the
+    32-byte sha2 digest of the n-gram STARTING there. Tail positions
+    that start no gram get a per-row surrogate digest, so a downstream
+    count window or join key can never concentrate the (n-1)-per-doc
+    gram-less rows into one NULL-key skew partition. Shared base of the
+    excision family (exact_substring_excise / contaminated_span_excise)."""
     w = F.split(F.trim(F.col(text_col)), " ")
     rows = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -829,22 +847,23 @@ def exact_substring_excise(
             " ", F.col("word"),
             *[F.lead("word", k).over(by_doc) for k in range(1, n)]),
     )
-    keyed = rows.select(
+    return rows.select(
         "doc_id", "pos", "word",
         F.coalesce(
             F.unhex(F.sha2(gram, 256)),
-            # unique surrogate: gram-less rows each form their own
-            # single-row count partition instead of one NULL-key giant
             F.unhex(F.sha2(F.concat_ws(
                 ":", F.lit("exsub-tail"), F.col("doc_id"), F.col("pos")), 256)),
         ).alias("gk"),
         gram.isNotNull().alias("has_gram"),
     )
-    occ = F.count(F.lit(1)).over(Window.partitionBy("gk"))
-    flagged = keyed.withColumn(
-        "dup_start",
-        (F.col("has_gram") & (occ >= min_count)).cast("int"),
-    )
+
+
+def _excise_covered(flagged: DataFrame, n: int) -> DataFrame:
+    """Coverage + rebuild shared by the excision family: input rows
+    (doc_id, pos, word, dup_start int) where dup_start marks positions
+    STARTING a span to remove; a position is excised when any of the
+    trailing n-1 starts (or its own) fired. One doc-keyed window; the
+    final groupBy reuses its partitioning."""
     covered = F.max("dup_start").over(
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(n - 1), 0)
     )
@@ -873,3 +892,51 @@ def exact_substring_excise(
             "kept_text",
         )
     )
+
+
+def contaminated_span_excise(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Decontamination by EXCISION: remove from each training document
+    every >= n-word span that overlaps the evaluation `benchmark` corpus,
+    instead of dropping the whole document (`benchmark_contamination` is
+    the flag-and-drop sibling; real pipelines scrub the passage and keep
+    the rest — the document is data, only the leaked span is poison).
+    Coverage semantics are exactly exact_substring_excise's: a position
+    is excised when ANY n-gram covering it appears in the benchmark;
+    overlapping leaked runs merge into maximal spans. Same output
+    contract: (doc_id, n_words, n_removed_words, removed_fraction,
+    kept_text), every document survives.
+
+    This is also the INCREMENTAL posture: `benchmark` can be any
+    materialized gram source — an eval suite, yesterday's corpus gram
+    index — so new shards are scrubbed against a persisted set without
+    re-scanning the corpus (the dedup_incremental pattern).
+
+    Plan: benchmark grams reduce to DISTINCT 32-byte digests (MB-scale
+    for real eval suites) and BROADCAST onto the training corpus's
+    positional gram stream — the scan-sized side never shuffles at all
+    (pass broadcast_benchmark=False for a giant span set and let AQE
+    pick the join). Then the shared coverage window + per-doc rebuild."""
+    from crdb_changefeed_publisher_spark.operators.dedup import shingle_rows
+
+    bench = (
+        shingle_rows(benchmark, text_col, id_col, n=n)
+        .select(F.unhex(F.sha2(F.col("shingle"), 256)).alias("gk"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    keyed = _positional_grams(docs, n, text_col, id_col)
+    flagged = keyed.join(bench, "gk", "left").select(
+        "doc_id", "pos", "word",
+        (F.col("has_gram") & F.col("_hit").isNotNull()).cast("int").alias(
+            "dup_start"),
+    )
+    return _excise_covered(flagged, n)

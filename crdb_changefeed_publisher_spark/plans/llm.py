@@ -3267,3 +3267,72 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=200,
     )
     return out.select("doc_id", "n_bigrams", "score", "priority")
+
+
+@query(
+    "doc_decontaminate_excise",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle="""
+    WITH bwords AS (
+        SELECT string_split(trim(text), ' ') AS w FROM documents
+        WHERE doc_id % 97 = 0
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(list_transform(
+                   range(1, greatest(len(w) - 7, 0) + 1),
+                   i -> array_to_string(w[i:i+7], ' '))) AS g
+        FROM bwords
+    ),
+    words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        WHERE doc_id % 97 <> 0
+    ),
+    posw AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                      i -> {'pos': i, 'word': w[i],
+                            'gram': CASE WHEN i + 7 <= len(w)
+                                    THEN array_to_string(w[i:i+7], ' ')
+                                    END})) AS u
+        FROM words
+    ),
+    flat AS (
+        SELECT doc_id, u.pos AS pos, u.word AS word, u.gram AS gram
+        FROM posw
+    ),
+    hit AS (
+        SELECT flat.*, CASE WHEN b.g IS NULL THEN 0 ELSE 1 END AS dup_start
+        FROM flat LEFT JOIN bench b ON flat.gram = b.g
+    ),
+    cov AS (
+        SELECT *, max(dup_start)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+        FROM hit
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(covered) AS BIGINT) AS n_removed_words,
+           round(sum(covered) / count(*), 4) AS removed_fraction,
+           coalesce(array_to_string(list(word ORDER BY pos)
+                                    FILTER (WHERE covered = 0), ' '),
+                    '') AS kept_text
+    FROM cov GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Decontamination by EXCISION: scrub from every training document "
+    "each >= 8-word span overlapping the eval benchmark (the doc_id % 97 "
+    "holdout, the doc_decontamination convention) and KEEP the rest — "
+    "real pipelines remove the leaked passage, not the document; the "
+    "excised kept_text is value-compared. Benchmark grams reduce to "
+    "distinct 32-byte digests and BROADCAST onto the corpus's positional "
+    "gram stream (the scan-sized side never shuffles for the probe), "
+    "then the shared coverage window + per-doc rebuild. Doubles as the "
+    "incremental scrub: the gram source can be any persisted index "
+    "(operators/text.py::contaminated_span_excise).",
+)
+def doc_decontaminate_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.contaminated_span_excise(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )

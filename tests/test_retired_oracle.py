@@ -60,6 +60,7 @@ def test_retired_set_is_the_expected_one():
         "doc_bm25_search",
         "doc_boilerplate_report",
         "doc_budget_selection",
+        "doc_decontaminate_excise",
         "doc_dsir_sample",
         "doc_exact_substring_dedup",
         "doc_fuzzy_linkage_exact",

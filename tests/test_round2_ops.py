@@ -1045,3 +1045,29 @@ def test_exact_substring_excise_handcrafted(spark):
     assert (out[4].n_words, out[4].n_removed_words) == (10, 6)
     assert out[5].kept_text == "too short"
     assert out[5].n_removed_words == 0
+
+
+def test_contaminated_span_excise_handcrafted(spark):
+    """Passage-scrub semantics (n=3): only benchmark-overlapping runs are
+    removed; corpus-internal duplication is NOT this operator's business
+    (docs 2/3 share a run absent from the benchmark — both keep it)."""
+    from crdb_changefeed_publisher_spark.operators.text import contaminated_span_excise
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words the quick brown fox outro tail"),
+            (2, "shared internal run here nothing leaked"),
+            (3, "also shared internal run here but clean"),
+            (4, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in contaminated_span_excise(docs, bench, n=3).collect()}
+    assert out[1].kept_text == "intro words outro tail"
+    assert (out[1].n_words, out[1].n_removed_words) == (8, 4)
+    assert out[2].kept_text == "shared internal run here nothing leaked"
+    assert out[2].n_removed_words == 0
+    assert out[3].n_removed_words == 0
+    assert out[4].kept_text == "hi" and out[4].n_removed_words == 0
