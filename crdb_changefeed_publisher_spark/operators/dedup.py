@@ -882,6 +882,7 @@ def simhash_portable_pairs(
     max_hamming: int = 8,
     n_chunks: int = 2,
     chunk_bits: int = 15,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by portable 30-bit SimHash: block on each of the
     `n_chunks` `chunk_bits`-bit chunks (pigeonhole candidate generation),

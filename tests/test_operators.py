@@ -1179,6 +1179,8 @@ def test_block_candidate_guard_refuses_saturated_corpus(spark):
         ).collect()
     with pytest.raises(ValueError, match="saturated"):
         dedup.simhash_near_dup_degrees(docs, candidate_budget=10).collect()
+    with pytest.raises(ValueError, match="saturated"):
+        dedup.simhash_portable_pairs(docs, candidate_budget=10).collect()
     # an untight budget lets the same corpus through unchanged
     out = dedup.simhash_near_dup_degrees(docs, candidate_budget=10_000)
     assert out.count() == 120  # all near-identical: every doc has a neighbor
