@@ -276,6 +276,39 @@ def block_candidate_guard(
         )
 
 
+def block_candidate_guard_bipartite(
+    a: DataFrame, b: DataFrame, key_cols: list[str], n_items: int,
+    budget_per_item: int, what: str,
+) -> None:
+    """`block_candidate_guard` for BIPARTITE blocked joins (index side x
+    probe side on a shared block key, e.g. PassJoin's (l, slot, seg)):
+    projected candidate rows = sum over keys of cnt_a * cnt_b. Costs one
+    count-agg per side plus a join of the two count frames on the same
+    key the candidate join would use — cheaper than the join it guards
+    (ids never move, only counts). Raises with the measured numbers and
+    the same escape paths when the per-item budget is exceeded."""
+    ca = a.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_ca"))
+    cb = b.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_cb"))
+    row = ca.join(cb, key_cols).agg(
+        F.sum(F.col("_ca") * F.col("_cb")).alias("cand"),
+        F.max(F.col("_ca") * F.col("_cb")).alias("max_key"),
+        F.count(F.lit(1)).alias("n_keys"),
+    ).first()
+    cand = int(row.cand or 0)
+    if cand > budget_per_item * n_items:
+        raise ValueError(
+            f"{what}: blocked candidate join is saturated — {cand:,} "
+            f"projected candidate rows over {n_items:,} items "
+            f"(= {cand // max(n_items, 1):,}/item, budget "
+            f"{budget_per_item}/item; {row.n_keys:,} shared block keys, "
+            f"largest key contributes {row.max_key:,}). Block populations "
+            "are growing with the corpus, so cost is quadratic from here. "
+            "Tighten the qualifying threshold, use a coarser screen first "
+            "(prefix-blocked fuzzy_pairs), or sample — see docs/SCALE.md "
+            "'Fifth decade'."
+        )
+
+
 def _minhash_signatures(shingle_df: DataFrame, num_hashes: int) -> DataFrame:
     """(doc_id, shingle) rows -> (doc_id, sig: array<long>[k]).
 

@@ -154,6 +154,7 @@ def fuzzy_pairs_passjoin(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_dist: int = 4,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """All (doc_a < doc_b, dist) pairs with normalized edit distance
     <= max_dist — EXACT RECALL, no blocking escape (the PassJoin upgrade
@@ -208,9 +209,22 @@ def fuzzy_pairs_passjoin(
         )
         .withColumn("s0", F.floor(slot * F.col("l") / (k + 1)).cast("int"))
         .withColumn("s1", F.floor((slot + 1) * F.col("l") / (k + 1)).cast("int"))
+        # ids + an 8-byte key only past this point (the srp_lsh r1
+        # ids-only lesson, twice over): carrying ti through the 5x slot
+        # explode is pure bloat — the verify stage re-joins texts by id
+        # on the DEDUPED pairs — and the raw seg substring (~len/(k+1)
+        # chars) as the join key made the sf10 shuffle sort ~7 GB of
+        # string keys (measured: the candidate join was 238 of 280 s).
+        # xxhash64(l, slot, seg) folds the whole composite key into one
+        # long; a hash collision can only ADD a candidate pair, and every
+        # candidate is verified by the exact banded DP, so the answer is
+        # unchanged — engine-native hashing is fine for keys that never
+        # surface (the dedup_minhash_lsh precedent).
         .select(
-            "doc_i", "ti", "l", "slot",
-            F.expr("substring(ti, s0 + 1, s1 - s0)").alias("seg"),
+            "doc_i",
+            F.xxhash64(
+                "l", "slot", F.expr("substring(ti, s0 + 1, s1 - s0)")
+            ).alias("segk"),
         )
     )
     # probe: for each candidate indexed length l and slot, the delta
@@ -247,13 +261,31 @@ def fuzzy_pairs_passjoin(
         )
         .withColumn("p0", F.col("s0") + F.col("delta"))
         .filter((F.col("p0") >= 0) & (F.col("p0") <= F.col("m") - F.col("seg_len")))
+        # ids + 8-byte key only (see idx): tp replicated through the
+        # ~125x (l, slot, delta) fan-out dominated the join shuffle
         .select(
-            "doc_p", "tp", "m", "l", "slot",
-            F.expr("substring(tp, p0 + 1, seg_len)").alias("seg"),
+            "doc_p",
+            F.xxhash64(
+                "l", "slot", F.expr("substring(tp, p0 + 1, seg_len)")
+            ).alias("segk"),
         )
     )
+    if candidate_budget is not None:
+        # measured saturation guard (r9 sf10: the fixture's 31-word
+        # vocabulary saturates the (l, slot, seg) key space at 500k docs
+        # — 24.5x/decade; see docs/SCALE.md 'Fifth decade')
+        from crdb_changefeed_publisher_spark.operators.dedup import (
+            block_candidate_guard_bipartite,
+        )
+
+        block_candidate_guard_bipartite(
+            idx.select("segk"),
+            probe.select("segk"),
+            ["segk"], docs.count(), candidate_budget,
+            "fuzzy_pairs_passjoin",
+        )
     cand = (
-        idx.join(probe, ["l", "slot", "seg"])
+        idx.join(probe, ["segk"])
         .filter(F.col("doc_i") != F.col("doc_p"))
         .select(
             F.least("doc_i", "doc_p").alias("doc_a"),
@@ -264,8 +296,17 @@ def fuzzy_pairs_passjoin(
     # short stratum: strings under k+1 chars pair only within the length
     # band, i.e. with strings of length <= 2k — constant-key join over a
     # (for prose) tiny set, exactness needs no pigeonhole
+    # EXPLICIT broadcast of the short side: without the hint this
+    # inequality-only join is BNLJ only while a side fits the 10 MB
+    # auto-broadcast estimate — one decade past that Spark silently
+    # degrades it to a CartesianProduct over partition PAIRS, each pair
+    # re-evaluating the normalize scan (measured at sf10: a ~0-row short
+    # stratum cost 196 cartesian tasks and minutes of wall). The short
+    # side is the bounded-for-prose side by construction (docstring).
     short_cand = (
-        short_t.select(F.col("id").alias("doc_a"), F.col("len").alias("la"))
+        F.broadcast(
+            short_t.select(F.col("id").alias("doc_a"), F.col("len").alias("la"))
+        )
         .join(
             t.filter(F.col("len") <= 2 * k).select(
                 F.col("id").alias("doc_b"), F.col("len").alias("lb")

@@ -1184,3 +1184,18 @@ def test_block_candidate_guard_refuses_saturated_corpus(spark):
     # an untight budget lets the same corpus through unchanged
     out = dedup.simhash_near_dup_degrees(docs, candidate_budget=10_000)
     assert out.count() == 120  # all near-identical: every doc has a neighbor
+
+
+def test_bipartite_guard_refuses_saturated_passjoin(spark):
+    """block_candidate_guard_bipartite on PassJoin's (l, slot, seg) key:
+    a corpus of identical strings shares every segment, so projected
+    candidates are quadratic and a tight budget must refuse; a generous
+    budget passes the same corpus through unchanged (all pairs ed=0)."""
+    from crdb_changefeed_publisher_spark.operators.linkage import fuzzy_pairs_passjoin
+
+    rows = [(i, "identical linkage key text for every row") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="saturated"):
+        fuzzy_pairs_passjoin(docs, candidate_budget=5).collect()
+    out = fuzzy_pairs_passjoin(docs, candidate_budget=10_000)
+    assert out.count() == 60 * 59 // 2  # every pair, ed = 0
