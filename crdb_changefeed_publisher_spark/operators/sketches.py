@@ -191,7 +191,11 @@ def hll_shard_overlap_matrix(
     b = per_shard.select(F.col("shard").alias("shard_b"), F.col("sketch").alias("sk_b"))
     est = lambda c: F.expr(f"cast(hll_sketch_estimate({c}) as long)")  # noqa: E731
     return (
-        a.join(b, F.col("shard_a") < F.col("shard_b"))
+        # explicit hint on the inequality-only pair join: b is
+        # shard-cardinality (KB of sketches) by construction, and an
+        # implicit BNLJ degrades to CartesianProduct past the size
+        # estimate (the passjoin sf10 lesson)
+        a.join(F.broadcast(b), F.col("shard_a") < F.col("shard_b"))
         .select(
             "shard_a",
             "shard_b",
