@@ -1671,3 +1671,41 @@ def test_streaming_quality_gate_into_table_sink(spark, sf_dir, tmp_path):
     # multiple micro-batches actually committed (the composition was
     # incremental, not one big batch)
     assert len(table_sink.table_history(root)) >= 2
+
+
+def test_streaming_decontamination_scrub_equals_batch(spark, sf_dir, tmp_path):
+    """Ingest-time passage scrubbing: contaminated_span_excise against a
+    STATIC benchmark gram set is per-document independent (coverage
+    depends only on the doc and the benchmark), so scrubbing each
+    micro-batch must equal the one-shot batch scrub row for row — the
+    property that makes it safe at ingest. (exact_substring_excise is
+    corpus-dependent and deliberately has no streaming form: a
+    micro-batch cannot see corpus-wide gram frequencies.)"""
+    from crdb_changefeed_publisher_spark.operators.text import contaminated_span_excise
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    pool = docs.filter(F.col("doc_id") % 97 != 0)
+
+    d = str(tmp_path / "pool")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    pool.select("doc_id", "text").repartition(2).write.parquet(d)
+
+    got = {}
+
+    def apply_batch(batch_df, batch_id):
+        for r in contaminated_span_excise(batch_df, bench).collect():
+            got[r.doc_id] = (r.n_words, r.n_removed_words, r.kept_text)
+
+    sdf = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = sdf.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    await_done(q)
+
+    want = {
+        r.doc_id: (r.n_words, r.n_removed_words, r.kept_text)
+        for r in contaminated_span_excise(pool, bench).collect()
+    }
+    assert got == want and len(want) > 0
+    assert any(v[1] > 0 for v in want.values())  # something actually scrubbed
