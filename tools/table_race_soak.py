@@ -143,9 +143,13 @@ def main() -> None:
     def _is_stale_scan(exc) -> bool:
         # a resolved-then-vacuumed file: the op re-reads the committed
         # state on retry (the same client contract as Delta after a
-        # too-eager VACUUM; --retention bounds how often this can fire)
+        # too-eager VACUUM; --retention bounds how often this can fire).
+        # Both spellings: the JVM scan raises FileNotFoundException, a
+        # pyarrow executor task (delete_where's DV reads) raises Python's
+        # FileNotFoundError.
         s = str(exc)
-        return "FileNotFoundException" in s or "does not exist" in s
+        return ("FileNotFoundException" in s or "FileNotFoundError" in s
+                or "does not exist" in s)
     zcol = F.expr(r"CAST(regexp_extract(key, '\\[(\\d+)\\]', 1) AS BIGINT)")
 
     def run_op(kind):
