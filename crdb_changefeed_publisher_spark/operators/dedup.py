@@ -941,7 +941,7 @@ def simhash_portable_pairs(
         )
         block_candidate_guard(
             pops, "pop", sig.count(), candidate_budget,
-            "simhash_near_dup_degrees",
+            "simhash_portable_pairs",
         )
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk"

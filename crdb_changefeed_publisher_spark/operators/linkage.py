@@ -155,6 +155,7 @@ def fuzzy_pairs_passjoin(
     text_col: str = "text",
     max_dist: int = 4,
     candidate_budget: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """All (doc_a < doc_b, dist) pairs with normalized edit distance
     <= max_dist — EXACT RECALL, no blocking escape (the PassJoin upgrade
@@ -278,10 +279,18 @@ def fuzzy_pairs_passjoin(
             block_candidate_guard_bipartite,
         )
 
+        # the guard's count-aggs and the candidate join both consume the
+        # full tokenize + O(k^3) explode + xxhash lineage of idx/probe;
+        # without a cut they evaluate it twice (r9 ADVICE). Lazy
+        # localCheckpoint: materialized by the guard, reused by the join.
+        idx = idx.localCheckpoint(eager=False)
+        probe = probe.localCheckpoint(eager=False)
         block_candidate_guard_bipartite(
             idx.select("segk"),
             probe.select("segk"),
-            ["segk"], docs.count(), candidate_budget,
+            ["segk"],
+            docs.count() if n_docs is None else n_docs,
+            candidate_budget,
             "fuzzy_pairs_passjoin",
         )
     cand = (

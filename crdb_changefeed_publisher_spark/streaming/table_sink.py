@@ -270,6 +270,16 @@ def write_batch(
          for r in manifest_rows),
         key=lambda d: d["file"],
     )
+    # re-check covers IMMEDIATELY before the manifest publish (r9 ADVICE
+    # TOCTOU): a compaction that commits + prunes while the Spark job
+    # above runs would otherwise let this replay resurrect a manifest for
+    # a batch the snapshot already covers — reads stay correct (snapshot
+    # supersedes), but the resurrected manifest points at files vacuum
+    # reclaims once high_water advances, so a later as_of_batch(N) /
+    # read_since through it hits FileNotFound. Skipping here orphans only
+    # this attempt's fresh data files, which vacuum reclaims by design.
+    if batch_id <= _latest_covers(root):
+        return 0
     _atomic_write_json(
         os.path.join(commits, f"batch-{batch_id:08d}.json"),
         {"batch_id": batch_id, "files": files},
@@ -1237,11 +1247,23 @@ def merge_upsert(
     os.makedirs(data, exist_ok=True)
     os.makedirs(_commits_dir(root), exist_ok=True)
 
-    # one aggregation pass for both counts (two separate jobs doubled the
-    # pre-merge planning latency on wide update sets — r8 verdict #3)
-    n_updates, n_keys = updates.agg(
-        F.count(F.lit(1)), F.count_distinct(F.col(key_col))
+    # one aggregation pass for all three counts (two separate jobs doubled
+    # the pre-merge planning latency on wide update sets — r8 verdict #3).
+    # count_distinct ignores NULL keys, so NULLs are counted explicitly
+    # and rejected with their own error (r9 ADVICE: a NULL-key update row
+    # previously failed the n_updates != n_keys guard with a misleading
+    # 'resolve duplicates' message)
+    n_updates, n_keys, n_null_keys = updates.agg(
+        F.count(F.lit(1)),
+        F.count_distinct(F.col(key_col)),
+        F.count_if(F.col(key_col).isNull()),
     ).first()
+    if n_null_keys:
+        raise ValueError(
+            f"updates carry {n_null_keys} row(s) with a NULL {key_col!r} "
+            "merge key: a NULL key matches no base row and no other "
+            "update; drop or key those rows upstream"
+        )
     if n_updates != n_keys:
         raise ValueError(
             f"updates carry {n_updates} rows over {n_keys} keys: resolve "

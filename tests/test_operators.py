@@ -1199,3 +1199,9 @@ def test_bipartite_guard_refuses_saturated_passjoin(spark):
         fuzzy_pairs_passjoin(docs, candidate_budget=5).collect()
     out = fuzzy_pairs_passjoin(docs, candidate_budget=10_000)
     assert out.count() == 60 * 59 // 2  # every pair, ed = 0
+    # a caller-threaded n_docs replaces the extra docs.count() scan and
+    # is honored by the guard arithmetic: budget*n_docs scales with it
+    with pytest.raises(ValueError, match="over 1 items"):
+        fuzzy_pairs_passjoin(docs, candidate_budget=5, n_docs=1).collect()
+    out = fuzzy_pairs_passjoin(docs, candidate_budget=5, n_docs=10**9)
+    assert out.count() == 60 * 59 // 2

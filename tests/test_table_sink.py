@@ -1052,10 +1052,17 @@ def test_merge_upsert_copy_on_write_targets_only_affected_files(spark, tmp_path)
     assert table_sink.read_committed(spark, root).count() == len(want) + 1
 
     # duplicate keys in updates must be refused (LWW is the caller's job)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="resolve"):
         table_sink.merge_upsert(
             spark, root,
             spark.createDataFrame([(1, 1), (1, 2)], "k long, v long"), "k")
+
+    # a NULL merge key gets its own error, not the misleading duplicate
+    # message (count_distinct ignores NULLs — r9 ADVICE)
+    with pytest.raises(ValueError, match="NULL 'k' merge key"):
+        table_sink.merge_upsert(
+            spark, root,
+            spark.createDataFrame([(None, 1), (9, 2)], "k long, v long"), "k")
 
 
 def test_merge_upsert_uses_blooms_on_unclustered_keys(spark, tmp_path):
@@ -1453,6 +1460,50 @@ def test_replay_of_snapshot_covered_batch_is_noop(spark, tmp_path):
     assert table_sink.write_batch(df.repartition(3), 1, root) == 0
     assert sorted(os.listdir(os.path.join(root, "data"))) == data_before
     assert sorted(os.listdir(os.path.join(root, "_commits"))) == commits_before
+    got = sorted(r.k for r in table_sink.read_committed(spark, root).collect())
+    assert got == list(range(300))
+
+
+def test_replay_racing_compaction_midwrite_skips_manifest(spark, tmp_path,
+                                                          monkeypatch):
+    """TOCTOU half of the superseded-replay check (r9 ADVICE): a
+    compaction that commits + prunes WHILE the replay's Spark write job
+    runs must not let the replay resurrect a batch manifest the new
+    snapshot already covers — the resurrected manifest would point at
+    files vacuum later reclaims, breaking as_of_batch/read_since through
+    it. write_batch re-checks covers immediately before the manifest
+    publish and returns 0; the replay attempt's fresh data files become
+    vacuum-reclaimable orphans."""
+    root = str(tmp_path / "tbl")
+    for b in range(3):
+        df = spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        table_sink.write_batch(df.coalesce(1), b, root)
+
+    # interleave: fire the compaction after write_batch's ENTRY covers
+    # check (plan time) but before its manifest publish (post-collect)
+    orig_pw = table_sink._part_writer
+    fired = {"done": False}
+
+    def racing_pw(*a, **kw):
+        fn = orig_pw(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            table_sink.compact_table(spark, root, target_bytes=1 << 30)
+        return fn
+
+    monkeypatch.setattr(table_sink, "_part_writer", racing_pw)
+    df = spark.range(100, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    assert table_sink.write_batch(df.coalesce(1), 1, root) == 0
+    monkeypatch.setattr(table_sink, "_part_writer", orig_pw)
+
+    commits = sorted(os.listdir(os.path.join(root, "_commits")))
+    assert "batch-00000001.json" not in commits  # pruned, NOT resurrected
+    got = sorted(r.k for r in table_sink.read_committed(spark, root).collect())
+    assert got == list(range(300))
+    # the replay's orphaned data files are reclaimed; reads stay exact
+    table_sink.vacuum(root, assume_quiesced=True)
     got = sorted(r.k for r in table_sink.read_committed(spark, root).collect())
     assert got == list(range(300))
 
