@@ -679,6 +679,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
+    retired=True,  # r10 swap round 7: covered by the ANN family
+    # (ivf/ivfpq/srp_lsh cell-local GEMMs) + dedup_semantic (the learned-
+    # cell semantic-dedup tier); DSIR selection promoted in trade
     oracle="""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1518,6 +1521,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_decontamination",
+    retired=True,  # r10 swap round 7: the flag-only gate is subsumed by
+    # doc_decontaminate_excise (same broadcast-probe core, rewrite output)
+    # + corpus_curation_report's contamination gate; excision promoted
     oracle="""
     WITH words AS (
         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
@@ -3154,7 +3160,9 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_exact_substring_dedup",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r10 swap round 7 PROMOTION: the REWRITE half of dedup — excision
+    # stays linear (output bounded by one row per doc) on the saturated
+    # sf10 corpus where the pair-join dedups hit their quadratic guard
     oracle="""
     WITH words AS (
         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
@@ -3209,7 +3217,8 @@ def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_dsir_sample",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r10 swap round 7 PROMOTION: data SELECTION — a family the registry
+    # lacked entirely (importance resampling toward a target corpus)
     oracle=f"""
     WITH tgt AS (SELECT text FROM documents WHERE lang = 'en'),
     pool AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),

@@ -91,6 +91,9 @@ COST_HINTS: dict[str, float] = {
     "bloom_semijoin_stats": 0.9,
     "cdc_schema_evolution": 1.0,
     "doc_fuzzy_linkage": 0.8,
+    # r10 swap round 7 promotions (hints from retired-harness timings)
+    "doc_exact_substring_dedup": 2.0,
+    "doc_dsir_sample": 1.2,
 }
 
 

@@ -54,6 +54,7 @@ def test_retired_set_is_the_expected_one():
         "conditional_aggs_orders",
         "date_funcs_orders",
         "dedup_components_altstar",
+        "dedup_embedding_cosine",
         "dedup_minhash_lsh",
         "dedup_quality_keeper",
         "dedup_semantic",
@@ -61,8 +62,7 @@ def test_retired_set_is_the_expected_one():
         "doc_boilerplate_report",
         "doc_budget_selection",
         "doc_decontaminate_excise",
-        "doc_dsir_sample",
-        "doc_exact_substring_dedup",
+        "doc_decontamination",
         "doc_fuzzy_linkage_exact",
         "doc_pii_scrub",
         "doc_quality_classifier",
