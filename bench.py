@@ -98,6 +98,38 @@ def pyworker_probe(spark) -> float:
     return min(once(), once())
 
 
+def weather_verdict(
+    steal_delta: int,
+    calibration_factor: float,
+    job_overhead_factor: float,
+    pyworker_factor: float,
+    loadavg_violation: bool,
+) -> list[str]:
+    """Names the probes that exceed their hot-window thresholds; a
+    non-empty result marks the whole record `weather_suspect` (r9 verdict
+    #1: the driver's 74.7 s record was pure machine weather — steal
+    23,727 jiffies, pyworker 1.71 — masquerading as a 1.8x regression the
+    judge had to adjudicate by re-run; a self-identifying record saves
+    that round trip).
+
+    Thresholds sit between the measured clean and contaminated windows:
+    clean runs recorded steal <= ~1,400 / job_overhead <= 1.86 /
+    pyworker <= 1.12 (r8, r9-judge re-run); the contaminated r9 window
+    recorded 23,727 / 2.54 / 1.71."""
+    reasons = []
+    if steal_delta > 5_000:
+        reasons.append(f"steal_jiffies_delta {steal_delta} > 5000")
+    if calibration_factor >= 1.5:
+        reasons.append(f"calibration_factor {calibration_factor} >= 1.5")
+    if job_overhead_factor >= 2.2:
+        reasons.append(f"job_overhead_factor {job_overhead_factor} >= 2.2")
+    if pyworker_factor >= 1.5:
+        reasons.append(f"pyworker_factor {pyworker_factor} >= 1.5")
+    if loadavg_violation:
+        reasons.append("loadavg stayed > 2.0 through the 5-minute quiet-start gate")
+    return reasons
+
+
 def read_steal_jiffies() -> int:
     """Cumulative CPU-steal jiffies from /proc/stat (0 if unavailable)."""
     try:
@@ -215,6 +247,13 @@ def main() -> None:
     # 1's 3 kB pretty-separated line overflowed it ("parsed": null in
     # BENCH_r01.json) — compact separators + 2-decimal times keep the full
     # line inside the capture window.
+    weather = weather_verdict(
+        steal_delta,
+        round(cal_best / CALIBRATION_IDLE_SEC, 2),
+        round(job_overhead / JOB_OVERHEAD_IDLE_SEC, 2),
+        round(pyworker / PYWORKER_IDLE_SEC, 2),
+        loadavg_violation,
+    )
     print(
         json.dumps(
             {
@@ -237,6 +276,11 @@ def main() -> None:
                 "steal_jiffies_delta": steal_delta,
                 "loadavg_before_after": [load_before, load_after],
                 **({"loadavg_violation": True} if loadavg_violation else {}),
+                **(
+                    {"weather_suspect": True, "weather_reasons": weather}
+                    if weather
+                    else {}
+                ),
                 **({"bucketed": True} if bucketed else {}),
             },
             separators=(",", ":"),

@@ -148,3 +148,23 @@ def test_lsh_sizing_rules_are_executable():
     assert banding_chunk_bits_for(10**9) == 16        # 64/4 tiling ceiling
     assert banding_chunk_bits_for(10**9, sig_bits=30, n_chunks=2) == 15
     assert banding_chunk_bits_for(10) == 4            # floor
+
+
+def test_bench_weather_verdict_thresholds():
+    """bench.py's weather_suspect flag (r9 verdict #1): the measured
+    clean windows (r8 driver run, r9 judge re-run) must read clean, the
+    measured r9 contaminated window (steal 23,727 / job_overhead 2.54 /
+    pyworker 1.71 — a 1.8x phantom 'regression') must trip on all three
+    probes, and the quiet-start-gate violation is a reason on its own."""
+    import bench
+
+    assert bench.weather_verdict(397, 1.07, 1.56, 0.90, False) == []
+    assert bench.weather_verdict(1352, 1.06, 1.86, 1.12, False) == []
+    reasons = bench.weather_verdict(23727, 1.07, 2.54, 1.71, False)
+    assert len(reasons) == 3
+    assert any("steal" in r for r in reasons)
+    assert any("job_overhead" in r for r in reasons)
+    assert any("pyworker" in r for r in reasons)
+    assert bench.weather_verdict(0, 1.0, 1.0, 1.0, True) == [
+        "loadavg stayed > 2.0 through the 5-minute quiet-start gate"
+    ]
