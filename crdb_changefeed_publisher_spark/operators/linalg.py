@@ -155,7 +155,7 @@ def _quantize_np(vals, scale: int) -> "np.ndarray":
     return np.floor(X * scale).astype(np.int64)
 
 
-KMEANS_K_CHOICES = tuple(1 << j for j in range(3, 11))  # 8 .. 1024
+KMEANS_K_CHOICES = tuple(1 << j for j in range(3, 14))  # 8 .. 8192
 
 
 def kmeans_k_for(n: int, cell_target: int = 250) -> int:
@@ -168,12 +168,14 @@ def kmeans_k_for(n: int, cell_target: int = 250) -> int:
     comparison (no float log2 boundary to flip between engines).
 
     SATURATION guard (the dedup_simhash convention, r8 verdict #1): past
-    the largest choice's capacity (1024 * cell_target = 256k vectors by
-    default) a silent clamp would quietly regress cells to n/1024 —
-    REFUSE instead, pointing at the fix (extend KMEANS_K_CHOICES; Lloyd
-    and the probe path are k-generic, only the dial's choice list and
-    its oracle twin, plans/llm.py::_kmeans_ctes's kdial CTE, need the
-    new entries)."""
+    the largest choice's capacity (8192 * cell_target = 2.048M vectors
+    by default — extended from 1024 in r10, with Lloyd + the probe path
+    proven k-generic by a value-exact k=2048 oracle twin at
+    cell_target=2) a silent clamp would quietly regress cell population
+    — REFUSE instead, pointing at the fix (extend KMEANS_K_CHOICES; the
+    oracle twin, plans/llm.py::_kmeans_ctes's kdial CTE, renders the
+    same choice list programmatically, and the pdial CTE's p-range
+    covers ceil-sqrt of the largest choice)."""
     for k in KMEANS_K_CHOICES:
         if k * cell_target >= n:
             return k

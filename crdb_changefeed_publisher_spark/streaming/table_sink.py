@@ -672,7 +672,7 @@ def optimize_zorder(
 
 def vacuum(
     root: str, assume_quiesced: bool = False, tmp_grace_secs: float = 600.0,
-    retention_secs: float = 0.0,
+    retention_secs: float = 60.0,
 ) -> list[str]:
     """Delete data files unreachable from the committed state: crashed-
     attempt orphans, tmp leftovers, and pre-compaction originals that a
@@ -688,13 +688,16 @@ def vacuum(
     to reclaim those too (e.g. the newest crashed attempt before its
     replay). Returns the deleted names.
 
-    `retention_secs` > 0 additionally spares ANY file younger than that,
-    committed or not — the Delta retention window: a reader that
-    resolved the committed state, then scanned after a maintenance op
-    superseded it, would otherwise race an eager vacuum into
-    FileNotFound. Size it to the longest query you expect against a
-    stale snapshot (readers can also just re-resolve and retry — the
-    documented client behavior either way)."""
+    `retention_secs` spares ANY file younger than that, committed or
+    not — the Delta retention window: a reader that resolved the
+    committed state, then scanned after a maintenance op superseded it,
+    would otherwise race an eager vacuum into FileNotFound. The DEFAULT
+    is 60 s (r9 verdict #2: with the old 0.0 default, plain readers
+    needed a FileNotFound retry classifier — Delta defaults to 7 days
+    for the same reason), sized to the longest query you expect against
+    a stale snapshot; pass retention_secs=0.0 for eager reclamation
+    only where no concurrent reader can exist (tests, quiesced
+    offline maintenance)."""
     import time
 
     data = _data_dir(root)

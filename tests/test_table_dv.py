@@ -125,7 +125,7 @@ def test_compaction_materializes_dvs_and_vacuum_reclaims(spark, tmp_path):
     got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
     want = {k: k * 10 for k in range(400) if not (150 <= k < 250)}
     assert got == want
-    gone = table_sink.vacuum(root, assume_quiesced=True)
+    gone = table_sink.vacuum(root, assume_quiesced=True, retention_secs=0.0)
     assert any(n.startswith("dv-") for n in gone)
     assert not any(
         n.startswith("dv-") for n in os.listdir(os.path.join(root, "data")))
@@ -184,9 +184,9 @@ def test_vacuum_writer_safe_spares_in_flight_dv(spark, tmp_path):
     pq.write_table(
         pa.table({"file": ["batch-00000000-part-00000.parquet"], "pos": [0]}),
         os.path.join(data, "dv-00000000-00000.parquet"))
-    gone = table_sink.vacuum(root)
+    gone = table_sink.vacuum(root, retention_secs=0.0)
     assert gone == []
-    gone = table_sink.vacuum(root, assume_quiesced=True)
+    gone = table_sink.vacuum(root, assume_quiesced=True, retention_secs=0.0)
     assert gone == ["dv-00000000-00000.parquet"]
 
 

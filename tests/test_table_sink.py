@@ -60,12 +60,12 @@ def test_crash_before_manifest_is_invisible_and_vacuumable(spark, sf_dir, tmp_pa
     # committed high-water mark, indistinguishable from a live writer's
     # mid-commit batch
     assert not any(
-        n.startswith("batch-00000001") for n in table_sink.vacuum(root)
+        n.startswith("batch-00000001") for n in table_sink.vacuum(root, retention_secs=0.0)
     )
     # with the writer known dead, the crashed attempt is reclaimable
     orphans = [
         n
-        for n in table_sink.vacuum(root, assume_quiesced=True)
+        for n in table_sink.vacuum(root, assume_quiesced=True, retention_secs=0.0)
         if n.startswith("batch-00000001")
     ]
     assert orphans  # the crashed attempt's files were reclaimed
@@ -149,7 +149,7 @@ def test_compaction_snapshot_preserves_rows_and_composes_with_appends(
 
     # vacuum reclaims the superseded pre-compaction originals, readers
     # unaffected
-    gone = table_sink.vacuum(root)
+    gone = table_sink.vacuum(root, retention_secs=0.0)
     assert any(n.startswith("batch-0000000") for n in gone)
     assert len(_rows(spark, root)) == len(before) + 50
 
@@ -180,14 +180,14 @@ def test_recompaction_with_no_new_batches_never_regresses_covers(
     assert s1["covers"] == 2
     s2 = table_sink.compact_table(spark, root, target_bytes=1 << 30)
     assert s2["generation"] == 1 and s2["covers"] == 2  # never regresses
-    table_sink.vacuum(root, assume_quiesced=True)
+    table_sink.vacuum(root, assume_quiesced=True, retention_secs=0.0)
     assert _rows(spark, root) == before  # no dups, no missing files
 
     # and a third, after one more append, covers the new batch
     table_sink.write_batch(ev.limit(10).repartition(1), 3, root)
     s3 = table_sink.compact_table(spark, root, target_bytes=1 << 30)
     assert s3["covers"] == 3
-    table_sink.vacuum(root, assume_quiesced=True)
+    table_sink.vacuum(root, assume_quiesced=True, retention_secs=0.0)
     assert len(_rows(spark, root)) == len(before) + 10
 
 
@@ -209,7 +209,7 @@ def test_vacuum_spares_in_flight_batch_and_fresh_tmp(spark, sf_dir, tmp_path):
     with open(tmp, "wb") as fh:
         fh.write(b"partial")
 
-    gone = table_sink.vacuum(root)
+    gone = table_sink.vacuum(root, retention_secs=0.0)
     assert gone == []  # both survive the writer-safe vacuum
     assert os.path.exists(tmp)
 
@@ -219,7 +219,7 @@ def test_vacuum_spares_in_flight_batch_and_fresh_tmp(spark, sf_dir, tmp_path):
 
     # an OLD tmp file (beyond the grace period) is reclaimable by default
     os.utime(tmp, (time.time() - 7200, time.time() - 7200))
-    assert os.path.basename(tmp) in table_sink.vacuum(root)
+    assert os.path.basename(tmp) in table_sink.vacuum(root, retention_secs=0.0)
 
 
 def test_snapshot_selection_parses_generation_as_int(tmp_path):
@@ -1189,7 +1189,7 @@ def test_history_op_kinds_and_vacuum_after_merge(spark, tmp_path):
     kinds = [h["kind"] for h in table_sink.table_history(root)]
     assert kinds.count("merge") == 1 and kinds.count("zorder") == 1
 
-    gone = table_sink.vacuum(root, assume_quiesced=True)
+    gone = table_sink.vacuum(root, assume_quiesced=True, retention_secs=0.0)
     # batch 0's original was rewritten by the merge; batch 1's file was
     # carried into the merge snapshot by name, then superseded by zorder
     assert any(n.startswith("batch-00000000") for n in gone)
@@ -1248,7 +1248,7 @@ def test_write_time_check_constraints_refuse_atomically(spark, tmp_path):
                                         ("tag", "isin", ["a", "b"])])
     assert table_sink.read_committed(spark, root).count() == 3
     # the refused attempts' orphans are reclaimable
-    table_sink.vacuum(root, assume_quiesced=True)
+    table_sink.vacuum(root, assume_quiesced=True, retention_secs=0.0)
     assert table_sink.read_committed(spark, root).count() == 3
 
 
@@ -1399,7 +1399,7 @@ def test_racing_maintainers_cas_no_row_lost_or_duplicated(
 
     # the losing attempt's outputs are unreachable orphans; vacuum
     # reclaims them and the table still reads exactly
-    table_sink.vacuum(root, assume_quiesced=True)
+    table_sink.vacuum(root, assume_quiesced=True, retention_secs=0.0)
     got = {r.k: r.v for r in table_sink.read_committed(spark, root).collect()}
     assert got == want
 
@@ -1464,6 +1464,41 @@ def test_replay_of_snapshot_covered_batch_is_noop(spark, tmp_path):
     assert got == list(range(300))
 
 
+def test_default_retention_shields_stale_reader_from_vacuum(spark, tmp_path):
+    """r9 verdict #2: with the old eager default (retention 0), a reader
+    that resolved the committed file list, then scanned after a
+    compaction superseded it, raced vacuum into FileNotFound and needed
+    a retry classifier. Under the 60 s DEFAULT retention window the
+    superseded originals are young, vacuum spares them, and the stale
+    scan succeeds with no retry. Backdating them past the window lets
+    the same plain vacuum reclaim them."""
+    import time
+
+    root = str(tmp_path / "tbl")
+    for b in range(3):
+        df = spark.range(b * 50, (b + 1) * 50).select(F.col("id").alias("k"))
+        table_sink.write_batch(df.coalesce(1), b, root)
+    stale_files = table_sink.committed_files(root)  # the reader resolves
+
+    table_sink.compact_table(spark, root, target_bytes=1 << 30)
+    assert table_sink.vacuum(root) == []  # default window spares everything
+    # the stale reader's scan of its resolved (now-superseded) list works
+    got = sorted(r.k for r in spark.read.parquet(*stale_files).collect())
+    assert got == list(range(150))
+
+    # age the originals past the window: plain vacuum reclaims the ones
+    # below the committed high water (batch 2 stays — writer-safety)
+    old = time.time() - 120
+    for p in stale_files:
+        os.utime(p, (old, old))
+    gone = set(table_sink.vacuum(root))
+    expect = {os.path.basename(p) for p in stale_files
+              if not os.path.basename(p).startswith("batch-00000002")}
+    assert expect <= gone
+    got = sorted(r.k for r in table_sink.read_committed(spark, root).collect())
+    assert got == list(range(150))
+
+
 def test_replay_racing_compaction_midwrite_skips_manifest(spark, tmp_path,
                                                           monkeypatch):
     """TOCTOU half of the superseded-replay check (r9 ADVICE): a
@@ -1503,7 +1538,7 @@ def test_replay_racing_compaction_midwrite_skips_manifest(spark, tmp_path,
     got = sorted(r.k for r in table_sink.read_committed(spark, root).collect())
     assert got == list(range(300))
     # the replay's orphaned data files are reclaimed; reads stay exact
-    table_sink.vacuum(root, assume_quiesced=True)
+    table_sink.vacuum(root, assume_quiesced=True, retention_secs=0.0)
     got = sorted(r.k for r in table_sink.read_committed(spark, root).collect())
     assert got == list(range(300))
 
@@ -1528,13 +1563,13 @@ def test_replay_never_overwrites_committed_bytes(spark, tmp_path):
         r.k for r in table_sink.read_committed(spark, root).collect()
     ) == list(range(100))
     # writer-safe vacuum spares both attempts at bid == high_water
-    assert table_sink.vacuum(root) == []
+    assert table_sink.vacuum(root, retention_secs=0.0) == []
     # a later commit advances high_water: the stale attempt-0 orphans
     # become reclaimable even writer-safely
     table_sink.write_batch(
         spark.range(100, 150).select(F.col("id").alias("k")).coalesce(1),
         1, root)
-    gone = set(table_sink.vacuum(root))
+    gone = set(table_sink.vacuum(root, retention_secs=0.0))
     assert gone == first
     assert sorted(
         r.k for r in table_sink.read_committed(spark, root).collect()

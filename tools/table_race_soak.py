@@ -19,9 +19,10 @@ What this exercises that the deterministic unit races cannot:
     writer-safe guard) and while maintenance attempts are in flight
     (the dv-/compact- gen guard);
   * a concurrent READER resolving the committed state mid-maintenance —
-    stale-snapshot scans racing vacuum re-resolve and retry (the
-    documented client behavior; `--retention` sizes the vacuum grace
-    window instead).
+    under the engine-default retention window (60 s) stale-snapshot
+    scans NEVER race vacuum: the soak runs the reader with no retry
+    classifier and asserts zero retries (r9 verdict #2). An explicit
+    `--retention` override exercises the old race + retry contract.
 
 End-state verification is against the feed itself, exactly like
 tools/table_soak.py: committed log == feed changes minus the retention
@@ -60,12 +61,16 @@ def main() -> None:
     ap.add_argument("--maintainers", type=int, default=2)
     ap.add_argument("--no-kill", action="store_true",
                     help="skip the mid-run writer kill+resume")
-    ap.add_argument("--retention", type=float, default=10.0,
-                    help="vacuum retention_secs — files younger than this "
-                         "survive writer-safe vacuum, bounding the "
-                         "stale-resolved-state race (Delta's retention "
-                         "window). 0 = eager: every stale scan races "
-                         "vacuum and must retry")
+    ap.add_argument("--retention", type=float, default=None,
+                    help="vacuum retention_secs override — files younger "
+                         "than this survive writer-safe vacuum, bounding "
+                         "the stale-resolved-state race (Delta's retention "
+                         "window). Default None = the engine default "
+                         "(60 s), under which plain readers need NO retry "
+                         "classifier and the soak asserts zero reader "
+                         "retries + zero maintainer stale-scan retries. "
+                         "Pass an explicit small value (or 0 = eager) to "
+                         "exercise the race + retry contract instead")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -138,7 +143,12 @@ def main() -> None:
     stats_lock = threading.Lock()
     stats = {"conflicts": 0, "stale_scan_retries": 0,
              "ops": {"compact": 0, "delete": 0, "zorder": 0, "vacuum": 0},
-             "reader_retries": 0, "reader_reads": 0, "maintainer_errors": []}
+             "reader_retries": 0, "reader_reads": 0, "maintainer_errors": [],
+             "reader_errors": []}
+    # under the engine-default retention window readers and maintainers
+    # must never see a vacuumed file at all — FileNotFound is then a BUG,
+    # not a retryable race (r9 verdict #2)
+    default_retention = args.retention is None
 
     def _is_stale_scan(exc) -> bool:
         # a resolved-then-vacuumed file: the op re-reads the committed
@@ -171,7 +181,7 @@ def main() -> None:
                 with stats_lock:
                     stats["conflicts"] += 1
             except Exception as exc:  # noqa: BLE001
-                if not _is_stale_scan(exc):
+                if default_retention or not _is_stale_scan(exc):
                     raise
                 with stats_lock:
                     stats["stale_scan_retries"] += 1
@@ -190,14 +200,18 @@ def main() -> None:
                 if table_sink.read_committed(spark, root) is None:
                     continue  # nothing committed yet
             except Exception as exc:  # noqa: BLE001
-                if not _is_stale_scan(exc):
+                if default_retention or not _is_stale_scan(exc):
                     raise
                 with stats_lock:
                     stats["stale_scan_retries"] += 1
                 continue
             try:
                 run_op(kinds[i % len(kinds)])
-                gone = table_sink.vacuum(root, retention_secs=args.retention)
+                gone = table_sink.vacuum(
+                    root,
+                    **({} if default_retention
+                       else {"retention_secs": args.retention}),
+                )
                 with stats_lock:
                     stats["ops"]["vacuum"] += len(gone)
             except Exception as exc:  # noqa: BLE001 — soak: record, don't die
@@ -206,9 +220,12 @@ def main() -> None:
             i += 1
 
     def reader():
-        # a client holding possibly-stale state: on any scan failure
-        # (vacuum won the race) re-resolve and retry — never wrong, at
-        # worst late
+        # a PLAIN client, no retry classifier: under the engine-default
+        # retention window a resolved-then-vacuumed scan must be
+        # impossible, so any failure is recorded as a reader ERROR and
+        # fails the soak. With an explicit --retention override the old
+        # contract applies: re-resolve and retry — never wrong, at worst
+        # late
         while not stop.is_set():
             time.sleep(random.uniform(0.3, 0.9))
             for _ in range(4):
@@ -219,8 +236,12 @@ def main() -> None:
                     with stats_lock:
                         stats["reader_reads"] += 1
                     break
-                except Exception:  # noqa: BLE001
+                except Exception as exc:  # noqa: BLE001
                     with stats_lock:
+                        if default_retention:
+                            stats["reader_errors"].append(
+                                f"{type(exc).__name__}: {exc}")
+                            break
                         stats["reader_retries"] += 1
 
     threads = [threading.Thread(target=maintainer, args=(i,), daemon=True)
@@ -261,10 +282,16 @@ def main() -> None:
     # thread may still contest) + quiesced vacuum
     table_sink.with_commit_retries(
         lambda: table_sink.compact_table(spark, root, target_bytes=256 << 20))
-    table_sink.vacuum(root, assume_quiesced=True)
+    table_sink.vacuum(root, assume_quiesced=True, retention_secs=0.0)
 
     # --- verification ------------------------------------------------------
     assert not stats["maintainer_errors"], stats["maintainer_errors"]
+    assert not stats["reader_errors"], stats["reader_errors"]
+    if default_retention:
+        # the whole point of the 60 s default (r9 verdict #2): nobody —
+        # plain reader or maintainer scan — ever needed a retry
+        assert stats["reader_retries"] == 0, stats["reader_retries"]
+        assert stats["stale_scan_retries"] == 0, stats["stale_scan_retries"]
     if args.maintainers >= 2:
         assert stats["conflicts"] >= 1, "barriered maintainers never conflicted"
 

@@ -201,7 +201,7 @@ def main() -> None:
 
     files_before = len(table_sink.committed_files(root))
     summary = table_sink.compact_table(spark, root, target_bytes=256 << 20)
-    gone = table_sink.vacuum(root)
+    gone = table_sink.vacuum(root, retention_secs=0.0)
     committed2 = table_sink.read_committed(spark, root)
     assert committed2.count() == n_changes
     got2 = {
@@ -261,7 +261,7 @@ def main() -> None:
     }
     assert got3 == want, "retention purge changed the applied state"
     psum = table_sink.compact_table(spark, root, target_bytes=256 << 20)
-    dv_gone = table_sink.vacuum(root)
+    dv_gone = table_sink.vacuum(root, retention_secs=0.0)
     assert table_sink.read_committed(spark, root).count() == n_changes - n_old
     assert table_sink.describe_table(root)["n_deleted_rows"] == 0
 
