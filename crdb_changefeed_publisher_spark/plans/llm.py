@@ -140,7 +140,10 @@ def doc_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_fuzzy_linkage_exact",
-    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    # r10 swap round 8 PROMOTION (r9 verdict #6): the exact-recall
+    # PassJoin linkage alongside the prefix-blocked screen — the
+    # governance row ("no near-dup pair can escape") with a deliberately
+    # blocking-free exhaustive oracle
     oracle="""
     WITH d AS (
         SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS t
@@ -2052,7 +2055,11 @@ _KM_DIST = (
 )
 
 
-def _kmeans_ctes(n_iters: int = KMEANS_ITERS, scale: int = KMEANS_SCALE) -> str:
+def _kmeans_ctes(
+    n_iters: int = KMEANS_ITERS,
+    scale: int = KMEANS_SCALE,
+    cell_target: int = KMEANS_CELL_TARGET,
+) -> str:
     """Unrolled-Lloyd CTE chain mirroring operators/linalg.py::
     kmeans_quantized step for step: v = floor-quantized int vectors,
     kdial = the SELF-SIZING cell count (smallest power-of-two k with
@@ -2076,7 +2083,7 @@ def _kmeans_ctes(n_iters: int = KMEANS_ITERS, scale: int = KMEANS_SCALE) -> str:
         "v AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
         f"x -> CAST(floor(x * {scale}) AS BIGINT)) AS q FROM embeddings)",
         f"kdial AS MATERIALIZED (SELECT MIN(k)::INT AS k FROM (VALUES {choices}) t(k) "
-        f"WHERE k * {KMEANS_CELL_TARGET} >= (SELECT count(*) FROM embeddings) "
+        f"WHERE k * {cell_target} >= (SELECT count(*) FROM embeddings) "
         f"OR k = {KMEANS_K_CHOICES[-1]})",
         "c0 AS MATERIALIZED (SELECT cid, c FROM ("
         "  SELECT row_number() OVER ("
@@ -2352,16 +2359,34 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_topk_ivf_trained",
-    # PROMOTED in swap round 5 (third r8 session): the in-engine-trained
-    # lifecycle supersedes the frozen-codebook embedding_topk_ivf as the
-    # registered IVF row; that variant retires but stays oracle-verified.
-    oracle=f"""
-    WITH {_kmeans_ctes()},
-    {_KM_ASSIGN_CTE},
+def _ivf_trained_oracle(
+    cell_target: int = KMEANS_CELL_TARGET,
+    n_iters: int = KMEANS_ITERS,
+    query_mod: int = 25,
+    topk: int = 5,
+) -> str:
+    """The full trained-IVF lifecycle as one parameterized SQL twin
+    (train -> index -> pdial probe -> exact cosine rerank). The registered
+    query uses the defaults; tests re-render it at cell_target=2 /
+    n_iters=1 to drive kdial to k=2048 on a 4k-vector corpus — the
+    value-exact proof that Lloyd, the assignment and the probe path are
+    k-GENERIC past the old 1024-cell edge (r9 verdict #2)."""
+    assign = f"""assign AS MATERIALIZED (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cid AS cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sq_dist, cid) AS rn
+            FROM (
+                SELECT v.vec_id, c.cid, {_KM_DIST} AS sq_dist
+                FROM v, c{n_iters} c
+            )
+        ) WHERE rn = 1
+    )"""
+    return f"""
+    WITH {_kmeans_ctes(n_iters=n_iters, cell_target=cell_target)},
+    {assign},
     pdial AS MATERIALIZED (
-        SELECT MIN(p)::INT AS p FROM range(3, 40) t(p)
+        SELECT MIN(p)::INT AS p FROM range(3, 128) t(p)
         WHERE p * p >= (SELECT k FROM kdial)
     ),
     qp AS (
@@ -2369,8 +2394,8 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT v.vec_id AS query_id, c.cid,
                    row_number() OVER (PARTITION BY v.vec_id
                                       ORDER BY {_KM_DIST}, c.cid) AS pr
-            FROM v, c{KMEANS_ITERS} c
-            WHERE v.vec_id % 25 = 0
+            FROM v, c{n_iters} c
+            WHERE v.vec_id % {query_mod} = 0
         ) WHERE pr <= (SELECT p FROM pdial)
     ),
     ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -2388,8 +2413,16 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, neighbor_id) AS rnk
         FROM scored
-    ) WHERE rnk <= 5
-    """,
+    ) WHERE rnk <= {topk}
+    """
+
+
+@query(
+    "embedding_topk_ivf_trained",
+    # PROMOTED in swap round 5 (third r8 session): the in-engine-trained
+    # lifecycle supersedes the frozen-codebook embedding_topk_ivf as the
+    # registered IVF row; that variant retires but stays oracle-verified.
+    oracle=_ivf_trained_oracle(),
     doc="The COMPLETE ANN lifecycle value-verified: cells trained in-engine "
     "(embedding_kmeans's exact-arithmetic Lloyd, session-shared), corpus "
     "indexed by exact int64 nearest-centroid assignment, queries probe "
@@ -2830,6 +2863,10 @@ def kmv_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_duplicate_spans",
     # r7 swap promotion: the Lee-et-al exact-substring dedup signal earns a
     # driver row (one digest shuffle, no join — shape worth pinning)
+    retired=True,  # r10 swap round 8: the MEASURE-only span report is
+    # subsumed by doc_exact_substring_dedup (the REWRITE — reports
+    # n_removed_words/removed_fraction AND the excised text, same gram
+    # core); doc_fuzzy_linkage_exact promoted in trade
     oracle="""
     WITH words AS (
         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents

@@ -1120,11 +1120,70 @@ def test_ivf_trained_level_recall_on_clustered_corpus(spark):
     assert len(got & truth) / len(truth) >= 0.95
 
 
+def test_ivf_lifecycle_value_exact_at_k2048(spark):
+    """The k-generic PROOF behind extending KMEANS_K_CHOICES past 1024
+    (r9 verdict #2): on a 4,000-vector corpus with cell_target=2 the
+    dial picks k=2048 — one notch past the old edge — and the COMPLETE
+    trained-IVF lifecycle (exact-integer Lloyd, nearest-centroid
+    indexing, the pdial ~sqrt(k) probe = 46 cells, exact cosine rerank)
+    must match the re-rendered DuckDB oracle twin row-for-row, exactly
+    as the registered query does at its fixture ks. Nothing in Lloyd or
+    the probe path may special-case k <= 1024."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_k_for,
+        kmeans_train,
+        n_probe_for,
+    )
+    from crdb_changefeed_publisher_spark.plans.llm import (
+        KMEANS_SCALE,
+        _ivf_trained_oracle,
+    )
+
+    n, d = 4000, 64
+    rng = np.random.default_rng(17)
+    pts = np.round(rng.standard_normal((n, d)), 4)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [row.tolist() for row in pts]}
+    )
+    k = kmeans_k_for(n, cell_target=2)
+    assert (k, n_probe_for(k)) == (2048, 46)
+
+    emb = spark.createDataFrame(pdf)
+    cents = kmeans_train(emb, k=k, n_iters=1, scale=KMEANS_SCALE)
+    assert len(cents) == k
+    got = sorted(
+        (int(r.query_id), int(r.neighbor_id), float(r.score), int(r.rnk))
+        for r in similarity.ivf_topk_trained(
+            emb.filter(F.col("vec_id") % 100 == 0), emb, cents,
+            k=5, n_probe=None, scale=KMEANS_SCALE,
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = sorted(
+        (int(q), int(nb), float(s), int(r))
+        for q, nb, s, r in con.execute(
+            _ivf_trained_oracle(cell_target=2, n_iters=1, query_mod=100)
+        ).fetchall()
+    )
+    assert len(want) > 0
+    assert got == want
+
+
 def test_kmeans_dials_integer_exact():
     """n_probe_for is ceil(sqrt(k)) floored at 3 (the oracle pdial twin's
-    MIN(p) WHERE p*p >= k over range(3, 40)); kmeans_k_for REFUSES past
-    its largest choice's capacity instead of silently clamping (the
-    banding saturation-guard convention — r8 verdict #1)."""
+    MIN(p) WHERE p*p >= k over range(3, 128) — the range covers
+    ceil-sqrt of the largest k choice, 91 for 8192); kmeans_k_for
+    REFUSES past its largest choice's capacity instead of silently
+    clamping (the banding saturation-guard convention — r8 verdict #1).
+    r10 extends the choice list to 8192 (capacity 2.048M vectors at the
+    default cell target — r9 verdict #2)."""
     from crdb_changefeed_publisher_spark.operators.linalg import (
         KMEANS_K_CHOICES,
         kmeans_k_for,
@@ -1132,15 +1191,18 @@ def test_kmeans_dials_integer_exact():
     )
 
     assert [n_probe_for(k) for k in KMEANS_K_CHOICES] == [
-        3, 4, 6, 8, 12, 16, 23, 32,
+        3, 4, 6, 8, 12, 16, 23, 32, 46, 64, 91,
     ]
     for k in KMEANS_K_CHOICES:
         p = n_probe_for(k)
         assert p * p >= k and (p == 3 or (p - 1) * (p - 1) < k)
         assert p <= k  # never probe more cells than exist
     assert kmeans_k_for(256_000) == 1024
+    assert kmeans_k_for(256_001) == 2048  # the old r9 saturation edge
+    assert kmeans_k_for(2_048_000) == 8192
+    # the raise is preserved at the NEW edge (a boundary, not headroom)
     with pytest.raises(ValueError, match="saturated"):
-        kmeans_k_for(256_001)
+        kmeans_k_for(2_048_001)
 
 
 def test_triangle_counts_handcrafted_topologies(spark):
