@@ -94,6 +94,8 @@ COST_HINTS: dict[str, float] = {
     # r10 swap round 7 promotions (hints from retired-harness timings)
     "doc_exact_substring_dedup": 2.0,
     "doc_dsir_sample": 1.2,
+    # r10 swap round 8 promotion (sf0.1 measure in docs/SCALE.md)
+    "doc_fuzzy_linkage_exact": 9.9,
 }
 
 

@@ -63,7 +63,7 @@ def test_retired_set_is_the_expected_one():
         "doc_budget_selection",
         "doc_decontaminate_excise",
         "doc_decontamination",
-        "doc_fuzzy_linkage_exact",
+        "doc_duplicate_spans",
         "doc_pii_scrub",
         "doc_quality_classifier",
         "doc_seq_packing",
