@@ -34,6 +34,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -93,6 +94,124 @@ def isotropic_sweep(spark, sf_dir: str) -> dict:
     }
 
 
+def sixth_decade_sweep(spark, sf_dir: str, qmod: int = 1000) -> dict:
+    """The isotropic sweep one decade past sf10 (make_sf1.py --scale 1000
+    --tables embeddings: 2M vectors), memory-bounded where the sf10 form
+    would allocate a 131 GB distance matrix:
+
+    * corpus cell assignment is CHUNKED and keeps only the top-3 cells per
+      point (argpartition, then a 3-wide argsort) instead of a full
+      (n, k) argsort;
+    * the assignment distances use float64 BLAS — exact here, not an
+      approximation: quantized components are <= KMEANS_SCALE, so every
+      product is < 2^21 and every 64-term sum < 2^27, far inside float64's
+      2^53 integer window (same reasoning as the oracle's exact-floor
+      argument in linalg.kmeans_train);
+    * exact cosine truth runs as a chunked GEMM with a running top-5 merge
+      (query count is FIXED by --qmod, not n-proportional — the bench
+      row's query set grows with n by design, a recall study's must not);
+    * the probe grid centers on the dial (n_probe_for(k)) instead of the
+      fixed small-k grid, so the frontier brackets the operating point.
+
+    Training itself is the real pipeline: plans.llm._kmeans_cents — corpus
+    count -> kmeans_k_for -> kmeans_train (k = 8192 at 2M vectors, the
+    first exercise of the r10 KMEANS_K_CHOICES extension above its old
+    1024 cap)."""
+    import numpy as np
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_k_for,
+        n_probe_for,
+    )
+    from crdb_changefeed_publisher_spark.plans.llm import KMEANS_SCALE, _kmeans_cents
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.monotonic()
+    C = np.asarray(_kmeans_cents(spark, sf_dir), dtype=np.float64)
+    train_sec = round(time.monotonic() - t0, 1)
+    k = len(C)
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n = len(ids)
+    Qf = np.floor(X * KMEANS_SCALE)  # float64-exact int values (see docstring)
+    cc = (C * C).sum(axis=1)
+
+    n_assign_max = 3
+    acell = np.empty((n, n_assign_max), dtype=np.int32)
+    t0 = time.monotonic()
+    for lo in range(0, n, 20000):
+        q = Qf[lo: lo + 20000]
+        dm = (q * q).sum(axis=1)[:, None] - 2.0 * (q @ C.T) + cc[None, :]
+        part = np.argpartition(dm, n_assign_max, axis=1)[:, :n_assign_max]
+        rows = np.arange(part.shape[0])[:, None]
+        acell[lo: lo + 20000] = part[rows, np.argsort(dm[rows, part], axis=1, kind="stable")]
+    assign_sec = round(time.monotonic() - t0, 1)
+
+    qidx = np.where(ids % qmod == 0)[0]
+    nq = len(qidx)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Xn[qidx]
+    # query-side full cell order (only nq x k — small)
+    dq = (Qf[qidx] * Qf[qidx]).sum(axis=1)[:, None] - 2.0 * (Qf[qidx] @ C.T) + cc[None, :]
+    qcell_order = np.argsort(dq, axis=1, kind="stable")
+
+    t0 = time.monotonic()
+    best_sim = np.full((nq, 5), -2.0)
+    best_idx = np.full((nq, 5), -1, dtype=np.int64)
+    for lo in range(0, n, 100_000):
+        S = Qn @ Xn[lo: lo + 100_000].T
+        # exclude self-matches
+        sel = (qidx >= lo) & (qidx < lo + S.shape[1])
+        S[np.where(sel)[0], qidx[sel] - lo] = -2.0
+        top = np.argpartition(-S, 5, axis=1)[:, :5]
+        cand_sim = np.concatenate([best_sim, S[np.arange(nq)[:, None], top]], axis=1)
+        cand_idx = np.concatenate([best_idx, top + lo], axis=1)
+        keep = np.argpartition(-cand_sim, 5, axis=1)[:, :5]
+        best_sim = cand_sim[np.arange(nq)[:, None], keep]
+        best_idx = cand_idx[np.arange(nq)[:, None], keep]
+    truth_sec = round(time.monotonic() - t0, 1)
+
+    dial = n_probe_for(k)
+    probes = sorted(
+        {max(3, dial // 8), max(3, dial // 4), dial // 2, dial, 2 * dial,
+         min(4 * dial, k)}
+    )
+    points = []
+    for n_assign in (1, 2, 3):
+        ac = acell[:, :n_assign]
+        for p in probes:
+            if p > k:
+                continue
+            hits = 0
+            for qi in range(nq):
+                probed = set(qcell_order[qi, :p].tolist())
+                for nb in best_idx[qi]:
+                    if any(int(c) in probed for c in ac[nb]):
+                        hits += 1
+            points.append(
+                {
+                    "n_assign": n_assign,
+                    "n_probe": p,
+                    "scan_fraction": round(p / k * n_assign, 4),
+                    "recall_at_5": round(hits / (5 * nq), 4),
+                }
+            )
+    return {
+        "n": int(n),
+        "k": k,
+        "dial_n_probe": dial,
+        "dial_k": kmeans_k_for(n),
+        "n_queries": int(nq),
+        "train_sec": train_sec,
+        "assign_sec": assign_sec,
+        "truth_sec": truth_sec,
+        "points": points,
+    }
+
+
 def clustered_fixture(spark, n: int, dim: int = 64, n_clusters: int = 16,
                       noise: float = 0.35, seed: int = 11):
     import numpy as np
@@ -144,8 +263,10 @@ def clustered_level(spark) -> list[dict]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--study", default="both",
-                    choices=["isotropic", "clustered", "both"])
+                    choices=["isotropic", "clustered", "both", "sixth"])
     ap.add_argument("--sf-dir", default="/root/repo/.scratch/testdata/sf1")
+    ap.add_argument("--qmod", type=int, default=1000,
+                    help="sixth-decade query sampling modulus (vec_id %% qmod == 0)")
     args = ap.parse_args()
 
     from crdb_changefeed_publisher_spark.session import get_spark
@@ -156,6 +277,8 @@ def main() -> None:
         result["isotropic"] = isotropic_sweep(spark, args.sf_dir)
     if args.study in ("clustered", "both"):
         result["clustered"] = clustered_level(spark)
+    if args.study == "sixth":
+        result["sixth_decade"] = sixth_decade_sweep(spark, args.sf_dir, args.qmod)
     print(json.dumps(result))
 
 

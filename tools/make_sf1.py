@@ -150,33 +150,55 @@ def replicate_documents(out_dir: str, scale: int = SCALE) -> int:
     return out.num_rows
 
 
-def replicate_embeddings(out_dir: str, scale: int = SCALE) -> int:
+def _emb_chunk_table(ids: np.ndarray, vecs: np.ndarray, labels: np.ndarray) -> pa.Table:
+    """Arrow table from flat numpy — ListArray.from_arrays instead of
+    tolist(), so the scale-1000 (2M-vector) tier never materializes 128M
+    Python float objects. Values identical to the tolist() path."""
+    n, d = vecs.shape
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+        pa.array(vecs.reshape(-1), pa.float32()),
+    ).cast(pa.list_(pa.float32()))
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": emb,
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
+def replicate_embeddings(out_dir: str, scale: int = SCALE,
+                         chunk_replicas: int = 100) -> int:
     t = pq.read_table(f"{BASE}/embeddings.parquet")
     base_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     base_vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
     base_labels = np.asarray(t.column("label").to_pylist(), dtype=np.int32)
     n, d = base_vecs.shape
 
+    writer = None
+    total = 0
     ids, vecs, labels = [base_ids], [base_vecs], [base_labels]
-    for r in range(1, scale):
-        rng = np.random.default_rng(420_000 + r)
-        g = rng.standard_normal((n, d)).astype(np.float32)
-        g /= np.linalg.norm(g, axis=1, keepdims=True)
-        ids.append(base_ids + r * RANGES["vec_id"])
-        vecs.append(g)
-        labels.append(rng.integers(0, 10, size=n).astype(np.int32))
-    all_vecs = np.concatenate(vecs)
-    out = pa.table(
-        {
-            "vec_id": pa.array(np.concatenate(ids), pa.int64()),
-            "embedding": pa.array(
-                [row for row in all_vecs.tolist()], pa.list_(pa.float32())
-            ),
-            "label": pa.array(np.concatenate(labels), pa.int32()),
-        }
-    )
-    pq.write_table(out, f"{out_dir}/embeddings.parquet")
-    return out.num_rows
+    for r in range(1, scale + 1):
+        if r < scale:
+            rng = np.random.default_rng(420_000 + r)
+            g = rng.standard_normal((n, d)).astype(np.float32)
+            g /= np.linalg.norm(g, axis=1, keepdims=True)
+            ids.append(base_ids + r * RANGES["vec_id"])
+            vecs.append(g)
+            labels.append(rng.integers(0, 10, size=n).astype(np.int32))
+        if ids and (r == scale or len(ids) >= chunk_replicas):
+            chunk = _emb_chunk_table(
+                np.concatenate(ids), np.concatenate(vecs), np.concatenate(labels)
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(f"{out_dir}/embeddings.parquet", chunk.schema)
+            writer.write_table(chunk)
+            total += chunk.num_rows
+            ids, vecs, labels = [], [], []
+    if writer is not None:
+        writer.close()
+    return total
 
 
 def main() -> None:
@@ -184,18 +206,39 @@ def main() -> None:
     ap.add_argument("--out", default="/root/repo/.scratch/testdata/sf1")
     ap.add_argument("--scale", type=int, default=SCALE,
                     help="replication factor over sf0.1 (100 = the sf10 tier)")
+    ap.add_argument("--tables", default=None,
+                    help="comma list to build a partial tier (e.g. "
+                    "'embeddings' for the sixth-decade ANN corpus — the "
+                    "document affine-map family caps at 30*31 = 930 "
+                    "distinct maps, so a full-fixture scale-1000 tier is "
+                    "not constructible; embeddings replicate at any scale)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    wanted = set(args.tables.split(",")) if args.tables else None
+
+    def want(t: str) -> bool:
+        return wanted is None or t in wanted
+
+    if args.scale > 930 and want("documents"):
+        raise SystemExit(
+            "documents cannot replicate past 930 (distinct affine maps over "
+            "the 31-word vocab run out); pass --tables without documents, or "
+            "use tools/near_dup_realism.py's generator for large doc corpora"
+        )
 
     for t in ("region", "nation"):
-        shutil.copyfile(f"{BASE}/{t}.parquet", f"{args.out}/{t}.parquet")
-        print(f"{t}: copied (fixed dim)")
+        if want(t):
+            shutil.copyfile(f"{BASE}/{t}.parquet", f"{args.out}/{t}.parquet")
+            print(f"{t}: copied (fixed dim)")
 
     con = duckdb.connect()
     for t in OFFSET_TABLES:
-        print(f"{t}: {replicate_sql(con, t, args.out, args.scale)} rows")
-    print(f"documents: {replicate_documents(args.out, args.scale)} rows")
-    print(f"embeddings: {replicate_embeddings(args.out, args.scale)} rows")
+        if want(t):
+            print(f"{t}: {replicate_sql(con, t, args.out, args.scale)} rows")
+    if want("documents"):
+        print(f"documents: {replicate_documents(args.out, args.scale)} rows")
+    if want("embeddings"):
+        print(f"embeddings: {replicate_embeddings(args.out, args.scale)} rows")
     print(f"wrote {args.out}")
 
 

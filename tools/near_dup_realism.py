@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Near-dup scaling on a REALISTIC corpus: prove the band joins are linear
+when the answer is linear.
+
+Context (docs/SCALE.md "Fifth decade"): at sf10 the driver-fixture corpus
+saturates — its 31-word vocabulary makes ~29% of ALL document pairs
+genuinely qualify as near-dups, so the registered pair-join dedups
+(`dedup_simhash`, `dedup_ngram_jaccard`) REFUSE via the measured
+block_candidate_guard. That refusal is about the FIXTURE's answer being
+quadratic, not about the operators; this tool closes the loop by measuring
+the same registered plan shapes (identical dials, including the guard) on
+a corpus shaped like real data:
+
+* 50,000-word Zipfian vocabulary (the fixture has 31);
+* ~85% unique documents, ~15% planted near-dup clones (3% per-word
+  substitution — word-3-gram Jaccard ~0.8, well over the 0.2 threshold),
+  so the TRUE qualifying-pair count grows linearly in n;
+* three decades (5k / 50k / 500k docs — the last matches sf10's corpus).
+
+For each decade it times, through the exact registered entry points:
+  jaccard  — dedup.jaccard_pairs_minhash_block(threshold=0.2,
+             candidate_budget=1500)   [= dedup_ngram_jaccard's call]
+  simhash  — dedup.simhash_near_dup_degrees(max_hamming=8, n_chunks=2,
+             chunk_bits=15, candidate_budget=1500)  [= dedup_simhash's call]
+  minhash  — dedup.minhash_lsh_pairs(num_hashes=16, bands=4)
+             [the xxhash64 production path]
+and reports wall time, output rows, per-decade growth ratios, and planted-
+pair recall for the exact-Jaccard method (clone pairs found / planted).
+
+Deterministic end to end (fixed seed, no wall clock in the data). Corpus
+parquet lands under --scratch (documents.parquet + truth_pairs.parquet per
+tier) so DuckDB can re-verify any number independently.
+
+Usage: python tools/near_dup_realism.py [--decades 5000,50000,500000]
+       [--scratch .scratch/realcorpus] [--json docs/near_dup_realism_r10.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB_SIZE = 50_000
+CLONE_FRAC = 0.15  # fraction of docs that are near-dup clones of a base doc
+SUBST_P = 0.03  # per-word substitution rate in a clone
+LEN_LO, LEN_HI = 60, 180  # words per document
+SEED = 20260816
+
+_LETTERS = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+
+def _make_vocab(rng: np.random.Generator) -> np.ndarray:
+    """50k distinct pseudo-words, lengths 3-9, deterministic."""
+    lens = rng.integers(3, 10, size=VOCAB_SIZE)
+    words, seen = [], set()
+    for i in range(VOCAB_SIZE):
+        w = "".join(rng.choice(_LETTERS, size=int(lens[i])))
+        while w in seen:
+            w += rng.choice(_LETTERS)
+        seen.add(w)
+        words.append(w)
+    return np.array(words, dtype=object)
+
+
+def _zipf_cdf() -> np.ndarray:
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    w = 1.0 / (ranks + 2.7) ** 1.07
+    return np.cumsum(w / w.sum())
+
+
+def build_corpus(n_docs: int, out_dir: str) -> dict:
+    """Write documents.parquet (fixture schema) + truth_pairs.parquet.
+
+    Returns {"n_docs", "n_truth_pairs"}. Clone clusters: each clone picks a
+    base doc; a cluster of c copies plants c*(c+1)/2 - c ... pairs counted
+    pair-by-pair below (base + clones, all mutually near-dup).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    vocab = _make_vocab(rng)
+    cdf = _zipf_cdf()
+
+    n_base = int(n_docs * (1.0 - CLONE_FRAC))
+    n_clone = n_docs - n_base
+
+    lens = rng.integers(LEN_LO, LEN_HI + 1, size=n_base)
+    total = int(lens.sum())
+    idx = np.searchsorted(cdf, rng.random(total)).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+
+    base_tokens = [idx[offs[i]: offs[i + 1]] for i in range(n_base)]
+    parents = rng.integers(0, n_base, size=n_clone)
+
+    texts: list[str] = []
+    for toks in base_tokens:
+        texts.append(" ".join(vocab[toks]))
+    truth_a: list[int] = []
+    truth_b: list[int] = []
+    # clones are appended after the base docs; doc_id == row index
+    by_parent: dict[int, list[int]] = {}
+    for j in range(n_clone):
+        p = int(parents[j])
+        toks = base_tokens[p].copy()
+        mask = rng.random(toks.shape[0]) < SUBST_P
+        if mask.any():
+            toks[mask] = np.searchsorted(cdf, rng.random(int(mask.sum())))
+        doc_id = n_base + j
+        texts.append(" ".join(vocab[toks]))
+        sibs = by_parent.setdefault(p, [p])
+        for s in sibs:
+            truth_a.append(min(s, doc_id))
+            truth_b.append(max(s, doc_id))
+        sibs.append(doc_id)
+
+    n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * n_docs),
+            "source": pa.array([f"src{i % 5}" for i in range(n_docs)]),
+            "n_chars": pa.array(n_chars),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_a": pa.array(truth_a, type=pa.int64()),
+                "doc_b": pa.array(truth_b, type=pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "truth_pairs.parquet"),
+    )
+    return {"n_docs": n_docs, "n_truth_pairs": len(truth_a)}
+
+
+def measure_tier(spark, tier_dir: str, n_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from crdb_changefeed_publisher_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(tier_dir, "documents.parquet"))
+    docs = docs.localCheckpoint(eager=True)  # isolate generation from timing
+    truth = spark.read.parquet(os.path.join(tier_dir, "truth_pairs.parquet"))
+
+    out: dict = {"n_docs": n_docs}
+
+    t0 = time.monotonic()
+    jac = dedup.jaccard_pairs_minhash_block(
+        docs, threshold=0.2, candidate_budget=1500
+    ).localCheckpoint(eager=True)
+    n_jac = jac.count()
+    out["jaccard"] = {"sec": round(time.monotonic() - t0, 2), "pairs": n_jac}
+    found = jac.join(truth, ["doc_a", "doc_b"], "leftsemi").count()
+    n_truth = truth.count()
+    out["jaccard"]["planted_recall"] = round(found / n_truth, 4) if n_truth else None
+    out["n_truth_pairs"] = n_truth
+
+    t0 = time.monotonic()
+    deg = dedup.simhash_near_dup_degrees(
+        docs, max_hamming=8, n_chunks=2, chunk_bits=15, candidate_budget=1500
+    )
+    n_deg = deg.count()
+    out["simhash"] = {"sec": round(time.monotonic() - t0, 2), "docs_with_nbrs": n_deg}
+
+    t0 = time.monotonic()
+    mh = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.2)
+    n_mh = mh.count()
+    out["minhash"] = {"sec": round(time.monotonic() - t0, 2), "pairs": n_mh}
+
+    # the guard's own projection, recorded (not refused) for the report
+    sig = dedup.simhash_portable_signatures(docs)
+    chunks = dedup._explode_sig_chunks(sig, 2, 15)
+    pops = chunks.groupBy("chunk_idx", "chunk").agg(F.count(F.lit(1)).alias("pop"))
+    row = pops.agg(
+        F.sum(F.col("pop") * (F.col("pop") - 1) / 2).alias("cand"),
+        F.max("pop").alias("max_pop"),
+    ).first()
+    out["simhash_projected_candidates"] = int(row.cand or 0)
+    out["simhash_max_block_pop"] = int(row.max_pop or 0)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--decades", default="5000,50000,500000")
+    ap.add_argument("--scratch", default=".scratch/realcorpus")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    decades = [int(x) for x in args.decades.split(",")]
+
+    from crdb_changefeed_publisher_spark.session import get_spark
+
+    spark = get_spark("near_dup_realism")
+
+    tiers = []
+    for n in decades:
+        tier_dir = os.path.join(args.scratch, f"n{n}")
+        if not os.path.exists(os.path.join(tier_dir, "documents.parquet")):
+            t0 = time.monotonic()
+            info = build_corpus(n, tier_dir)
+            print(f"built n={n}: {info} in {time.monotonic() - t0:.1f}s", flush=True)
+        res = measure_tier(spark, tier_dir, n)
+        print(json.dumps(res), flush=True)
+        tiers.append(res)
+
+    ratios = {}
+    for op in ("jaccard", "simhash", "minhash"):
+        rs = []
+        for lo, hi in zip(tiers, tiers[1:]):
+            a, b = lo[op]["sec"], hi[op]["sec"]
+            rs.append(round(b / a, 2) if a > 0 else None)
+        ratios[op] = rs
+    report = {
+        "seed": SEED,
+        "vocab_size": VOCAB_SIZE,
+        "clone_frac": CLONE_FRAC,
+        "subst_p": SUBST_P,
+        "tiers": tiers,
+        "decade_time_ratios": ratios,
+    }
+    print(json.dumps(report), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
