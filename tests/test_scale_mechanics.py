@@ -168,3 +168,13 @@ def test_bench_weather_verdict_thresholds():
     assert bench.weather_verdict(0, 1.0, 1.0, 1.0, True) == [
         "loadavg stayed > 2.0 through the 5-minute quiet-start gate"
     ]
+    # the steal cut is a RATE (r10): 19,374 jiffies over the 26-minute
+    # sf10 suite is ~0.4% of machine capacity — clean; the same count in
+    # a 60 s window would be ~10% — suspect. elapsed_sec=0 (legacy
+    # callers) keeps the absolute 5,000 floor.
+    assert bench.weather_verdict(19374, 0.55, 1.3, 0.98, False,
+                                 elapsed_sec=1550, n_cpus=32) == []
+    hot = bench.weather_verdict(19374, 0.55, 1.3, 0.98, False,
+                                elapsed_sec=60, n_cpus=32)
+    assert len(hot) == 1 and "steal" in hot[0]
+    assert bench.weather_verdict(5001, 1.0, 1.0, 1.0, False) != []
