@@ -174,9 +174,52 @@ def measure_tier(spark, tier_dir: str, n_docs: int) -> dict:
     out["simhash"] = {"sec": round(time.monotonic() - t0, 2), "docs_with_nbrs": n_deg}
 
     t0 = time.monotonic()
-    mh = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.2)
+    mh = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.2
+    ).localCheckpoint(eager=True)
     n_mh = mh.count()
     out["minhash"] = {"sec": round(time.monotonic() - t0, 2), "pairs": n_mh}
+    found_mh = mh.join(truth, ["doc_a", "doc_b"], "leftsemi").count()
+    out["minhash"]["planted_recall"] = (
+        round(found_mh / n_truth, 4) if n_truth else None
+    )
+
+    # the 64-bit escape path the 30-bit row's guard points at, in its
+    # EXACT-recall regime: 4 x 16-bit chunks pigeonhole-guarantee any pair
+    # within hamming <= 3, and a 3%-substitution clone barely moves the
+    # 64-bit vote sums, so planted recall here is the real measurement of
+    # "use the 64-bit variant" as an escape. Guarded like the registered
+    # rows: Zipfian text correlates SIGNATURES (not just the 30-bit ones),
+    # so 16-bit chunk buckets also concentrate — the unguarded first run
+    # of this leg OOMed the 48g JVM at 500k docs where a guard would have
+    # refused with the projection.
+    t0 = time.monotonic()
+    sig64 = dedup.simhash_signatures(docs).localCheckpoint(eager=True)
+    pops64 = dedup._explode_sig_chunks(sig64, 4, 16).groupBy(
+        "chunk_idx", "chunk"
+    ).agg(F.count(F.lit(1)).alias("pop"))
+    proj64 = pops64.agg(
+        F.sum(F.col("pop") * (F.col("pop") - 1) / 2).alias("cand"),
+        F.max("pop").alias("max_pop"),
+    ).first()
+    out["simhash64_projected_candidates"] = int(proj64.cand or 0)
+    out["simhash64_max_block_pop"] = int(proj64.max_pop or 0)
+    try:
+        dedup.block_candidate_guard(pops64, "pop", n_docs, 1500, "simhash64")
+        s64 = dedup.simhash_pairs(
+            docs, max_hamming=3, n_chunks=4, chunk_bits=16
+        ).localCheckpoint(eager=True)
+        n_s64 = s64.count()
+        out["simhash64"] = {"sec": round(time.monotonic() - t0, 2), "pairs": n_s64}
+        found64 = s64.join(truth, ["doc_a", "doc_b"], "leftsemi").count()
+        out["simhash64"]["planted_recall"] = (
+            round(found64 / n_truth, 4) if n_truth else None
+        )
+    except ValueError as e:
+        out["simhash64"] = {
+            "sec": round(time.monotonic() - t0, 2),
+            "refused": str(e).split(". ")[0][:200],
+        }
 
     # the guard's own projection, recorded (not refused) for the report
     sig = dedup.simhash_portable_signatures(docs)
@@ -215,7 +258,7 @@ def main() -> None:
         tiers.append(res)
 
     ratios = {}
-    for op in ("jaccard", "simhash", "minhash"):
+    for op in ("jaccard", "simhash", "minhash", "simhash64"):
         rs = []
         for lo, hi in zip(tiers, tiers[1:]):
             a, b = lo[op]["sec"], hi[op]["sec"]
