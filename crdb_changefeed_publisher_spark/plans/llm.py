@@ -656,7 +656,12 @@ _SIMHASH_SIG = " + ".join(
     "sf1). banding_chunk_bits_for is wired as the SATURATION guard: when "
     "the rule's cost-minimum width exceeds the tiling width, the 30-bit "
     "signature has run out of bucket space (~8.4M docs) and the plan "
-    "refuses, pointing at the 64-bit variant.",
+    "refuses, pointing at the 64-bit variant. Measured on a REALISTIC "
+    "(50k-word Zipfian) corpus the 30-bit blocks still concentrate — "
+    "same-language text is distributionally similar, so block growth is "
+    "SimHash semantics, not only the fixture's 31-word pathology; for "
+    "Jaccard-defined governance prefer the MinHash rows (docs/SCALE.md "
+    "'Realistic-corpus near-dup scaling', docs/near_dup_realism_r10.json).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
