@@ -234,11 +234,42 @@ def measure_tier(spark, tier_dir: str, n_docs: int) -> dict:
     return out
 
 
+def measure_exactsubstr(spark, tier_dir: str, n_docs: int) -> dict:
+    """The rewrite half of dedup on the realistic corpus: time
+    exact_substring_excise (registered entry point's dials: 8-gram,
+    min_count 2) and record corpus-level excision totals. Output stays an
+    aggregate — 5M rewritten texts never reach the driver."""
+    from pyspark.sql import functions as F
+
+    from crdb_changefeed_publisher_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(os.path.join(tier_dir, "documents.parquet"))
+    docs = docs.localCheckpoint(eager=True)
+    t0 = time.monotonic()
+    out = text_ops.exact_substring_excise(docs, n=8, min_count=2)
+    row = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_removed_words").alias("removed"),
+    ).first()
+    return {
+        "n_docs": n_docs,
+        "exactsubstr": {
+            "sec": round(time.monotonic() - t0, 2),
+            "docs": int(row.docs),
+            "words": int(row.words),
+            "removed": int(row.removed),
+            "removed_frac": round(row.removed / row.words, 5) if row.words else None,
+        },
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--decades", default="5000,50000,500000")
     ap.add_argument("--scratch", default=".scratch/realcorpus")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--ops", default="pairs", choices=["pairs", "exactsubstr"])
     args = ap.parse_args()
     decades = [int(x) for x in args.decades.split(",")]
 
@@ -253,12 +284,19 @@ def main() -> None:
             t0 = time.monotonic()
             info = build_corpus(n, tier_dir)
             print(f"built n={n}: {info} in {time.monotonic() - t0:.1f}s", flush=True)
-        res = measure_tier(spark, tier_dir, n)
+        if args.ops == "exactsubstr":
+            res = measure_exactsubstr(spark, tier_dir, n)
+        else:
+            res = measure_tier(spark, tier_dir, n)
         print(json.dumps(res), flush=True)
         tiers.append(res)
 
+    op_names = (
+        ("exactsubstr",) if args.ops == "exactsubstr"
+        else ("jaccard", "simhash", "minhash", "simhash64")
+    )
     ratios = {}
-    for op in ("jaccard", "simhash", "minhash", "simhash64"):
+    for op in op_names:
         rs = []
         for lo, hi in zip(tiers, tiers[1:]):
             a, b = lo[op]["sec"], hi[op]["sec"]
