@@ -106,6 +106,7 @@ def weather_verdict(
     loadavg_violation: bool,
     elapsed_sec: float = 0.0,
     n_cpus: int = 32,
+    user_hz: int = 100,
 ) -> list[str]:
     """Names the probes that exceed their hot-window thresholds; a
     non-empty result marks the whole record `weather_suspect` (r9 verdict
@@ -124,9 +125,12 @@ def weather_verdict(
     # capacity) while a 26-minute sf10 record accumulates ~19k jiffies of
     # ordinary background steal (~0.4%) — an absolute cut conflates run
     # DURATION with weather. Suspect above 1% of capacity
-    # (elapsed * n_cpus * 100 jiffies/s), floored at the measured 5,000
-    # so short suites keep the original boundary (clean runs <= ~1,400).
-    steal_thresh = max(5_000.0, 0.01 * elapsed_sec * n_cpus * 100.0)
+    # (elapsed * n_cpus * user_hz jiffies/s), floored at the measured
+    # 5,000 so short suites keep the original boundary (clean runs <=
+    # ~1,400). /proc/stat steal accumulates over the HOST's CPUs at the
+    # kernel's USER_HZ, so the caller must pass os.cpu_count() and
+    # SC_CLK_TCK — not the Spark-parallelism env setting (r10 advice).
+    steal_thresh = max(5_000.0, 0.01 * elapsed_sec * n_cpus * user_hz)
     if steal_delta > steal_thresh:
         reasons.append(
             f"steal_jiffies_delta {steal_delta} > {int(steal_thresh)}"
@@ -280,7 +284,10 @@ def main() -> None:
         round(pyworker / PYWORKER_IDLE_SEC, 2),
         loadavg_violation,
         elapsed_sec=time.time() - wall_before,
-        n_cpus=cpu_count(),
+        # host capacity, not the SPARK_GRAFT_CPUS parallelism setting:
+        # /proc/stat steal counts jiffies over the real CPUs at USER_HZ
+        n_cpus=os.cpu_count() or cpu_count(),
+        user_hz=int(os.sysconf("SC_CLK_TCK")),
     )
     print(
         json.dumps(

@@ -1118,14 +1118,25 @@ def simhash_pairs(
     max_hamming: int = 16,
     n_chunks: int = 4,
     chunk_bits: int = 16,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash: block on each of the `n_chunks`
     `chunk_bits`-bit chunks (pigeonhole: any pair within Hamming <=
     n_chunks - 1 shares a chunk), then exact Hamming verify. Same banding
     dial as the portable variant — see docs/SCALE.md for sizing chunk_bits
     to the corpus.
+
+    `signatures` lets a caller that already materialized
+    simhash_signatures(docs) (e.g. to run block_candidate_guard on the
+    chunk populations first) reuse it instead of paying the signature
+    pass twice (r10 advice: the realism tool's recorded simhash64 wall
+    time included exactly that redundant pass).
     """
-    sig = simhash_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
+    sig = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
+    )
     chunks = _explode_sig_chunks(sig, n_chunks, chunk_bits)
     a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk")
     b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk")

@@ -209,6 +209,14 @@ def test_simhash_identical_and_disjoint(spark):
     assert sig[1] == sig[2]
     pairs = {(p.doc_a, p.doc_b): p.hamming for p in dedup.simhash_pairs(df, max_hamming=0).collect()}
     assert pairs == {(1, 2): 0}
+    # a precomputed signatures frame must be reused verbatim, not rebuilt
+    # (r10 advice: guard callers pay the signature pass twice otherwise)
+    pre = dedup.simhash_signatures(df).localCheckpoint(eager=True)
+    reused = {
+        (p.doc_a, p.doc_b): p.hamming
+        for p in dedup.simhash_pairs(df, max_hamming=0, signatures=pre).collect()
+    }
+    assert reused == pairs
 
 
 def test_brute_force_topk_self_similarity(spark, sf_dir):

@@ -177,4 +177,10 @@ def test_bench_weather_verdict_thresholds():
     hot = bench.weather_verdict(19374, 0.55, 1.3, 0.98, False,
                                 elapsed_sec=60, n_cpus=32)
     assert len(hot) == 1 and "steal" in hot[0]
+    # capacity scales with the kernel's USER_HZ (r10 advice: /proc/stat
+    # steal accumulates at SC_CLK_TCK over the HOST's CPUs — a 250 Hz
+    # kernel has 2.5x the jiffy capacity of the hard-coded 100)
+    assert bench.weather_verdict(19374, 0.55, 1.3, 0.98, False,
+                                 elapsed_sec=60, n_cpus=32,
+                                 user_hz=1100) == []
     assert bench.weather_verdict(5001, 1.0, 1.0, 1.0, False) != []

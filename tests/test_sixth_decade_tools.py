@@ -108,3 +108,25 @@ def test_realism_corpus_vocab_is_wide(tmp_path):
               FROM '{tmp_path}/v/documents.parquet')"""
     ).fetchone()[0]
     assert n_words > 5000
+
+
+def test_replicate_documents_refuses_programmatically(tmp_path):
+    """The affine-map capacity check must live in replicate_documents()
+    itself, not only in main()'s arg parsing (r10 advice: a programmatic
+    call past the cap silently reused word maps and planted whole-replica
+    exact duplicates — the exact hazard the guard documents)."""
+    from tools.make_sf1 import replicate_documents
+
+    with pytest.raises(ValueError, match="930"):
+        replicate_documents(str(tmp_path), scale=931)
+
+
+def test_replicate_embeddings_refuses_scale_zero(tmp_path):
+    """scale < 1 must refuse rather than silently writing NO
+    embeddings.parquet (r10 advice: the chunked writer's loop never runs
+    at scale 0, where the pre-chunking path wrote the base fixture)."""
+    from tools.make_sf1 import replicate_embeddings
+
+    with pytest.raises(ValueError, match="scale"):
+        replicate_embeddings(str(tmp_path), scale=0)
+    assert not os.path.exists(str(tmp_path / "embeddings.parquet"))

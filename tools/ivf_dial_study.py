@@ -139,13 +139,17 @@ def sixth_decade_sweep(spark, sf_dir: str, qmod: int = 1000) -> dict:
     Qf = np.floor(X * KMEANS_SCALE)  # float64-exact int values (see docstring)
     cc = (C * C).sum(axis=1)
 
-    n_assign_max = 3
+    n_assign_max = min(3, k)
     acell = np.empty((n, n_assign_max), dtype=np.int32)
     t0 = time.monotonic()
     for lo in range(0, n, 20000):
         q = Qf[lo: lo + 20000]
         dm = (q * q).sum(axis=1)[:, None] - 2.0 * (q @ C.T) + cc[None, :]
-        part = np.argpartition(dm, n_assign_max, axis=1)[:, :n_assign_max]
+        # kth clamped to the row width (r10 advice: k <= n_assign_max or a
+        # short final chunk crashes argpartition with kth >= width)
+        part = np.argpartition(
+            dm, min(n_assign_max, dm.shape[1] - 1), axis=1
+        )[:, :n_assign_max]
         rows = np.arange(part.shape[0])[:, None]
         acell[lo: lo + 20000] = part[rows, np.argsort(dm[rows, part], axis=1, kind="stable")]
     assign_sec = round(time.monotonic() - t0, 1)
@@ -166,7 +170,9 @@ def sixth_decade_sweep(spark, sf_dir: str, qmod: int = 1000) -> dict:
         # exclude self-matches
         sel = (qidx >= lo) & (qidx < lo + S.shape[1])
         S[np.where(sel)[0], qidx[sel] - lo] = -2.0
-        top = np.argpartition(-S, 5, axis=1)[:, :5]
+        # kth clamped to the chunk width: a final chunk of <= 5 columns
+        # (n % 100_000 in 1..5) crashes argpartition otherwise (r10 advice)
+        top = np.argpartition(-S, min(5, S.shape[1] - 1), axis=1)[:, :5]
         cand_sim = np.concatenate([best_sim, S[np.arange(nq)[:, None], top]], axis=1)
         cand_idx = np.concatenate([best_idx, top + lo], axis=1)
         keep = np.argpartition(-cand_sim, 5, axis=1)[:, :5]

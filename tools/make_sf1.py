@@ -119,6 +119,16 @@ def replicate_documents(out_dir: str, scale: int = SCALE) -> int:
     vocab = sorted({w for s in texts for w in s.split(" ") if w})
     idx = {w: i for i, w in enumerate(vocab)}
     v = len(vocab)
+    # enforced HERE, not only in main() (r10 advice): at r >= v*(v-1) the
+    # multiplier a = 1 + r//v hits a % v == 0, the affine map degenerates
+    # to a constant, and replicas become whole-corpus exact duplicates —
+    # the precise hazard the cap documents (v=31 -> 930 for the fixture)
+    if scale > v * (v - 1):
+        raise ValueError(
+            f"documents cannot replicate past {v * (v - 1)} (distinct "
+            f"affine maps over the {v}-word vocab run out); use "
+            "tools/near_dup_realism.py's generator for large doc corpora"
+        )
 
     out_ids, out_texts, out_langs, out_srcs, out_n = [], [], [], [], []
     for r in range(scale):
@@ -170,6 +180,11 @@ def _emb_chunk_table(ids: np.ndarray, vecs: np.ndarray, labels: np.ndarray) -> p
 
 def replicate_embeddings(out_dir: str, scale: int = SCALE,
                          chunk_replicas: int = 100) -> int:
+    if scale < 1:
+        # the r1..scale chunk loop below never runs at scale 0, which
+        # would silently write NO embeddings.parquet (the pre-chunking
+        # path always wrote at least the base fixture) — refuse instead
+        raise ValueError(f"replicate_embeddings needs scale >= 1, got {scale}")
     t = pq.read_table(f"{BASE}/embeddings.parquet")
     base_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     base_vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
@@ -179,25 +194,29 @@ def replicate_embeddings(out_dir: str, scale: int = SCALE,
     writer = None
     total = 0
     ids, vecs, labels = [base_ids], [base_vecs], [base_labels]
-    for r in range(1, scale + 1):
-        if r < scale:
-            rng = np.random.default_rng(420_000 + r)
-            g = rng.standard_normal((n, d)).astype(np.float32)
-            g /= np.linalg.norm(g, axis=1, keepdims=True)
-            ids.append(base_ids + r * RANGES["vec_id"])
-            vecs.append(g)
-            labels.append(rng.integers(0, 10, size=n).astype(np.int32))
-        if ids and (r == scale or len(ids) >= chunk_replicas):
-            chunk = _emb_chunk_table(
-                np.concatenate(ids), np.concatenate(vecs), np.concatenate(labels)
-            )
-            if writer is None:
-                writer = pq.ParquetWriter(f"{out_dir}/embeddings.parquet", chunk.schema)
-            writer.write_table(chunk)
-            total += chunk.num_rows
-            ids, vecs, labels = [], [], []
-    if writer is not None:
-        writer.close()
+    try:
+        for r in range(1, scale + 1):
+            if r < scale:
+                rng = np.random.default_rng(420_000 + r)
+                g = rng.standard_normal((n, d)).astype(np.float32)
+                g /= np.linalg.norm(g, axis=1, keepdims=True)
+                ids.append(base_ids + r * RANGES["vec_id"])
+                vecs.append(g)
+                labels.append(rng.integers(0, 10, size=n).astype(np.int32))
+            if ids and (r == scale or len(ids) >= chunk_replicas):
+                chunk = _emb_chunk_table(
+                    np.concatenate(ids), np.concatenate(vecs), np.concatenate(labels)
+                )
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        f"{out_dir}/embeddings.parquet", chunk.schema
+                    )
+                writer.write_table(chunk)
+                total += chunk.num_rows
+                ids, vecs, labels = [], [], []
+    finally:
+        if writer is not None:
+            writer.close()
     return total
 
 

@@ -206,8 +206,11 @@ def measure_tier(spark, tier_dir: str, n_docs: int) -> dict:
     out["simhash64_max_block_pop"] = int(proj64.max_pop or 0)
     try:
         dedup.block_candidate_guard(pops64, "pop", n_docs, 1500, "simhash64")
+        # reuse sig64 (r10 advice): simhash_pairs would otherwise recompute
+        # the signature pass the guard already materialized, overstating
+        # the leg's recorded wall time by one full signature build
         s64 = dedup.simhash_pairs(
-            docs, max_hamming=3, n_chunks=4, chunk_bits=16
+            docs, max_hamming=3, n_chunks=4, chunk_bits=16, signatures=sig64
         ).localCheckpoint(eager=True)
         n_s64 = s64.count()
         out["simhash64"] = {"sec": round(time.monotonic() - t0, 2), "pairs": n_s64}
