@@ -155,9 +155,12 @@ def jaccard_pairs_minhash_block(
     threshold: float = 0.2,
     block_cap: int = 1000,
     candidate_budget: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard, blocked on the MIN
     PORTABLE HASH of the shingles (true 1-permutation MinHash).
+    `n_docs` (corpus row count, used only to size the saturation budget)
+    lets a caller with a cached count skip the guard's extra count job.
 
     Three scale properties the min-*shingle* variant lacked:
 
@@ -200,8 +203,8 @@ def jaccard_pairs_minhash_block(
         # of a saturated shingle space shares the globally-min-hash
         # shingles, so blocks grow with n and candidates with n^2
         block_candidate_guard(
-            sizes, "m", docs.count(), candidate_budget,
-            "jaccard_pairs_minhash_block",
+            sizes, "m", docs.count() if n_docs is None else n_docs,
+            candidate_budget, "jaccard_pairs_minhash_block",
         )
     salted = sets.join(sizes, "block").withColumn(
         "n_salt", F.ceil(F.col("m") / F.lit(block_cap)).cast("int")
@@ -387,6 +390,11 @@ _PORTABLE_POWERS = [pow(PORTABLE_BASE, k, PORTABLE_MOD) for k in range(_PORTABLE
 # k affine transforms (a_i * h + b_i) mod p over the base string hash —
 # coefficients are fixed so any engine reproduces the exact signature.
 PORTABLE_COEFFS = [(2 * i + 3, 7 * i + 1) for i in range(8)]
+# The 16-hash extension of the same family (first 8 identical): 4 bands of
+# 4 is the production LSH shape (candidate recall 1-(1-j^4)^4 ~ 0.88 at
+# j=0.8 vs ~0.65 for 2 bands) — used by the realism-corpus rows where
+# recall is certified against planted truth (plans/realism.py).
+PORTABLE_COEFFS16 = [(2 * i + 3, 7 * i + 1) for i in range(16)]
 
 
 def _portable_string_hash(col: Column) -> Column:
@@ -410,11 +418,18 @@ def _portable_string_hash(col: Column) -> Column:
 
 
 def portable_banded_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    coeffs: list[tuple[int, int]] | None = None,
+    bands: int = 2,
 ) -> DataFrame:
-    """(id, text) -> (doc_id, m0..m7, b0, b1): the portable MinHash signature
-    (k=8 affine transforms of the polynomial shingle hash, partial-agg mins)
-    plus its 2 band hashes (polynomial combine of 4 mins each).
+    """(id, text) -> (doc_id, m0..m{k-1}, b0..b{bands-1}): the portable
+    MinHash signature (k affine transforms of the polynomial shingle hash,
+    partial-agg mins) plus its band hashes (polynomial combine of k/bands
+    mins each). Defaults are the registered 8-hash/2-band shape; the
+    realism rows use PORTABLE_COEFFS16 with 4 bands.
 
     Shared by `minhash_portable_pairs` (all-pairs within one corpus) and
     `incremental_dedup_report` (new shard vs existing corpus): the banding
@@ -424,29 +439,29 @@ def portable_banded_signatures(
     """
     from crdb_changefeed_publisher_spark.functions.phash import poly_hash
 
+    coeffs = PORTABLE_COEFFS if coeffs is None else coeffs
     sh = shingle_rows(docs, text_col, id_col, n)
     base = sh.select("doc_id", poly_hash(F.col("shingle")).alias("h"))
-    k = len(PORTABLE_COEFFS)
+    k = len(coeffs)
     sig = base.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * a + b) % PORTABLE_MOD).alias(f"m{i}")
-            for i, (a, b) in enumerate(PORTABLE_COEFFS)
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
-    r = k // 2
+    r = k // bands
     band_hash = [
         sum(
             (F.col(f"m{i}") * _PORTABLE_POWERS[j + 1]) % PORTABLE_MOD
             for j, i in enumerate(range(band * r, (band + 1) * r))
         )
         % PORTABLE_MOD
-        for band in range(2)
+        for band in range(bands)
     ]
     return sig.select(
         "doc_id",
         *[F.col(f"m{i}") for i in range(k)],
-        band_hash[0].alias("b0"),
-        band_hash[1].alias("b1"),
+        *[band_hash[band].alias(f"b{band}") for band in range(bands)],
     )
 
 
@@ -456,17 +471,22 @@ def minhash_portable_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    coeffs: list[tuple[int, int]] | None = None,
+    bands: int = 2,
 ) -> DataFrame:
     """MinHash+LSH with an engine-portable hash family, so the entire
-    pipeline (shingles -> k minhashes -> 2 bands of 4 -> candidate pairs ->
-    estimated Jaccard) is value-verifiable against a SQL oracle.
+    pipeline (shingles -> k minhashes -> bands -> candidate pairs ->
+    estimated Jaccard) is value-verifiable against a SQL oracle. Defaults
+    are the registered 8-hash/2-band shape; the realism rows pass
+    PORTABLE_COEFFS16 / 4 bands (the higher-recall production LSH shape).
 
     Same scale shape as minhash_lsh_pairs (k codegen'd hash projections,
     partial-aggregated mins, band equi-joins); the xxhash64 variant remains
     the faster production path — this one exists to keep the LSH *logic*
     under the correctness gate.
     """
-    k = len(PORTABLE_COEFFS)
+    coeffs = PORTABLE_COEFFS if coeffs is None else coeffs
+    k = len(coeffs)
     # MATERIALIZE the signature table before the pair joins: the banding
     # consumes it four times (2 bands x 2 sides), and Spark's exchange
     # reuse does not fire across the Python-UDF stage, so an unmaterialized
@@ -476,9 +496,9 @@ def minhash_portable_pairs(
     # cluster scale it is PERSISTED between runs (incremental dedup) rather
     # than localCheckpoint'ed (executor-loss safety; same note as
     # connected_components).
-    banded = portable_banded_signatures(docs, text_col, id_col, n).localCheckpoint(
-        eager=True
-    )
+    banded = portable_banded_signatures(
+        docs, text_col, id_col, n, coeffs=coeffs, bands=bands
+    ).localCheckpoint(eager=True)
     # one equi-join per band, unioned then deduped — an OR-condition join
     # would plan as a nested loop; per-band equi-joins shuffle on the band
     # hash only (the LSH scale property)
@@ -486,7 +506,7 @@ def minhash_portable_pairs(
         F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0) for i in range(k)
     )
     per_band = []
-    for band_col in ("b0", "b1"):
+    for band_col in [f"b{band}" for band in range(bands)]:
         a = banded.select(
             F.col("doc_id").alias("doc_a"),
             *[F.col(f"m{i}").alias(f"am{i}") for i in range(k)],
@@ -504,11 +524,46 @@ def minhash_portable_pairs(
                 "doc_a", "doc_b", F.round(match_count / F.lit(k), 4).alias("est_jaccard")
             )
         )
-    return (
-        per_band[0]
-        .unionByName(per_band[1])
-        .distinct()
-        .filter(F.col("est_jaccard") >= threshold)
+    out = per_band[0]
+    for pb in per_band[1:]:
+        out = out.unionByName(pb)
+    return out.distinct().filter(F.col("est_jaccard") >= threshold)
+
+
+def minhash_portable_degrees(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    coeffs: list[tuple[int, int]] | None = None,
+    bands: int = 2,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document near-dup DEGREE over the portable MinHash candidate
+    graph: (doc_id, n_near_dups, best_est) for every document with at
+    least one banded candidate whose estimated Jaccard >= threshold.
+
+    The governance view of `minhash_portable_pairs`: output bounded by
+    n_docs regardless of how clustered the corpus is (same argument as
+    simhash_near_dup_degrees), the endpoint explode feeds a plain
+    count/max groupBy with map-side partial aggregation. `pairs` lets a
+    caller reuse an already-materialized pair table (the session-shared
+    posture — one pair build per corpus snapshot, consumed by the pair
+    report, the degree view, and recall audits)."""
+    p = (
+        pairs
+        if pairs is not None
+        else minhash_portable_pairs(
+            docs, text_col, id_col, n, threshold, coeffs=coeffs, bands=bands
+        )
+    )
+    ends = p.select(
+        F.col("doc_a").alias("doc_id"), "est_jaccard"
+    ).unionByName(p.select(F.col("doc_b").alias("doc_id"), "est_jaccard"))
+    return ends.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.max("est_jaccard").alias("best_est"),
     )
 
 
@@ -967,6 +1022,7 @@ def simhash_near_dup_degrees(
     n_chunks: int = 2,
     chunk_bits: int = 15,
     candidate_budget: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Per-document near-dup DEGREE over the portable-SimHash candidate
     graph: (doc_id, n_near_dups, min_hamming) for every document with at
@@ -997,8 +1053,8 @@ def simhash_near_dup_degrees(
             F.count(F.lit(1)).alias("pop")
         )
         block_candidate_guard(
-            pops, "pop", sig.count(), candidate_budget,
-            "simhash_near_dup_degrees",
+            pops, "pop", sig.count() if n_docs is None else n_docs,
+            candidate_budget, "simhash_near_dup_degrees",
         )
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk"

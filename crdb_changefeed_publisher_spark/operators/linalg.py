@@ -182,9 +182,34 @@ def kmeans_k_for(n: int, cell_target: int = 250) -> int:
     raise ValueError(
         f"kmeans_k_for saturated: n={n} exceeds the largest cell-count "
         f"choice's capacity ({KMEANS_K_CHOICES[-1]} * {cell_target} = "
-        f"{KMEANS_K_CHOICES[-1] * cell_target}); extend KMEANS_K_CHOICES "
-        "(and the oracle kdial CTE's VALUES list) rather than letting "
-        "cell population grow past cell_target"
+        f"{KMEANS_K_CHOICES[-1] * cell_target}); use the two-level "
+        "trainer (kmeans_train_two_level — capacity "
+        f"{KMEANS_K_CHOICES[-1]}^2 * cell_target, exactness preserved) "
+        "or extend KMEANS_K_CHOICES (and the oracle kdial CTE's VALUES "
+        "list) rather than letting cell population grow past cell_target"
+    )
+
+
+def kmeans_k1_for(n: int, cell_target: int = 250) -> int:
+    """Executable LEVEL-1 cell-count dial for the two-level trainer: the
+    smallest power-of-two k1 from KMEANS_K_CHOICES with
+    ``k1 * k1 * cell_target >= n``, i.e. k1 ~ ceil(sqrt(n/cell_target)).
+    With per-cell level-2 counts from kmeans_k_for, final (cell, sub)
+    populations stay ~cell_target while BOTH training levels cost
+    ~n * sqrt(n/cell_target) distance ops per iteration instead of flat
+    Lloyd's n^2/cell_target — the trainer wall the sixth-decade
+    measurement named (Lloyd 607 s at 2M vectors, docs/SCALE.md).
+    INTEGER-EXACT like every sizing dial: a SQL oracle derives the
+    identical k1 from COUNT(*) with the same squared comparison.
+    Capacity: 8192^2 * 250 = 16.8e12 vectors — the seventh decade and
+    far beyond; past it, refuse (same convention as kmeans_k_for)."""
+    for k in KMEANS_K_CHOICES:
+        if k * k * cell_target >= n:
+            return k
+    raise ValueError(
+        f"kmeans_k1_for saturated: n={n} exceeds "
+        f"{KMEANS_K_CHOICES[-1]}^2 * {cell_target}; extend "
+        "KMEANS_K_CHOICES (and the oracle kdial1 CTE's VALUES list)"
     )
 
 
@@ -357,6 +382,185 @@ def kmeans_quantized(
     centroids."""
     cents = kmeans_train(emb, k, n_iters, scale, vec_col, id_col)
     return kmeans_assign(emb, cents, scale, vec_col, id_col)
+
+
+def _local_lloyd_exact(
+    ids: "np.ndarray", Q: "np.ndarray", k: int, n_iters: int
+) -> "np.ndarray":
+    """Exact-integer Lloyd on ONE in-memory cell — the level-2 trainer.
+    Every rule is the distributed trainer's, verbatim: hash-order seeds
+    (sha256('kmeans:' || id) hex, id tiebreak — the kmeans_seeds
+    construction, so SQL's row_number over the same expression matches),
+    argmin assignment with lower-sub-id ties, element-wise FLOOR means
+    (numpy int64 floor division == Python // == the oracle's
+    floor(sum::DOUBLE / n) by the <2^53 argument), empty clusters carry
+    their previous centroid. Fewer rows than k seeds fewer clusters —
+    identical to the SQL twin's ``cid < k`` over however many rows the
+    cell has."""
+    import hashlib
+
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.sha256(f"kmeans:{int(ids[i])}".encode()).hexdigest(),
+            int(ids[i]),
+        ),
+    )
+    C = Q[order[: min(k, len(ids))]].astype(np.int64).copy()
+    for _ in range(n_iters):
+        best = _int_sq_dists(Q, C).argmin(axis=1)
+        new_c = C.copy()
+        for c in np.unique(best):
+            members = Q[best == c]
+            new_c[c] = members.sum(axis=0) // len(members)
+        C = new_c
+    return C
+
+
+def kmeans_train_two_level(
+    emb: DataFrame,
+    cell_target: int = 250,
+    n_iters: int = 3,
+    scale: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n: int | None = None,
+    max_cell_rows: int = 4_000_000,
+) -> tuple[list[list[int]], DataFrame]:
+    """Two-level exact Lloyd — the seventh-decade trainer (r10 verdict
+    #1). Flat Lloyd is n*k per iteration with k ~ n/cell_target, i.e.
+    quadratic in corpus size: the sixth-decade measurement
+    (docs/ivf_dial_study_r10_sf100.json) showed training, not probing,
+    is the wall (607 s at 2M vectors, k=8192 — the dial's capacity).
+    Splitting the codebook keeps EVERY step in the exact-integer domain
+    (nothing is sampled, so the oracle story survives intact — the
+    alternative mini-batch trainer needs a tolerance contract):
+
+    * LEVEL 1: flat exact Lloyd (kmeans_train, unchanged) with
+      k1 = kmeans_k1_for(n) ~ sqrt(n/cell_target) coarse cells — cost
+      n * sqrt(n/cell_target) per iteration.
+    * PARTITION: one exact assignment pass (kmeans_assign) keys every
+      vector by its coarse cell; vectors shuffle ONCE on the cell key.
+    * LEVEL 2: per-cell exact Lloyd via applyInPandas — each cell holds
+      ~n/k1 ~ sqrt(n*cell_target) vectors (2.3k at 2M, 72k at 100 TB /
+      20B vectors: comfortably in-memory per task), trains its own
+      k2 = kmeans_k_for(cell_n) sub-centroids with the SAME seeds /
+      ties / floor-mean / carry-forward rules, entirely cell-local —
+      summed cost is again n * sqrt(n/cell_target) per iteration.
+
+    Total: ~2 n sqrt(n/cell_target) distance ops per iteration vs flat
+    n^2/cell_target — 140x cheaper at 20M vectors — and capacity moves
+    from KMEANS_K_CHOICES[-1] * cell_target (2.048M) to the square
+    (16.8e12). Final (cell, sub) populations stay ~cell_target by the
+    per-cell dial, so the probe-side scan-fraction contract carries
+    over unchanged (flatten the codebook and probe it like any IVF
+    index — tools/ivf_dial_study.py --two-level measures exactly that).
+
+    Returns (level1_centroids, codebook DataFrame(cell int, sub int,
+    c array<long>, n_members long)). The codebook STAYS a DataFrame —
+    k_total ~ n/cell_target rows is driver-safe only at measurement
+    scale; at 100 TB it is a table other jobs join/broadcast, never
+    driver state. `max_cell_rows` is the skew guard (measured-refusal
+    convention): a coarse cell larger than the bound would concentrate
+    one task's memory, so refuse with the measured population instead
+    of OOMing an executor."""
+    import pandas as pd
+
+    if n is None:
+        n = emb.count()
+    k1 = kmeans_k1_for(n, cell_target)
+    cents1 = kmeans_train(emb, k=k1, n_iters=n_iters, scale=scale,
+                          vec_col=vec_col, id_col=id_col)
+    assigned = kmeans_assign(emb, cents1, scale, vec_col, id_col).select(
+        id_col, "cluster"
+    )
+    keyed = emb.select(id_col, vec_col).join(assigned, id_col)
+
+    pops = keyed.groupBy("cluster").count()
+    worst = pops.agg(F.max("count").alias("m")).first().m or 0
+    if worst > max_cell_rows:
+        raise ValueError(
+            f"kmeans_train_two_level: largest coarse cell holds {worst:,} "
+            f"rows (> max_cell_rows={max_cell_rows:,}) — level-2 training "
+            "is cell-local, so this cell would concentrate in one task. "
+            "Raise k1 (lower cell_target), raise max_cell_rows if the "
+            "executors have the memory, or pre-split the hot cell."
+        )
+
+    def train_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cluster"].iloc[0])
+        ids = pdf[id_col].to_numpy()
+        Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
+        k2 = kmeans_k_for(len(ids), cell_target)
+        C = _local_lloyd_exact(ids, Q, k2, n_iters)
+        best = _int_sq_dists(Q, C).argmin(axis=1)
+        counts = np.bincount(best, minlength=len(C))
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(C), cell, dtype=np.int32),
+                "sub": np.arange(len(C), dtype=np.int32),
+                "c": [row.tolist() for row in C],
+                "n_members": counts.astype(np.int64),
+            }
+        )
+
+    codebook = keyed.groupBy("cluster").applyInPandas(
+        train_cell, "cell int, sub int, c array<long>, n_members long"
+    )
+    return cents1, codebook
+
+
+def kmeans_assign_two_level(
+    emb: DataFrame,
+    cents1: list[list[int]],
+    codebook: DataFrame,
+    scale: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, sub, sq_dist) under a two-level codebook: exact L1
+    argmin to the coarse cell, then exact argmin over that cell's
+    sub-centroids. The codebook collects into the closure (k_total * d
+    ints — fine at measurement scale; at 100 TB broadcast-join the
+    codebook table against cell-keyed vectors instead)."""
+    import pandas as pd
+
+    C1 = np.asarray(cents1, dtype=np.int64)
+    by_cell: dict[int, "np.ndarray"] = {}
+    for r in codebook.select("cell", "sub", "c").collect():
+        by_cell.setdefault(int(r.cell), {})[int(r.sub)] = r.c
+    packed = {
+        cell: np.asarray([subs[i] for i in range(len(subs))], dtype=np.int64)
+        for cell, subs in by_cell.items()
+    }
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
+            cell = _int_sq_dists(Q, C1).argmin(axis=1)
+            sub = np.empty(len(Q), dtype=np.int32)
+            dist = np.empty(len(Q), dtype=np.int64)
+            for c in np.unique(cell):
+                m = cell == c
+                d2 = _int_sq_dists(Q[m], packed[int(c)])
+                b = d2.argmin(axis=1)
+                sub[m] = b
+                dist[m] = d2[np.arange(len(b)), b]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cell.astype(np.int32),
+                    "sub": sub,
+                    "sq_dist": dist,
+                }
+            )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} {id_type}, cell int, sub int, sq_dist long"
+    )
 
 
 def gram_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

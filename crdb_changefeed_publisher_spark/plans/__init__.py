@@ -19,6 +19,7 @@ from crdb_changefeed_publisher_spark.plans import (  # noqa: F401,E402
     extra,
     funcs2,
     llm,
+    realism,
     scalar,
     tpch,
 )

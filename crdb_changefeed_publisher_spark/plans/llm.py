@@ -16,6 +16,23 @@ from crdb_changefeed_publisher_spark.operators import dedup, linkage, similarity
 from crdb_changefeed_publisher_spark.plans.registry import query
 from crdb_changefeed_publisher_spark.tables import load_table
 
+# Session-shared corpus row count: several guarded specs need n_docs to
+# size their saturation budgets (dedup_simhash, doc_fuzzy_linkage_exact);
+# counting once per (session, sf_dir) keeps each guard to its count-aggs
+# instead of re-counting the corpus per spec (r10 verdict #4). Same cache
+# convention as _CONTAM_CACHE / _KMEANS_CACHE below.
+_DOC_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _doc_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _DOC_COUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, "documents").count()
+        _DOC_COUNT_CACHE[key] = n
+    return n
+
+
 # --- deduplication ---------------------------------------------------------
 
 
@@ -89,6 +106,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerates when shingle diversity saturates vs corpus size
         # (20 candidates/doc at sf1 -> 194 at sf10, quadratic trend)
         candidate_budget=1500,
+        n_docs=_doc_count(spark, sf_dir),
     )
 
 
@@ -144,17 +162,37 @@ def doc_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PassJoin linkage alongside the prefix-blocked screen — the
     # governance row ("no near-dup pair can escape") with a deliberately
     # blocking-free exhaustive oracle
-    oracle="""
-    WITH d AS (
-        SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS t
-        FROM documents
-    ), k AS (
-        SELECT doc_id, t, length(t) AS len FROM d
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, t, length(t) AS len,
+               [{", ".join(f"length(t) - length(replace(t, '{c}', ''))"
+                           for c in "abcdefghijklmnopqrstuvwxyz ")}] AS hist
+        FROM (SELECT doc_id,
+                     lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS t
+              FROM documents)
+    ), ka AS MATERIALIZED (
+        SELECT doc_id, t, len, hist, len // 5 AS bkt FROM d
+    ), kb AS MATERIALIZED (
+        SELECT doc_id, t, len, hist,
+               unnest([len // 5 - 1, len // 5, len // 5 + 1]) AS bkt
+        FROM d
     ), pf AS (
+        -- still exhaustive over everything edit distance can admit: both
+        -- prefilters are THEOREMS, not blocking. (1) ed >= |len diff|,
+        -- rendered as a lossless bucket equi-join (|la-lb| <= 4 implies
+        -- the floor(len/5) buckets differ by <= 1, so pairs meet on an
+        -- equality); (2) ed >= L1(char histograms)/2 (a substitution
+        -- moves two counts, an indel one). Any pair the PassJoin segment
+        -- blocking could miss still reaches the DP here — the r10
+        -- verdict's MATERIALIZED-CTE discipline item (320 s -> ~45 s at
+        -- sf0.1, row-for-row identical at 3 SFs).
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                levenshtein(a.t, b.t) AS dist
-        FROM k a JOIN k b ON a.doc_id < b.doc_id
-        WHERE abs(a.len - b.len) <= 4 AND levenshtein(a.t, b.t) <= 4
+        FROM ka a JOIN kb b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+        WHERE abs(a.len - b.len) <= 4
+          AND list_sum(list_transform(range(1, 28),
+                       i -> abs(a.hist[i] - b.hist[i]))) <= 8
+          AND levenshtein(a.t, b.t) <= 4
     ), ends AS (
         SELECT doc_a AS doc_id, doc_b AS nbr, dist FROM pf
         UNION ALL
@@ -185,7 +223,19 @@ def doc_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fuzzy_linkage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return linkage.linkage_degrees(
-        linkage.fuzzy_pairs_passjoin(docs, max_dist=4)
+        linkage.fuzzy_pairs_passjoin(
+            docs,
+            max_dist=4,
+            # saturation guard, same budget convention as the other
+            # blocked-join rows: measured headroom is wide (segment keys
+            # are near-unique — max block pop 6 / ~5 projected
+            # candidates per doc at sf10), so the guard only fires on a
+            # corpus whose segment space genuinely saturates
+            candidate_budget=1500,
+            # shared per-(session, sf_dir) corpus count: without it the
+            # guarded path pays one extra count job per run (r10 #4)
+            n_docs=_doc_count(spark, sf_dir),
+        )
     )
 
 
@@ -613,6 +663,12 @@ _SIMHASH_SIG = " + ".join(
 
 @query(
     "dedup_simhash",
+    retired=True,  # r11 swap round 9: the r10 realism measurement showed
+    # 30-bit SimHash distribution-limited even on realistic text (topical
+    # correlation concentrates blocks) — a screen, not a primary
+    # generator; realism_minhash_degrees (recall-certified on planted
+    # truth at the 500k tier) promoted in trade. Value-verification of
+    # this row continues in tests/test_retired_oracle.py.
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
@@ -665,7 +721,7 @@ _SIMHASH_SIG = " + ".join(
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _doc_count(spark, sf_dir)
     cb = dedup.SIMHASH_PORTABLE_BITS // 2  # tiling max: the cost-optimal width
     cb_min = dedup.banding_chunk_bits_for(
         n, sig_bits=dedup.SIMHASH_PORTABLE_BITS, n_chunks=2
@@ -682,6 +738,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with the corpus — 5,670 candidates/doc measured at sf10 vs 568
         # at sf1 with the width dial already at its tiling max
         candidate_budget=1500,
+        n_docs=n,
     )
 
 
@@ -1502,6 +1559,14 @@ SHARED_PASSES = {
     "kmeans_train": lambda spark, sf_dir: spark.createDataFrame(
         [(len(_kmeans_cents(spark, sf_dir)),)], "k int"
     ),
+    # the 500k-tier realism pair table (plans/realism.py): built once per
+    # session, consumed by realism_minhash_degrees (registered) and the
+    # retired pair/recall rows. Deferred import — llm is imported before
+    # realism during plans package init. Ignores sf_dir by design (the
+    # realistic corpus is its own fixture).
+    "realism_pairs": lambda spark, sf_dir: __import__(
+        "crdb_changefeed_publisher_spark.plans.realism", fromlist=["realism"]
+    ).realism_pairs(spark),
 }
 
 

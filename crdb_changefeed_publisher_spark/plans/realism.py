@@ -1,0 +1,201 @@
+"""Realism-corpus specs: near-dup dedup value-verified on data shaped like
+real corpora, with RECALL certified against planted ground truth.
+
+Every other dedup row runs on the driver fixtures, whose 31-word vocabulary
+makes the qualifying-pair set itself quadratic at scale (the measured
+saturation the guards refuse on; docs/SCALE.md "Fifth decade"). Round 10
+measured the MinHash family on a 50k-word Zipfian corpus with planted
+clone pairs (tools/near_dup_realism.py): linear across three decades with
+FLAT 0.89 banded recall. This module promotes that corpus from measurement
+tool to standing verified fixture (r10 verdict #2): the specs below run on
+the 500k-doc tier — the sf10-scale corpus, 100x the driver fixture — and
+are value-verified against full DuckDB twins every round.
+
+The operator shape is the production LSH posture: 16 portable hashes in 4
+bands of 4 (candidate recall 1-(1-j^4)^4 ~ 0.88 at the planted j ~ 0.8 —
+the 2-band registered shape would only reach ~0.65), built once per
+session and shared by the pair report, the degree view, and the recall
+floor test (tests/test_realism_fixture.py pins recall >= 0.85 against
+truth_pairs.parquet).
+
+The corpus is deterministic (fixtures.build_corpus, fixed seed), so a
+fresh checkout lazily rebuilds the exact tier the committed oracles were
+verified on; the specs deliberately ignore sf_dir — realistic-corpus
+verification should not dilute when the driver runs at a smaller fixture
+scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crdb_changefeed_publisher_spark import fixtures
+from crdb_changefeed_publisher_spark.operators import dedup
+from crdb_changefeed_publisher_spark.plans.registry import query
+
+REALISM_N = 500_000
+_K = len(dedup.PORTABLE_COEFFS16)
+_BANDS = 4
+_R = _K // _BANDS
+_THRESHOLD = 0.2
+
+
+# Deterministic tier path, embedded in the oracle SQL at import time
+# WITHOUT building (the Spark side of every spec runs first in all
+# harnesses and lazily builds via ensure_tier; import must stay cheap).
+REALISM_DIR = os.path.join(fixtures.REALCORPUS_ROOT, f"n{REALISM_N}")
+
+
+def _docs(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(
+        os.path.join(fixtures.ensure_tier(REALISM_N), "documents.parquet")
+    )
+
+
+def truth_pairs(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(
+        os.path.join(fixtures.ensure_tier(REALISM_N), "truth_pairs.parquet")
+    )
+
+
+# Session-shared pair table (same convention as llm._PAIRS_CACHE): the
+# 16-hash signature + 4 band joins over 500k docs is the expensive stage
+# of the pair report, the degree view, and the recall audit — built once
+# per session, persisted, consumed by all three. bench.py times it as the
+# explicit `_shared:realism_pairs` row so the registered degree row reads
+# as marginal cost.
+_REALISM_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def realism_pairs(spark: SparkSession) -> DataFrame:
+    key = spark.sparkContext.applicationId
+    df = _REALISM_PAIRS_CACHE.get(key)
+    if df is None:
+        df = dedup.minhash_portable_pairs(
+            _docs(spark),
+            threshold=_THRESHOLD,
+            coeffs=dedup.PORTABLE_COEFFS16,
+            bands=_BANDS,
+        ).persist()
+        _REALISM_PAIRS_CACHE[key] = df
+    return df
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin: the full 16-hash/4-band portable MinHash pipeline over the
+# tier's parquet (absolute path — the corpus is not one of the driver's
+# registered views). Same construction as llm._MINHASH_CTES, instantiated
+# for the 16-coefficient family; the signature CTE is MATERIALIZED because
+# the 4 band self-joins consume it 8 times. The char-level polynomial hash
+# is deliberately kept in its naive fold form — measured FASTER in DuckDB
+# than word-hash recombination variants (2x at the 50k tier).
+# ---------------------------------------------------------------------------
+
+_SIG_COLS = ",\n".join(
+    f"        min((h * {a} + {b}) % 1000000007) AS m{i}"
+    for i, (a, b) in enumerate(dedup.PORTABLE_COEFFS16)
+)
+_BAND_COLS = ",\n".join(
+    "        ("
+    + " + ".join(
+        f"(m{i} * {dedup._PORTABLE_POWERS[j + 1]}) % 1000000007"
+        for j, i in enumerate(range(band * _R, (band + 1) * _R))
+    )
+    + f") % 1000000007 AS b{band}"
+    for band in range(_BANDS)
+)
+_MATCHES = " + ".join(f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(_K))
+_CAND_UNION = "\n        UNION\n".join(
+    f"""        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(({_MATCHES}) / {_K}.0, 4) AS est_jaccard
+        FROM banded a JOIN banded b ON a.b{band} = b.b{band} AND a.doc_id < b.doc_id"""
+    for band in range(_BANDS)
+)
+
+
+def _realism_ctes() -> str:
+    src = f"read_parquet('{REALISM_DIR}/documents.parquet')"
+    return f"""words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM {src}),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM words
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, least(length(shingle), 256) + 1),
+                                      i -> CAST(ascii(substr(shingle, i, 1)) AS BIGINT))),
+                   (h, c) -> (h * 31 + c) % 1000000007) AS h
+        FROM grams
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+{_SIG_COLS}
+        FROM hashed GROUP BY doc_id
+    ),
+    banded AS MATERIALIZED (
+        SELECT *,
+{_BAND_COLS}
+        FROM sig
+    ),
+    cand AS (
+{_CAND_UNION}
+    ),
+    qual AS (SELECT * FROM cand WHERE est_jaccard >= {_THRESHOLD})"""
+
+
+@query(
+    "realism_minhash_pairs",
+    retired=True,  # the 500k-tier pair stream backs the registered degree
+    # view; value-verified here every round (r10 verdict #2)
+    oracle=f"""
+    WITH {_realism_ctes()}
+    SELECT doc_a, doc_b, est_jaccard FROM qual
+    """,
+    doc="Near-dup candidate pairs (16-hash/4-band portable MinHash, est "
+    "Jaccard >= 0.2) on the 500k-doc realistic Zipfian corpus — the tier "
+    "where recall is measurable against planted truth (flat 0.89 across "
+    "three decades, docs/near_dup_realism_r10.json). Ignores sf_dir by "
+    "design: the corpus IS the fixture (crdb_changefeed_publisher_spark/"
+    "fixtures.py, deterministic).",
+)
+def realism_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return realism_pairs(spark)
+
+
+@query(
+    "realism_minhash_degrees",
+    # r11 swap round 9 PROMOTION (r10 verdict #6): the only near-dup row
+    # whose recall is certified against planted ground truth, registered
+    # at the 500k tier (100x the driver corpus); dedup_simhash retired in
+    # trade (measured distribution-limited on realistic text — a screen,
+    # not a primary generator; its value-verification continues in the
+    # retired harness).
+    oracle=f"""
+    WITH {_realism_ctes()},
+    ends AS (
+        SELECT doc_a AS doc_id, est_jaccard FROM qual
+        UNION ALL
+        SELECT doc_b AS doc_id, est_jaccard FROM qual
+    )
+    SELECT doc_id, count(*) AS n_near_dups, max(est_jaccard) AS best_est
+    FROM ends GROUP BY doc_id
+    """,
+    doc="Per-document near-dup degree over the portable MinHash candidate "
+    "graph (16 hashes, 4 bands of 4 — the production LSH shape) on the "
+    "500k-doc realistic Zipfian corpus: (doc_id, n_near_dups, best_est), "
+    "output bounded by n_docs. The banded pair recall of this exact "
+    "pipeline is pinned against planted truth at >= 0.85 "
+    "(tests/test_realism_fixture.py; measured 0.89 flat across decades). "
+    "Shares the session pair table with realism_minhash_pairs "
+    "(_shared:realism_pairs in bench.py).",
+)
+def realism_minhash_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_portable_degrees(
+        _docs(spark), pairs=realism_pairs(spark)
+    )

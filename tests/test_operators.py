@@ -404,6 +404,47 @@ def test_dedup_candidate_quality_against_exact_jaccard(spark, sf_dir):
     assert len(portable & truth) / len(truth) >= 0.95    # portable recall
 
 
+def test_portable_minhash_16hash_4band_family(spark):
+    """The 16-hash/4-band extension (realism rows): (a) the first 8 mins
+    coincide with the default family's (PORTABLE_COEFFS16[:8] ==
+    PORTABLE_COEFFS, so the 8-hash signature embeds in the 16-hash one),
+    (b) identical docs estimate 1.0, (c) degrees are consistent with the
+    pair stream on known clusters."""
+    assert dedup.PORTABLE_COEFFS16[:8] == dedup.PORTABLE_COEFFS
+    df = docs_df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (4, "one two three four five six seven eight nine"),
+        ],
+    )
+    sig8 = dedup.portable_banded_signatures(df).collect()
+    sig16 = dedup.portable_banded_signatures(
+        df, coeffs=dedup.PORTABLE_COEFFS16, bands=4
+    ).collect()
+    by8 = {r.doc_id: r for r in sig8}
+    for r in sig16:
+        for i in range(8):
+            assert getattr(r, f"m{i}") == getattr(by8[r.doc_id], f"m{i}")
+        assert {f.lower() for f in r.asDict()} >= {"b0", "b1", "b2", "b3"}
+    pairs = dedup.minhash_portable_pairs(
+        df, threshold=0.2, coeffs=dedup.PORTABLE_COEFFS16, bands=4
+    )
+    got = {(p.doc_a, p.doc_b): p.est_jaccard for p in pairs.collect()}
+    # deterministic given the frozen family: the true Jaccard of 1-vs-3 is
+    # 6/7 and 15/16 of the min-hashes agree
+    assert got == {(1, 2): 1.0, (1, 3): 0.9375, (2, 3): 0.9375}
+    deg = {
+        r.doc_id: (r.n_near_dups, r.best_est)
+        for r in dedup.minhash_portable_degrees(
+            df, threshold=0.2, coeffs=dedup.PORTABLE_COEFFS16, bands=4
+        ).collect()
+    }
+    assert deg == {1: (2, 1.0), 2: (2, 1.0), 3: (2, 0.9375)}
+
+
 def test_cdc_apply_then_reconcile_end_to_end(spark):
     """The full CDC apply-and-audit loop the reconcile operator exists
     for: a change stream materializes into a replica via latest_changes

@@ -58,6 +58,7 @@ def test_retired_set_is_the_expected_one():
         "dedup_minhash_lsh",
         "dedup_quality_keeper",
         "dedup_semantic",
+        "dedup_simhash",
         "doc_bm25_search",
         "doc_boilerplate_report",
         "doc_budget_selection",
@@ -112,6 +113,7 @@ def test_retired_set_is_the_expected_one():
         "orders_zorder_key",
         "pivot_returnflag_linestatus",
         "q21_waiting_suppliers",
+        "realism_minhash_pairs",
         "running_revenue_by_customer",
         "sales_rollup",
         "string_funcs_part",
