@@ -33,6 +33,18 @@ def _doc_count(spark: SparkSession, sf_dir: str) -> int:
     return n
 
 
+_EMB_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _EMB_COUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _EMB_COUNT_CACHE[key] = n
+    return n
+
+
 # --- deduplication ---------------------------------------------------------
 
 
@@ -2322,6 +2334,171 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.join(cells, "vec_id").select(
         "vec_id", "cluster", "n_near_dups", "max_cos"
     )
+
+
+_KM2_DIST = (
+    "CAST(list_sum(list_transform(range(1, 65), "
+    "i -> (l.q[i] - c.c[i]) * (l.q[i] - c.c[i]))) AS BIGINT)"
+)
+
+
+def _kmeans2_ctes(
+    n_iters: int = KMEANS_ITERS,
+    scale: int = KMEANS_SCALE,
+    cell_target: int = KMEANS_CELL_TARGET,
+) -> str:
+    """Unrolled TWO-LEVEL Lloyd CTE chain mirroring operators/linalg.py::
+    kmeans_train_two_level + kmeans_assign_two_level step for step — the
+    seventh-decade trainer's exactness proof (r10 verdict #1: an oracle
+    design that keeps the exactness story; nothing here is sampled, so
+    the twin is value-exact, not a tolerance contract).
+
+    Level 1 is the existing unrolled chain under the k1 dial (kdial1 =
+    smallest power-of-two with k*k*cell_target >= COUNT(*) — the squared
+    comparison of linalg.kmeans_k1_for); l1 keys every vector by its
+    final coarse cell. Level 2 is the SAME chain PARTITIONED BY cell:
+    per-cell k2 dial (kd2, the linear comparison over per-cell counts),
+    per-cell hash-order seeds (row_number over the same sha256
+    expression — cells with fewer rows than k2 seed fewer clusters,
+    matching numpy's min(k, len)), per-iteration argmin with
+    (dist, sub) ties and per-(cell, sub) floor means with carry-forward
+    for empty subclusters."""
+    from crdb_changefeed_publisher_spark.operators.linalg import KMEANS_K_CHOICES
+
+    choices = ", ".join(f"({k})" for k in KMEANS_K_CHOICES)
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor(x * {scale}) AS BIGINT)) AS q FROM embeddings)",
+        f"kdial1 AS MATERIALIZED (SELECT MIN(k)::INT AS k FROM (VALUES {choices}) t(k) "
+        f"WHERE CAST(k AS BIGINT) * k * {cell_target} >= (SELECT count(*) FROM embeddings) "
+        f"OR k = {KMEANS_K_CHOICES[-1]})",
+        "c0 AS MATERIALIZED (SELECT cid, c FROM ("
+        "  SELECT row_number() OVER ("
+        "    ORDER BY sha256('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id"
+        "  ) - 1 AS cid, q AS c FROM v"
+        ") WHERE cid < (SELECT k FROM kdial1))",
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, q, cid FROM ("
+            f"  SELECT v.vec_id, v.q, c.cid, row_number() OVER ("
+            f"    PARTITION BY v.vec_id ORDER BY {_KM_DIST}, c.cid) AS rn"
+            f"  FROM v, c{t - 1} c"
+            f") WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT cid, list(m ORDER BY pos) AS c FROM ("
+            f"  SELECT cid, pos, CAST(floor(CAST(sum(q[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS m"
+            f"  FROM a{t}, range(1, 65) r{t}(pos) GROUP BY cid, pos"
+            f") GROUP BY cid)"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT * FROM m{t} UNION ALL "
+            f"SELECT p.cid, p.c FROM c{t - 1} p "
+            f"WHERE p.cid NOT IN (SELECT cid FROM m{t}))"
+        )
+    parts.append(
+        f"l1 AS MATERIALIZED (SELECT vec_id, q, cell FROM ("
+        f"  SELECT v.vec_id, v.q, c.cid AS cell, row_number() OVER ("
+        f"    PARTITION BY v.vec_id ORDER BY {_KM_DIST}, c.cid) AS rn"
+        f"  FROM v, c{n_iters} c"
+        f") WHERE rn = 1)"
+    )
+    parts.append(
+        f"kd2 AS MATERIALIZED (SELECT g.cell, MIN(t.k)::INT AS k "
+        f"FROM (SELECT cell, count(*) AS cnt FROM l1 GROUP BY cell) g, "
+        f"(VALUES {choices}) t(k) "
+        f"WHERE t.k * {cell_target} >= g.cnt OR t.k = {KMEANS_K_CHOICES[-1]} "
+        f"GROUP BY g.cell)"
+    )
+    parts.append(
+        "s0 AS MATERIALIZED (SELECT s.cell, s.sub, s.c FROM ("
+        "  SELECT cell, row_number() OVER (PARTITION BY cell"
+        "    ORDER BY sha256('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id"
+        "  ) - 1 AS sub, q AS c FROM l1"
+        ") s JOIN kd2 ON kd2.cell = s.cell WHERE s.sub < kd2.k)"
+    )
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT vec_id, cell, q, sub FROM ("
+            f"  SELECT l.vec_id, l.cell, l.q, c.sub, row_number() OVER ("
+            f"    PARTITION BY l.vec_id ORDER BY {_KM2_DIST}, c.sub) AS rn"
+            f"  FROM l1 l JOIN s{t - 1} c ON c.cell = l.cell"
+            f") WHERE rn = 1)"
+        )
+        parts.append(
+            f"mm{t} AS MATERIALIZED (SELECT cell, sub, list(m ORDER BY pos) AS c FROM ("
+            f"  SELECT cell, sub, pos, CAST(floor(CAST(sum(q[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS m"
+            f"  FROM b{t}, range(1, 65) rr{t}(pos) GROUP BY cell, sub, pos"
+            f") GROUP BY cell, sub)"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT * FROM mm{t} UNION ALL "
+            f"SELECT p.cell, p.sub, p.c FROM s{t - 1} p "
+            f"WHERE NOT EXISTS (SELECT 1 FROM mm{t} m "
+            f"WHERE m.cell = p.cell AND m.sub = p.sub))"
+        )
+    return ",\n    ".join(parts)
+
+
+_KMEANS2_CACHE: dict[tuple[str, str], tuple[list[list[int]], list]] = {}
+
+
+def _kmeans2_artifacts(spark: SparkSession, sf_dir: str):
+    """Session-cached two-level codebook (cents1, collected codebook rows):
+    one training run feeds the assignment spec and any probe consumer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KMEANS2_CACHE:
+        from crdb_changefeed_publisher_spark.operators.linalg import (
+            kmeans_train_two_level,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents1, codebook = kmeans_train_two_level(
+            emb, cell_target=KMEANS_CELL_TARGET, n_iters=KMEANS_ITERS,
+            scale=KMEANS_SCALE, n=_emb_count(spark, sf_dir),
+        )
+        _KMEANS2_CACHE[key] = (cents1, codebook.collect())
+    return _KMEANS2_CACHE[key]
+
+
+@query(
+    "embedding_kmeans_two_level",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=f"""
+    WITH {_kmeans2_ctes()}
+    SELECT vec_id, cell, sub, sq_dist FROM (
+        SELECT l.vec_id, l.cell, c.sub, {_KM2_DIST} AS sq_dist,
+               row_number() OVER (PARTITION BY l.vec_id
+                                  ORDER BY {_KM2_DIST}, c.sub) AS rn
+        FROM l1 l JOIN s{KMEANS_ITERS} c ON c.cell = l.cell
+    ) WHERE rn = 1
+    """,
+    doc="TWO-LEVEL exact-integer Lloyd (the seventh-decade trainer, r10 "
+    "verdict #1): flat Lloyd is n*k per iteration with k ~ n/250 — "
+    "quadratic in corpus size, measured as the scaling wall at 2M "
+    "vectors (607 s, docs/SCALE.md). This trains k1 ~ sqrt(n/250) "
+    "coarse cells flat, shuffles vectors ONCE on the learned cell key, "
+    "then trains each cell's k2 sub-centroids cell-locally via "
+    "applyInPandas — both levels ~n*sqrt(n/250) per iteration, capacity "
+    "8192^2*250 = 16.8e12 vectors, and EVERY step stays in the exact "
+    "integer domain (hash-order seeds, argmin with id ties, floor "
+    "means, carry-forward) so the unrolled two-level SQL twin is "
+    "value-exact — no sampling tolerance contract needed "
+    "(operators/linalg.py::kmeans_train_two_level).",
+)
+def embedding_kmeans_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_assign_two_level,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents1, cb_rows = _kmeans2_artifacts(spark, sf_dir)
+    codebook = spark.createDataFrame(
+        [(int(r.cell), int(r.sub), list(r.c), int(r.n_members)) for r in cb_rows],
+        "cell int, sub int, c array<bigint>, n_members bigint",
+    )
+    return kmeans_assign_two_level(emb, cents1, codebook, scale=KMEANS_SCALE)
 
 
 @query(

@@ -1254,6 +1254,35 @@ def test_kmeans_dials_integer_exact():
         kmeans_k_for(2_048_001)
 
 
+def test_kmeans_k1_dial_and_two_level_guard(spark):
+    """The level-1 dial is the SQUARED comparison (k1 ~ ceil-sqrt of
+    n/cell_target), so the two-level trainer's capacity is the square of
+    the flat trainer's (8192^2 * 250 = 16.8e12); the flat dial's raise
+    message points at the two-level escape; the coarse-cell skew guard
+    refuses with the measured population instead of concentrating one
+    task."""
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_k1_for,
+        kmeans_k_for,
+        kmeans_train_two_level,
+    )
+
+    assert kmeans_k1_for(2000) == 8          # 8*8*250 = 16k >= 2k
+    assert kmeans_k1_for(16_000) == 8        # the boundary itself
+    assert kmeans_k1_for(16_001) == 16
+    assert kmeans_k1_for(2_048_000) == 128   # flat capacity, k1 = sqrt(8192*...)
+    assert kmeans_k1_for(20_480_000) == 512  # the seventh decade
+    assert kmeans_k1_for(8192 * 8192 * 250) == 8192
+    with pytest.raises(ValueError, match="saturated"):
+        kmeans_k1_for(8192 * 8192 * 250 + 1)
+    with pytest.raises(ValueError, match="two-level"):
+        kmeans_k_for(2_048_001)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="coarse cell"):
+        kmeans_train_two_level(emb, max_cell_rows=10)
+
+
 def test_triangle_counts_handcrafted_topologies(spark):
     """4-clique (every node in C(3,2)=3 triangles), a pendant edge, a
     triangle-free star hub, and a chain: degree-oriented counting gets

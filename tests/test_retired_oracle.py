@@ -77,6 +77,7 @@ def test_retired_set_is_the_expected_one():
         "embedding_gram_covariance",
         "embedding_hard_negatives",
         "embedding_kmeans",
+        "embedding_kmeans_two_level",
         "embedding_pca_project",
         "embedding_topk_ivf",
         "embedding_topk_pca",
