@@ -894,6 +894,113 @@ def _excise_covered(flagged: DataFrame, n: int) -> DataFrame:
     )
 
 
+def _gram_digest_stream(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """One column of 32-byte sha256 digests — one row per n-gram start
+    position, ALL occurrences (within-document repeats included), no doc
+    keys, no positions. hashlib.sha256 over the same space-joined gram
+    bytes == Spark's unhex(sha2(gram, 256)) in _positional_grams, so the
+    two builders agree digest-for-digest (pinned by the sliced==one-shot
+    equality test).
+
+    Exists for the SLICED excision's counting pass: building grams with
+    the lead-window form costs a full-rowset exchange on doc_id before a
+    single gram is counted — the ~50 GB that makes the one-shot form
+    disk-bound at 5M docs on one box. Arrow-batched Python pays CPU
+    (sha256 per gram) to make the counting pass exchange 32-byte digests
+    ONLY — the deliberate CPU-for-disk trade of the big-corpus path."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                words = text.strip().split(" ")
+                for i in range(len(words) - n + 1):
+                    out.append(
+                        hashlib.sha256(" ".join(words[i: i + n]).encode()).digest()
+                    )
+            yield pd.DataFrame({"gk": pd.Series(out, dtype=object)})
+
+    return docs.select(text_col).mapInPandas(gen, "gk binary")
+
+
+def exact_substring_excise_sliced(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_slices: int = 8,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """ExactSubstr excision for corpora past the one-shot form's
+    single-box disk boundary (r10 verdict #3): value-identical output to
+    `exact_substring_excise`, with peak shuffle footprint bounded by the
+    slice size instead of the corpus.
+
+    The one-shot form shuffles the full positional-gram rowset twice
+    (digest count window, doc coverage window) plus once to build the
+    grams — measured ~100 GB of spill at 5M docs against ~50 GB free
+    (docs/SCALE.md; SPILL_OUT_OF_MEMORY recorded). The fix exploits that
+    only the COUNTING is global; flagging and coverage are doc-local:
+
+    * PASS A (whole corpus, digests only): stream 32-byte gram digests
+      (no doc keys, no positions — _gram_digest_stream), partial-agg
+      count, keep digests with count >= min_count. The only full-corpus
+      exchange carries 32-byte digests, and the duplicated-digest SET
+      lands in `scratch_dir` as parquet — corpus-size-independent state
+      between passes.
+    * PASS B (per doc slice, `doc_id % n_slices`): build the slice's
+      positional grams (the lead-window form — its exchange is now
+      slice-bounded), LEFT JOIN the duplicated set on the digest,
+      coverage + rebuild exactly as the one-shot form, write the slice's
+      rewritten rows to scratch parquet.
+
+    Peak disk ~ (corpus digests) + 2 * (corpus rows / n_slices) + the
+    duplicated set per pass — dial n_slices to the box. The function
+    EXECUTES the passes (it is a rewrite job, not a view; at 100 TB this
+    runs as a batch writing a table) and returns the union read back
+    from scratch. Semantics are the one-shot form's to the byte: same
+    digests, same min_count over ALL occurrences, same coverage merge —
+    pinned by a row-for-row equality test at a tier both forms run."""
+    import tempfile
+
+    spark = docs.sparkSession
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="exsub_sliced_")
+    dup_path = f"{scratch_dir}/dup_digests.parquet"
+    out_path = f"{scratch_dir}/rewritten.parquet"
+
+    (
+        _gram_digest_stream(docs, n, text_col, id_col)
+        .groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gk")
+        .write.mode("overwrite")
+        .parquet(dup_path)
+    )
+    dup = spark.read.parquet(dup_path).withColumn("dup", F.lit(1))
+
+    for s in range(n_slices):
+        part = docs.filter(F.pmod(F.col(id_col), F.lit(n_slices)) == s)
+        keyed = _positional_grams(part, n, text_col, id_col)
+        flagged = keyed.join(dup, "gk", "left").withColumn(
+            "dup_start",
+            (F.col("has_gram") & F.col("dup").isNotNull()).cast("int"),
+        )
+        _excise_covered(flagged, n).write.mode(
+            "overwrite" if s == 0 else "append"
+        ).parquet(out_path)
+
+    return spark.read.parquet(out_path)
+
+
 def contaminated_span_excise(
     docs: DataFrame,
     benchmark: DataFrame,

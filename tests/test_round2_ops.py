@@ -1047,6 +1047,47 @@ def test_exact_substring_excise_handcrafted(spark):
     assert out[5].n_removed_words == 0
 
 
+def test_exact_substring_excise_sliced_equals_one_shot(spark):
+    """The disk-bounded sliced form (r10 verdict #3) must be VALUE-
+    IDENTICAL to the one-shot form: same digests (hashlib sha256 ==
+    Spark sha2 on the same gram bytes), same all-occurrence min_count,
+    same coverage merge — only the pass structure differs. Runs on the
+    handcrafted corpus (every semantic edge: cross-doc runs, within-doc
+    repeats, sub-n docs) plus the 5k realistic tier."""
+    from crdb_changefeed_publisher_spark.fixtures import ensure_tier
+    from crdb_changefeed_publisher_spark.operators.text import (
+        exact_substring_excise,
+        exact_substring_excise_sliced,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog"),
+        (2, "once upon the quick brown fox jumps again ok"),
+        (3, "completely different text with no overlap at all"),
+        (4, "x y repeat me now and repeat me now z"),
+        (5, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(tuple(r) for r in exact_substring_excise(docs, n=3).collect())
+    sl = sorted(
+        tuple(r)
+        for r in exact_substring_excise_sliced(docs, n=3, n_slices=3).collect()
+    )
+    assert one == sl
+
+    real = spark.read.parquet(f"{ensure_tier(5000)}/documents.parquet")
+    one_r = sorted(
+        tuple(r) for r in exact_substring_excise(real, n=8, min_count=2).collect()
+    )
+    sl_r = sorted(
+        tuple(r)
+        for r in exact_substring_excise_sliced(
+            real, n=8, min_count=2, n_slices=4
+        ).collect()
+    )
+    assert len(one_r) == 5000 and one_r == sl_r
+
+
 def test_contaminated_span_excise_handcrafted(spark):
     """Passage-scrub semantics (n=3): only benchmark-overlapping runs are
     removed; corpus-internal duplication is NOT this operator's business

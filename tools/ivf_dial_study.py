@@ -218,6 +218,172 @@ def sixth_decade_sweep(spark, sf_dir: str, qmod: int = 1000) -> dict:
     }
 
 
+def two_level_sweep(spark, sf_dir: str, qmod: int = 10_000) -> dict:
+    """The SEVENTH-decade recall point (r10 verdict #1): train the
+    two-level exact trainer (linalg.kmeans_train_two_level — the escape
+    kmeans_k_for's raise points at past 2.048M vectors), flatten the
+    (cell, sub) codebook into k_total ~ n/250 final centroids, and
+    measure candidate recall@5 vs exact cosine truth at the sqrt dial,
+    exactly like the sixth-decade flat sweep.
+
+    Index-side membership is the OPERATOR's assignment (L1 argmin, then
+    argmin over the winning coarse cell's sub-centroids) — at 20M
+    vectors a flat argmin over 131k centroids would cost n * k_total
+    ~ 2.7e12 mults, and the whole point of the two-level index is that
+    nobody pays it; what recall measures is precisely the price of that
+    hierarchical assignment + probing. n_assign > 1 assigns each vector
+    to the best sub of each of its top-n_assign COARSE cells (the
+    boundary-vector fix multi-assignment exists for). Query-side
+    probing ranks ALL k_total final centroids (queries are sampled, so
+    nq * k_total stays small).
+
+    Corpus loads via pyarrow straight from parquet — 20M embedding rows
+    through toPandas would materialize 20M Python lists; the flat
+    float32 values reshape without any per-row objects."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_k1_for,
+        kmeans_train_two_level,
+        n_probe_for,
+    )
+    from crdb_changefeed_publisher_spark.plans.llm import KMEANS_SCALE
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    t0 = time.monotonic()
+    cents1, codebook = kmeans_train_two_level(emb, n=n, scale=KMEANS_SCALE)
+    cb = codebook.collect()
+    train_sec = round(time.monotonic() - t0, 1)
+
+    C1 = np.asarray(cents1, dtype=np.float64)
+    k1 = len(C1)
+    by_cell: dict[int, list] = {}
+    for r in cb:
+        by_cell.setdefault(int(r.cell), []).append((int(r.sub), r.c))
+    subcents = {
+        c: np.asarray([v for _, v in sorted(rows)], dtype=np.float64)
+        for c, rows in by_cell.items()
+    }
+    # flat ids: (cell, sub) -> row in C_flat, in (cell, sub) order
+    flat_base: dict[int, int] = {}
+    mats, off = [], 0
+    for c in sorted(subcents):
+        flat_base[c] = off
+        mats.append(subcents[c])
+        off += len(subcents[c])
+    C_flat = np.concatenate(mats)
+    k_total = len(C_flat)
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_numpy()
+    emb_col = t.column("embedding").combine_chunks()
+    X = np.asarray(emb_col.values, dtype=np.float32).reshape(len(ids), -1)
+    del t, emb_col
+    Qf = np.floor(X.astype(np.float64) * KMEANS_SCALE)  # float64-exact ints
+    cc1 = (C1 * C1).sum(axis=1)
+
+    n_assign_max = min(3, k1)
+    t0 = time.monotonic()
+    # top-n_assign COARSE cells per vector, chunked
+    l1cells = np.empty((len(ids), n_assign_max), dtype=np.int32)
+    for lo in range(0, len(ids), 100_000):
+        q = Qf[lo: lo + 100_000]
+        dm = (q * q).sum(axis=1)[:, None] - 2.0 * (q @ C1.T) + cc1[None, :]
+        part = np.argpartition(
+            dm, min(n_assign_max, dm.shape[1] - 1), axis=1
+        )[:, :n_assign_max]
+        rows = np.arange(part.shape[0])[:, None]
+        l1cells[lo: lo + 100_000] = part[
+            rows, np.argsort(dm[rows, part], axis=1, kind="stable")
+        ]
+    # best sub within each assigned coarse cell -> flat final-cell ids
+    acell = np.empty((len(ids), n_assign_max), dtype=np.int64)
+    for slot in range(n_assign_max):
+        col = l1cells[:, slot]
+        for c in np.unique(col):
+            m = np.where(col == c)[0]
+            Cs = subcents[int(c)]
+            ccs = (Cs * Cs).sum(axis=1)
+            best = np.empty(len(m), dtype=np.int64)
+            for lo in range(0, len(m), 200_000):
+                idx = m[lo: lo + 200_000]
+                q = Qf[idx]
+                dm = (q * q).sum(axis=1)[:, None] - 2.0 * (q @ Cs.T) + ccs[None, :]
+                best[lo: lo + 200_000] = dm.argmin(axis=1)
+            acell[m, slot] = flat_base[int(c)] + best
+    assign_sec = round(time.monotonic() - t0, 1)
+
+    qidx = np.where(ids % qmod == 0)[0]
+    nq = len(qidx)
+    Xn = (X / np.linalg.norm(X, axis=1, keepdims=True)).astype(np.float64)
+    del X
+    Qn = Xn[qidx]
+
+    t0 = time.monotonic()
+    best_sim = np.full((nq, 5), -2.0)
+    best_idx = np.full((nq, 5), -1, dtype=np.int64)
+    for lo in range(0, len(ids), 100_000):
+        S = Qn @ Xn[lo: lo + 100_000].T
+        sel = (qidx >= lo) & (qidx < lo + S.shape[1])
+        S[np.where(sel)[0], qidx[sel] - lo] = -2.0
+        top = np.argpartition(-S, min(5, S.shape[1] - 1), axis=1)[:, :5]
+        cand_sim = np.concatenate([best_sim, S[np.arange(nq)[:, None], top]], axis=1)
+        cand_idx = np.concatenate([best_idx, top + lo], axis=1)
+        keep = np.argpartition(-cand_sim, 5, axis=1)[:, :5]
+        best_sim = cand_sim[np.arange(nq)[:, None], keep]
+        best_idx = cand_idx[np.arange(nq)[:, None], keep]
+    truth_sec = round(time.monotonic() - t0, 1)
+
+    # query-side flat ranking over all k_total final centroids
+    ccf = (C_flat * C_flat).sum(axis=1)
+    qq = Qf[qidx]
+    dq = (qq * qq).sum(axis=1)[:, None] - 2.0 * (qq @ C_flat.T) + ccf[None, :]
+    qcell_order = np.argsort(dq, axis=1, kind="stable")
+
+    dial = n_probe_for(k_total)
+    probes = sorted(
+        {max(3, dial // 8), max(3, dial // 4), dial // 2, dial, 2 * dial,
+         min(4 * dial, k_total)}
+    )
+    points = []
+    for n_assign in range(1, n_assign_max + 1):
+        ac = acell[:, :n_assign]
+        for p in probes:
+            if p > k_total:
+                continue
+            hits = 0
+            for qi in range(nq):
+                probed = set(qcell_order[qi, :p].tolist())
+                for nb in best_idx[qi]:
+                    if any(int(c) in probed for c in ac[nb]):
+                        hits += 1
+            points.append(
+                {
+                    "n_assign": n_assign,
+                    "n_probe": p,
+                    "scan_fraction": round(p / k_total * n_assign, 4),
+                    "recall_at_5": round(hits / (5 * nq), 4),
+                }
+            )
+    return {
+        "n": int(n),
+        "k1": int(k1),
+        "k_total": int(k_total),
+        "dial_k1": kmeans_k1_for(n),
+        "dial_n_probe": dial,
+        "n_queries": int(nq),
+        "train_sec": train_sec,
+        "assign_sec": assign_sec,
+        "truth_sec": truth_sec,
+        "points": points,
+    }
+
+
 def clustered_fixture(spark, n: int, dim: int = 64, n_clusters: int = 16,
                       noise: float = 0.35, seed: int = 11):
     import numpy as np
@@ -269,7 +435,7 @@ def clustered_level(spark) -> list[dict]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--study", default="both",
-                    choices=["isotropic", "clustered", "both", "sixth"])
+                    choices=["isotropic", "clustered", "both", "sixth", "seventh"])
     ap.add_argument("--sf-dir", default="/root/repo/.scratch/testdata/sf1")
     ap.add_argument("--qmod", type=int, default=1000,
                     help="sixth-decade query sampling modulus (vec_id %% qmod == 0)")
@@ -285,6 +451,8 @@ def main() -> None:
         result["clustered"] = clustered_level(spark)
     if args.study == "sixth":
         result["sixth_decade"] = sixth_decade_sweep(spark, args.sf_dir, args.qmod)
+    if args.study == "seventh":
+        result["two_level"] = two_level_sweep(spark, args.sf_dir, args.qmod)
     print(json.dumps(result))
 
 
