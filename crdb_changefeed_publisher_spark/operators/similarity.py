@@ -979,3 +979,125 @@ def ivf_topk_trained(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def ivf_topk_two_level(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents1: list[list[int]],
+    codebook: DataFrame,
+    k: int = 5,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF serving over a TWO-LEVEL trained codebook — the query path of
+    the seventh-decade trainer (linalg.kmeans_train_two_level): the
+    corpus indexes by the operator's hierarchical assignment (L1 argmin,
+    then argmin over the winning coarse cell's subs), and each query
+
+    * ranks the k1 COARSE centroids by exact int64 distance and keeps
+      its n_probe_for(k1) nearest coarse cells (never the k_total flat
+      ranking — pricing the coarse screen is the point of the level),
+    * ranks those cells' SUB-centroids by the same exact distance
+      ((dist, cell, sub) ties) and keeps n_probe_for(k_total) final
+      (cell, sub) probes,
+    * equi-joins candidates on the (cell, sub) key and reranks by exact
+      cosine — the ivf_topk_trained contract unchanged.
+
+    Both probe dials stay integer-exact (n_probe_for at each level), so
+    the WHOLE two-level lifecycle — train, index, coarse probe, sub
+    probe, rerank — is value-verifiable against an unrolled SQL twin
+    (plans/llm.py::embedding_topk_ivf_two_level). At 100 TB the
+    assignment is the write-time (cell, sub)-partitioned layout; the
+    coarse screen costs queries k1 ~ sqrt(k_total) distance rows instead
+    of k_total — the same sqrt saving on the query side that the trainer
+    takes on the build side."""
+    import numpy as np
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        _int_sq_dists,
+        _quantize_np,
+        kmeans_assign_two_level,
+        n_probe_for,
+    )
+
+    C1 = np.asarray(cents1, dtype=np.int64)
+    cb_rows = codebook.select("cell", "sub", "c").collect()
+    by_cell: dict[int, dict[int, list[int]]] = {}
+    for r in cb_rows:
+        by_cell.setdefault(int(r.cell), {})[int(r.sub)] = r.c
+    packed = {
+        cell: np.asarray([subs[i] for i in range(len(subs))], dtype=np.int64)
+        for cell, subs in by_cell.items()
+    }
+    c1_probe = min(n_probe_for(len(C1)), len(C1))
+    p2 = n_probe_for(len(cb_rows))
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
+            d1 = _int_sq_dists(Q, C1)
+            coarse = np.argsort(d1, axis=1, kind="stable")[:, :c1_probe]
+            out_q, out_cell, out_sub = [], [], []
+            ids = pdf[id_col].to_numpy()
+            for i in range(len(Q)):
+                cells = np.concatenate(
+                    [np.full(len(packed[int(c)]), c, dtype=np.int64)
+                     for c in coarse[i]]
+                )
+                subs = np.concatenate(
+                    [np.arange(len(packed[int(c)]), dtype=np.int64)
+                     for c in coarse[i]]
+                )
+                dists = np.concatenate(
+                    [_int_sq_dists(Q[i: i + 1], packed[int(c)])[0]
+                     for c in coarse[i]]
+                )
+                # primary dist, then (cell, sub) — the oracle's window order
+                order = np.lexsort((subs, cells, dists))[:p2]
+                out_q.append(np.full(len(order), ids[i]))
+                out_cell.append(cells[order])
+                out_sub.append(subs[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cell": np.concatenate(out_cell).astype(np.int32),
+                    "sub": np.concatenate(out_sub).astype(np.int32),
+                }
+            )
+
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe, f"query_id {qid_type}, cell int, sub int"
+    )
+    cells = kmeans_assign_two_level(
+        corpus, cents1, codebook, scale, vec_col, id_col
+    ).select(F.col(id_col).alias("neighbor_id"), "cell", "sub")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qe")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ce")
+    )
+    scored = (
+        probes.join(cells, ["cell", "sub"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_arrow(F.col("qe"), F.col("ce")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )

@@ -2493,12 +2493,110 @@ def embedding_kmeans_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    cents1, codebook = _kmeans2_codebook_df(spark, sf_dir)
+    return kmeans_assign_two_level(emb, cents1, codebook, scale=KMEANS_SCALE)
+
+
+def _kmeans2_codebook_df(spark: SparkSession, sf_dir: str):
     cents1, cb_rows = _kmeans2_artifacts(spark, sf_dir)
     codebook = spark.createDataFrame(
         [(int(r.cell), int(r.sub), list(r.c), int(r.n_members)) for r in cb_rows],
         "cell int, sub int, c array<bigint>, n_members bigint",
     )
-    return kmeans_assign_two_level(emb, cents1, codebook, scale=KMEANS_SCALE)
+    return cents1, codebook
+
+
+def _ivf_two_level_oracle(
+    query_mod: int = 25,
+    topk: int = 5,
+    n_iters: int = KMEANS_ITERS,
+    cell_target: int = KMEANS_CELL_TARGET,
+) -> str:
+    """The full TWO-LEVEL lifecycle as one SQL twin (two-level train ->
+    hierarchical index -> coarse probe (c1dial = ceil-sqrt of kdial1) ->
+    sub probe ((dist, cell, sub) window capped by p2dial = ceil-sqrt of
+    the realized k_total) -> exact cosine rerank). Same construction as
+    _ivf_trained_oracle over _kmeans2_ctes; every dial stays an integer
+    comparison both engines evaluate identically."""
+    return f"""
+    WITH {_kmeans2_ctes(n_iters=n_iters, cell_target=cell_target)},
+    assign2 AS MATERIALIZED (
+        SELECT vec_id, cell, sub FROM (
+            SELECT l.vec_id, l.cell, c.sub,
+                   row_number() OVER (PARTITION BY l.vec_id
+                                      ORDER BY {_KM2_DIST}, c.sub) AS rn
+            FROM l1 l JOIN s{n_iters} c ON c.cell = l.cell
+        ) WHERE rn = 1
+    ),
+    c1dial AS MATERIALIZED (
+        SELECT MIN(p)::INT AS p FROM range(3, 128) t(p)
+        WHERE p * p >= (SELECT k FROM kdial1)
+    ),
+    p2dial AS MATERIALIZED (
+        SELECT MIN(p)::INT AS p FROM range(3, 1024) t(p)
+        WHERE p * p >= (SELECT count(*) FROM s{n_iters})
+    ),
+    qc AS (
+        SELECT query_id, cell FROM (
+            SELECT v.vec_id AS query_id, c.cid AS cell,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_KM_DIST}, c.cid) AS pr
+            FROM v, c{n_iters} c
+            WHERE v.vec_id % {query_mod} = 0
+        ) WHERE pr <= (SELECT p FROM c1dial)
+    ),
+    qp AS (
+        SELECT query_id, cell, sub FROM (
+            SELECT q.query_id, c.cell, c.sub,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_KM_DIST}, c.cell, c.sub) AS pr
+            FROM qc q JOIN v ON v.vec_id = q.query_id
+                      JOIN s{n_iters} c ON c.cell = q.cell
+        ) WHERE pr <= (SELECT p FROM p2dial)
+    ),
+    ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(q.e, n.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(n.e, n.e))), 6) AS score
+        FROM qp p
+        JOIN assign2 a ON a.cell = p.cell AND a.sub = p.sub
+                      AND a.vec_id <> p.query_id
+        JOIN ve q ON q.vec_id = p.query_id
+        JOIN ve n ON n.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {topk}
+    """
+
+
+@query(
+    "embedding_topk_ivf_two_level",
+    retired=True,  # registry at the 50 cap; oracle-verified in pytest
+    oracle=_ivf_two_level_oracle(),
+    doc="The two-level ANN lifecycle served end-to-end IN-ENGINE: the "
+    "seventh-decade trainer's codebook (embedding_kmeans_two_level, "
+    "session-shared) indexes the corpus hierarchically, queries rank the "
+    "k1 ~ sqrt(k_total) COARSE cells by exact integer distance (never "
+    "the flat k_total ranking — the coarse screen is the level's query-"
+    "side saving), keep ceil-sqrt(k1) of them, rank those cells' subs "
+    "and keep ceil-sqrt(k_total) final (cell, sub) probes, then exact "
+    "cosine reranks the probed candidates. Every dial and every distance "
+    "is integer-exact, so the complete two-level lifecycle is value-"
+    "verified against the unrolled SQL twin "
+    "(operators/similarity.py::ivf_topk_two_level).",
+)
+def embedding_topk_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    cents1, codebook = _kmeans2_codebook_df(spark, sf_dir)
+    return similarity.ivf_topk_two_level(
+        queries, emb, cents1, codebook, k=5, scale=KMEANS_SCALE
+    )
 
 
 @query(

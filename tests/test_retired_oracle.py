@@ -80,6 +80,7 @@ def test_retired_set_is_the_expected_one():
         "embedding_kmeans_two_level",
         "embedding_pca_project",
         "embedding_topk_ivf",
+        "embedding_topk_ivf_two_level",
         "embedding_topk_pca",
         "embedding_topk_pq",
         "events_funnel_windowed",
