@@ -543,6 +543,17 @@ def kmeans_assign_two_level(
             sub = np.empty(len(Q), dtype=np.int32)
             dist = np.empty(len(Q), dtype=np.int64)
             for c in np.unique(cell):
+                if int(c) not in packed:
+                    # only reachable when assigning a corpus the codebook
+                    # was NOT trained on: the trainer's own corpus can't
+                    # argmin into a coarse cell it left empty (the same
+                    # assignment built the codebook groups)
+                    raise ValueError(
+                        f"kmeans_assign_two_level: coarse cell {int(c)} "
+                        "has no sub-centroids in the codebook — this "
+                        "corpus was not the one the codebook was trained "
+                        "on; retrain or use the flat assignment"
+                    )
                 m = cell == c
                 d2 = _int_sq_dists(Q[m], packed[int(c)])
                 b = d2.argmin(axis=1)

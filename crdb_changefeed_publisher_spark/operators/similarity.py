@@ -1044,17 +1044,22 @@ def ivf_topk_two_level(
             out_q, out_cell, out_sub = [], [], []
             ids = pdf[id_col].to_numpy()
             for i in range(len(Q)):
+                # a coarse cell that ended training EMPTY has a centroid
+                # but no sub-centroids (its codebook group never formed);
+                # ranking keeps it in the top-c1 but it contributes no
+                # candidate subs — the SQL twin's join on s{T} drops it
+                # the same way
+                live = [int(c) for c in coarse[i] if int(c) in packed]
+                if not live:
+                    continue
                 cells = np.concatenate(
-                    [np.full(len(packed[int(c)]), c, dtype=np.int64)
-                     for c in coarse[i]]
+                    [np.full(len(packed[c]), c, dtype=np.int64) for c in live]
                 )
                 subs = np.concatenate(
-                    [np.arange(len(packed[int(c)]), dtype=np.int64)
-                     for c in coarse[i]]
+                    [np.arange(len(packed[c]), dtype=np.int64) for c in live]
                 )
                 dists = np.concatenate(
-                    [_int_sq_dists(Q[i: i + 1], packed[int(c)])[0]
-                     for c in coarse[i]]
+                    [_int_sq_dists(Q[i: i + 1], packed[c])[0] for c in live]
                 )
                 # primary dist, then (cell, sub) — the oracle's window order
                 order = np.lexsort((subs, cells, dists))[:p2]

@@ -1169,6 +1169,45 @@ def test_ivf_trained_level_recall_on_clustered_corpus(spark):
     assert len(got & truth) / len(truth) >= 0.95
 
 
+def test_ivf_two_level_level_recall_on_clustered_corpus(spark):
+    """The two-level lifecycle inherits the flat index's level-recall
+    property on clustered data (measured 1.000 at BOTH 2k/k_total=64 and
+    20k/k_total=137 via tools/ivf_dial_study.clustered_fixture): the
+    coarse screen plus the sub probe still lands queries in the true
+    cluster's cells. Also regression-pins the empty-coarse-cell path —
+    at 20k the trainer leaves coarse cells empty and a query's top-c1
+    ranking can include one; probing it must contribute nothing (the SQL
+    twin's join semantics), not KeyError."""
+    import numpy as np
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_train_two_level,
+    )
+    from crdb_changefeed_publisher_spark.plans.llm import KMEANS_SCALE
+
+    n, dim, n_clusters = 2000, 64, 16
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, n)
+    pts = centers[labels] + 0.35 * rng.standard_normal((n, dim)) / (dim**0.5)
+    emb = spark.createDataFrame(
+        [(int(i), [float(round(x, 4)) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+    cents1, codebook = kmeans_train_two_level(emb, n=n, scale=KMEANS_SCALE)
+    codebook = codebook.localCheckpoint(eager=True)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    ivf = similarity.ivf_topk_two_level(
+        q, emb, cents1, codebook, k=5, scale=KMEANS_SCALE
+    )
+    bf = similarity.brute_force_topk(q, emb, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    assert len(truth) > 0
+    assert len(got & truth) / len(truth) >= 0.95
+
+
 def test_ivf_lifecycle_value_exact_at_k2048(spark):
     """The k-generic PROOF behind extending KMEANS_K_CHOICES past 1024
     (r9 verdict #2): on a 4,000-vector corpus with cell_target=2 the
