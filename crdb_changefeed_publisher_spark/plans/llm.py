@@ -3545,7 +3545,7 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r10 swap round 7 PROMOTION: the REWRITE half of dedup — excision
     # stays linear (output bounded by one row per doc) on the saturated
     # sf10 corpus where the pair-join dedups hit their quadratic guard
-    oracle="""
+    oracle=(_EXSUB_ORACLE := """
     WITH words AS (
         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
     ),
@@ -3580,7 +3580,7 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     FILTER (WHERE covered = 0), ' '),
                     '') AS kept_text
     FROM cov GROUP BY doc_id ORDER BY doc_id
-    """,
+    """),
     doc="ExactSubstr DEDUPLICATION (Lee et al. 2022 §4.1): rewrite every "
     "document with each duplicated >=8-word span excised — the removal "
     "step duplicate_span_report only measures. A position is removed when "
@@ -3595,6 +3595,27 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.exact_substring_excise(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_exact_substring_dedup_sliced",
+    retired=True,  # the disk-bounded variant of the registered row,
+    # under the SAME oracle (value-identical is the contract, so one
+    # twin verifies both pass structures every round — r10 verdict #3)
+    oracle=_EXSUB_ORACLE,
+    doc="The doc-sliced ExactSubstr rewrite (operators/text.py::"
+    "exact_substring_excise_sliced) under the registered row's exact "
+    "oracle: pass A counts gram digests corpus-wide (Arrow-batched "
+    "sha256 == the JVM digests byte-for-byte), pass B rewrites per doc "
+    "slice against the persisted duplicated-digest set — peak shuffle "
+    "disk bounded by the slice, not the corpus (the 5M-doc tier that "
+    "one-shot cannot run on one box completes in 745 s; docs/SCALE.md "
+    "'ExactSubstr past the single-box disk boundary').",
+)
+def doc_exact_substring_dedup_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.exact_substring_excise_sliced(
+        load_table(spark, sf_dir, "documents"), n_slices=3
+    )
 
 
 @query(

@@ -65,6 +65,7 @@ def test_retired_set_is_the_expected_one():
         "doc_decontaminate_excise",
         "doc_decontamination",
         "doc_duplicate_spans",
+        "doc_exact_substring_dedup_sliced",
         "doc_pii_scrub",
         "doc_quality_classifier",
         "doc_seq_packing",
