@@ -186,12 +186,52 @@ def measure_exactsubstr(spark, tier_dir: str, n_docs: int) -> dict:
     }
 
 
+def measure_minhash16(spark, tier_dir: str, n_docs: int) -> dict:
+    """Decade curve for the REGISTERED realism family (r11 swap round 9):
+    the 16-hash/4-band PORTABLE MinHash pair build + degree view, the
+    exact entry points behind realism_minhash_pairs /
+    realism_minhash_degrees (which run only at the 500k tier under their
+    DuckDB twins). Records wall time, rows, and planted recall per tier
+    so the registered row carries its own scaling story like every other
+    near-dup path."""
+    import time as _time
+
+    from crdb_changefeed_publisher_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(tier_dir, "documents.parquet"))
+    docs = docs.localCheckpoint(eager=True)
+    truth = spark.read.parquet(os.path.join(tier_dir, "truth_pairs.parquet"))
+    n_truth = truth.count()
+
+    out: dict = {"n_docs": n_docs, "n_truth_pairs": n_truth}
+    t0 = _time.monotonic()
+    pairs = dedup.minhash_portable_pairs(
+        docs, threshold=0.2, coeffs=dedup.PORTABLE_COEFFS16, bands=4
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    out["minhash16_pairs"] = {
+        "sec": round(_time.monotonic() - t0, 2), "pairs": n_pairs,
+    }
+    found = pairs.join(truth, ["doc_a", "doc_b"], "leftsemi").count()
+    out["minhash16_pairs"]["planted_recall"] = (
+        round(found / n_truth, 4) if n_truth else None
+    )
+    t0 = _time.monotonic()
+    deg = dedup.minhash_portable_degrees(docs, pairs=pairs)
+    out["minhash16_degrees"] = {
+        "sec": round(_time.monotonic() - t0, 2),
+        "docs_with_nbrs": deg.count(),
+    }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--decades", default="5000,50000,500000")
     ap.add_argument("--scratch", default=".scratch/realcorpus")
     ap.add_argument("--json", default=None)
-    ap.add_argument("--ops", default="pairs", choices=["pairs", "exactsubstr"])
+    ap.add_argument("--ops", default="pairs",
+                    choices=["pairs", "exactsubstr", "minhash16"])
     args = ap.parse_args()
     decades = [int(x) for x in args.decades.split(",")]
 
@@ -208,15 +248,18 @@ def main() -> None:
             print(f"built n={n}: {info} in {time.monotonic() - t0:.1f}s", flush=True)
         if args.ops == "exactsubstr":
             res = measure_exactsubstr(spark, tier_dir, n)
+        elif args.ops == "minhash16":
+            res = measure_minhash16(spark, tier_dir, n)
         else:
             res = measure_tier(spark, tier_dir, n)
         print(json.dumps(res), flush=True)
         tiers.append(res)
 
-    op_names = (
-        ("exactsubstr",) if args.ops == "exactsubstr"
-        else ("jaccard", "simhash", "minhash", "simhash64")
-    )
+    op_names = {
+        "exactsubstr": ("exactsubstr",),
+        "minhash16": ("minhash16_pairs", "minhash16_degrees"),
+        "pairs": ("jaccard", "simhash", "minhash", "simhash64"),
+    }[args.ops]
     ratios = {}
     for op in op_names:
         rs = []
