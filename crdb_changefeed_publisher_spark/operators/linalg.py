@@ -471,10 +471,29 @@ def kmeans_train_two_level(
     k1 = kmeans_k1_for(n, cell_target)
     cents1 = kmeans_train(emb, k=k1, n_iters=n_iters, scale=scale,
                           vec_col=vec_col, id_col=id_col)
-    assigned = kmeans_assign(emb, cents1, scale, vec_col, id_col).select(
-        id_col, "cluster"
+
+    # tag each vector with its coarse cell IN the scan that reads it —
+    # joining a separate kmeans_assign output back on the id would
+    # shuffle the full vector corpus twice (sort-merge join + the cell
+    # groupBy; measured as the disk wall at 20M vectors on one box).
+    # With the tag pass, the cell-key groupBy below is the design's ONE
+    # full-corpus exchange.
+    C1 = np.asarray(cents1, dtype=np.int64)
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
+            pdf = pdf.copy()
+            pdf["cluster"] = _int_sq_dists(Q, C1).argmin(axis=1).astype("int32")
+            yield pdf
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    keyed = emb.select(id_col, vec_col).mapInPandas(
+        tag, f"{id_col} {id_type}, {vec_col} {vec_type}, cluster int"
     )
-    keyed = emb.select(id_col, vec_col).join(assigned, id_col)
 
     pops = keyed.groupBy("cluster").count()
     worst = pops.agg(F.max("count").alias("m")).first().m or 0
