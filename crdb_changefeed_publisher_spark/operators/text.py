@@ -998,6 +998,12 @@ def exact_substring_excise_sliced(
             "overwrite" if s == 0 else "append"
         ).parquet(out_path)
 
+    # the duplicated-digest set is inter-pass state only; the rewritten
+    # rows (returned lazily below) are the one artifact the caller owns —
+    # at 5M docs the digest parquet is GBs of scratch worth reclaiming
+    import shutil
+
+    shutil.rmtree(dup_path, ignore_errors=True)
     return spark.read.parquet(out_path)
 
 
