@@ -440,9 +440,17 @@ def portable_banded_signatures(
     from crdb_changefeed_publisher_spark.functions.phash import poly_hash
 
     coeffs = PORTABLE_COEFFS if coeffs is None else coeffs
+    k = len(coeffs)
+    if bands < 1 or k % bands != 0:
+        raise ValueError(
+            f"portable_banded_signatures: k={k} hashes must divide evenly "
+            f"into bands={bands} — a non-dividing shape would silently "
+            "drop the trailing k % bands hashes from every band hash "
+            "while est_jaccard still averages all k mins (an inconsistent "
+            "LSH family)"
+        )
     sh = shingle_rows(docs, text_col, id_col, n)
     base = sh.select("doc_id", poly_hash(F.col("shingle")).alias("h"))
-    k = len(coeffs)
     sig = base.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * a + b) % PORTABLE_MOD).alias(f"m{i}")

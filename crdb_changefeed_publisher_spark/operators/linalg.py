@@ -16,6 +16,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -425,7 +426,7 @@ def kmeans_train_two_level(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n: int | None = None,
-    max_cell_rows: int = 4_000_000,
+    max_cell_rows: int | None = None,
 ) -> tuple[list[list[int]], DataFrame]:
     """Two-level exact Lloyd — the seventh-decade trainer (r10 verdict
     #1). Flat Lloyd is n*k per iteration with k ~ n/cell_target, i.e.
@@ -460,14 +461,24 @@ def kmeans_train_two_level(
     c array<long>, n_members long)). The codebook STAYS a DataFrame —
     k_total ~ n/cell_target rows is driver-safe only at measurement
     scale; at 100 TB it is a table other jobs join/broadcast, never
-    driver state. `max_cell_rows` is the skew guard (measured-refusal
-    convention): a coarse cell larger than the bound would concentrate
-    one task's memory, so refuse with the measured population instead
-    of OOMing an executor."""
+    driver state. It is returned PERSISTED and materialized (training
+    is a job, not a view) — callers unpersist when done. `max_cell_rows`
+    is the skew guard (measured-refusal convention): a coarse cell
+    larger than the bound would concentrate one task's memory, so
+    refuse with the measured population instead of OOMing an executor;
+    it is clamped to the per-cell dial's capacity
+    (KMEANS_K_CHOICES[-1] * cell_target) so the driver-side guard
+    always fires before kmeans_k_for could raise inside an executor
+    task (the SQL twin's kd2 saturation arm has no refusal to mirror)."""
     import pandas as pd
 
     if n is None:
         n = emb.count()
+    cell_dial_cap = KMEANS_K_CHOICES[-1] * cell_target
+    if max_cell_rows is None:
+        max_cell_rows = min(4_000_000, cell_dial_cap)
+    else:
+        max_cell_rows = min(max_cell_rows, cell_dial_cap)
     k1 = kmeans_k1_for(n, cell_target)
     cents1 = kmeans_train(emb, k=k1, n_iters=n_iters, scale=scale,
                           vec_col=vec_col, id_col=id_col)
@@ -494,17 +505,26 @@ def kmeans_train_two_level(
     keyed = emb.select(id_col, vec_col).mapInPandas(
         tag, f"{id_col} {id_type}, {vec_col} {vec_type}, cluster int"
     )
+    # the tag scan (quantize + argmin over the full corpus) is the
+    # dominant cost past 20M vectors; without the persist the skew
+    # guard, the codebook build, and every downstream codebook action
+    # would each recompute it
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
 
-    pops = keyed.groupBy("cluster").count()
-    worst = pops.agg(F.max("count").alias("m")).first().m or 0
-    if worst > max_cell_rows:
-        raise ValueError(
-            f"kmeans_train_two_level: largest coarse cell holds {worst:,} "
-            f"rows (> max_cell_rows={max_cell_rows:,}) — level-2 training "
-            "is cell-local, so this cell would concentrate in one task. "
-            "Raise k1 (lower cell_target), raise max_cell_rows if the "
-            "executors have the memory, or pre-split the hot cell."
-        )
+    try:
+        pops = keyed.groupBy("cluster").count()
+        worst = pops.agg(F.max("count").alias("m")).first().m or 0
+        if worst > max_cell_rows:
+            raise ValueError(
+                f"kmeans_train_two_level: largest coarse cell holds {worst:,} "
+                f"rows (> max_cell_rows={max_cell_rows:,}) — level-2 training "
+                "is cell-local, so this cell would concentrate in one task. "
+                "Raise k1 (lower cell_target), raise max_cell_rows if the "
+                "executors have the memory, or pre-split the hot cell."
+            )
+    except Exception:
+        keyed.unpersist()
+        raise
 
     def train_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["cluster"].iloc[0])
@@ -525,7 +545,11 @@ def kmeans_train_two_level(
 
     codebook = keyed.groupBy("cluster").applyInPandas(
         train_cell, "cell int, sub int, c array<long>, n_members long"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        codebook.count()  # materialize off the cached tag scan
+    finally:
+        keyed.unpersist()
     return cents1, codebook
 
 
@@ -539,57 +563,85 @@ def kmeans_assign_two_level(
 ) -> DataFrame:
     """(id, cell, sub, sq_dist) under a two-level codebook: exact L1
     argmin to the coarse cell, then exact argmin over that cell's
-    sub-centroids. The codebook collects into the closure (k_total * d
-    ints — fine at measurement scale; at 100 TB broadcast-join the
-    codebook table against cell-keyed vectors instead)."""
+    sub-centroids — fully DISTRIBUTED (r11 verdict #1). The driver
+    closure carries ONLY the k1 ~ sqrt(k_total) coarse centroids (small
+    by the dial's own construction: 1,024 rows x 64 longs at 50M
+    vectors); the k_total-row codebook is never collected. Vectors are
+    tagged with their coarse cell IN the reading scan (the trainer's
+    tag-pass pattern), then COGROUPED with the codebook on the cell
+    key: one full-corpus exchange — the same exchange the level-2
+    trainer pays, and at write time it IS the (cell, sub)-partitioned
+    index layout (tools/build_ann_index.py) — while the codebook
+    shuffles alongside as k_total tiny rows. The closure-collect form
+    this replaces pickled the whole codebook into every task (~134 MB
+    per task at the 50M point) and capped out where the driver's memory
+    did; this form's codebook cost scales with the number of CELLS PER
+    TASK, independent of k_total."""
     import pandas as pd
 
     C1 = np.asarray(cents1, dtype=np.int64)
-    by_cell: dict[int, "np.ndarray"] = {}
-    for r in codebook.select("cell", "sub", "c").collect():
-        by_cell.setdefault(int(r.cell), {})[int(r.sub)] = r.c
-    packed = {
-        cell: np.asarray([subs[i] for i in range(len(subs))], dtype=np.int64)
-        for cell, subs in by_cell.items()
-    }
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
-            cell = _int_sq_dists(Q, C1).argmin(axis=1)
-            sub = np.empty(len(Q), dtype=np.int32)
-            dist = np.empty(len(Q), dtype=np.int64)
-            for c in np.unique(cell):
-                if int(c) not in packed:
-                    # only reachable when assigning a corpus the codebook
-                    # was NOT trained on: the trainer's own corpus can't
-                    # argmin into a coarse cell it left empty (the same
-                    # assignment built the codebook groups)
-                    raise ValueError(
-                        f"kmeans_assign_two_level: coarse cell {int(c)} "
-                        "has no sub-centroids in the codebook — this "
-                        "corpus was not the one the codebook was trained "
-                        "on; retrain or use the flat assignment"
-                    )
-                m = cell == c
-                d2 = _int_sq_dists(Q[m], packed[int(c)])
-                b = d2.argmin(axis=1)
-                sub[m] = b
-                dist[m] = d2[np.arange(len(b)), b]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "cell": cell.astype(np.int32),
-                    "sub": sub,
-                    "sq_dist": dist,
-                }
-            )
+            pdf = pdf.copy()
+            pdf["cell"] = _int_sq_dists(Q, C1).argmin(axis=1).astype("int32")
+            yield pdf
 
     id_type = emb.schema[id_col].dataType.simpleString()
-    return emb.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} {id_type}, cell int, sub int, sq_dist long"
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    tagged = emb.select(id_col, vec_col).mapInPandas(
+        tag, f"{id_col} {id_type}, {vec_col} {vec_type}, cell int"
+    )
+
+    def assign_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: np.array([], dtype=np.int64),
+                "cell": np.array([], dtype=np.int32),
+                "sub": np.array([], dtype=np.int32),
+                "sq_dist": np.array([], dtype=np.int64),
+            }
+        )
+        if not len(left):
+            # codebook cell with no vectors in THIS corpus (possible when
+            # assigning a foreign, smaller corpus) — nothing to emit
+            return empty
+        cell = int(left["cell"].iloc[0])
+        if not len(right):
+            # only reachable when assigning a corpus the codebook was NOT
+            # trained on: the trainer's own corpus can't argmin into a
+            # coarse cell it left empty (the same assignment built the
+            # codebook groups)
+            raise ValueError(
+                f"kmeans_assign_two_level: coarse cell {cell} has no "
+                "sub-centroids in the codebook — this corpus was not the "
+                "one the codebook was trained on; retrain or use the flat "
+                "assignment"
+            )
+        order = right.sort_values("sub")
+        C = np.asarray([list(c) for c in order["c"]], dtype=np.int64)
+        subs = order["sub"].to_numpy()
+        Q = _quantize_np(left[vec_col].to_numpy(), scale)
+        d2 = _int_sq_dists(Q, C)
+        b = d2.argmin(axis=1)  # ties -> first = lowest sub (sorted order)
+        return pd.DataFrame(
+            {
+                id_col: left[id_col].to_numpy(),
+                "cell": np.full(len(Q), cell, dtype=np.int32),
+                "sub": subs[b].astype(np.int32),
+                "sq_dist": d2[np.arange(len(b)), b],
+            }
+        )
+
+    return (
+        tagged.groupBy("cell")
+        .cogroup(codebook.select("cell", "sub", "c").groupBy("cell"))
+        .applyInPandas(
+            assign_cell, f"{id_col} {id_type}, cell int, sub int, sq_dist long"
+        )
     )
 
 

@@ -1012,7 +1012,22 @@ def ivf_topk_two_level(
     assignment is the write-time (cell, sub)-partitioned layout; the
     coarse screen costs queries k1 ~ sqrt(k_total) distance rows instead
     of k_total — the same sqrt saving on the query side that the trainer
-    takes on the build side."""
+    takes on the build side.
+
+    DISTRIBUTED serve (r11 verdict #1): the only driver-side codebook
+    state is its COUNT (the p2 dial) — no codebook row is ever
+    collected. The query closure carries just the k1 coarse centroids;
+    sub-ranking is a BROADCAST-JOIN of the codebook table on the probed
+    cell key (k_total tiny rows — 134 MB at the 50M point, torrent-
+    shipped once per executor instead of pickled into every task) with
+    the exact int64 distance evaluated JVM-side (zip_with/aggregate
+    over the quantized arrays — the same IEEE floor + integer ops as
+    the numpy path) and the (dist, cell, sub) probe window capped at
+    p2; corpus indexing is the cogrouped kmeans_assign_two_level. A
+    coarse cell that ended training EMPTY has a centroid but no
+    codebook rows: it consumes one of the c1 probe slots and then
+    drops at the join — the SQL twin's join on s{T} drops it the same
+    way."""
     import numpy as np
 
     from crdb_changefeed_publisher_spark.operators.linalg import (
@@ -1020,63 +1035,48 @@ def ivf_topk_two_level(
         _quantize_np,
         kmeans_assign_two_level,
         n_probe_for,
+        quantize_vec,
     )
 
     C1 = np.asarray(cents1, dtype=np.int64)
-    cb_rows = codebook.select("cell", "sub", "c").collect()
-    by_cell: dict[int, dict[int, list[int]]] = {}
-    for r in cb_rows:
-        by_cell.setdefault(int(r.cell), {})[int(r.sub)] = r.c
-    packed = {
-        cell: np.asarray([subs[i] for i in range(len(subs))], dtype=np.int64)
-        for cell, subs in by_cell.items()
-    }
     c1_probe = min(n_probe_for(len(C1)), len(C1))
-    p2 = n_probe_for(len(cb_rows))
+    p2 = n_probe_for(codebook.count())
 
-    def probe(batches):
+    def coarse_probe(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
             d1 = _int_sq_dists(Q, C1)
-            coarse = np.argsort(d1, axis=1, kind="stable")[:, :c1_probe]
-            out_q, out_cell, out_sub = [], [], []
-            ids = pdf[id_col].to_numpy()
-            for i in range(len(Q)):
-                # a coarse cell that ended training EMPTY has a centroid
-                # but no sub-centroids (its codebook group never formed);
-                # ranking keeps it in the top-c1 but it contributes no
-                # candidate subs — the SQL twin's join on s{T} drops it
-                # the same way
-                live = [int(c) for c in coarse[i] if int(c) in packed]
-                if not live:
-                    continue
-                cells = np.concatenate(
-                    [np.full(len(packed[c]), c, dtype=np.int64) for c in live]
-                )
-                subs = np.concatenate(
-                    [np.arange(len(packed[c]), dtype=np.int64) for c in live]
-                )
-                dists = np.concatenate(
-                    [_int_sq_dists(Q[i: i + 1], packed[c])[0] for c in live]
-                )
-                # primary dist, then (cell, sub) — the oracle's window order
-                order = np.lexsort((subs, cells, dists))[:p2]
-                out_q.append(np.full(len(order), ids[i]))
-                out_cell.append(cells[order])
-                out_sub.append(subs[order])
+            top = np.argsort(d1, axis=1, kind="stable")[:, :c1_probe]
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(out_q),
-                    "cell": np.concatenate(out_cell).astype(np.int32),
-                    "sub": np.concatenate(out_sub).astype(np.int32),
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), c1_probe),
+                    "cell": top.reshape(-1).astype(np.int32),
                 }
             )
 
     qid_type = queries.schema[id_col].dataType.simpleString()
-    probes = queries.select(id_col, vec_col).mapInPandas(
-        probe, f"query_id {qid_type}, cell int, sub int"
+    qcells = queries.select(id_col, vec_col).mapInPandas(
+        coarse_probe, f"query_id {qid_type}, cell int"
+    )
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col), scale).alias("qq"),
+    )
+    sub_dist = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("query_id").orderBy("sq_dist", "cell", "sub")
+    probes = (
+        qcells.join(F.broadcast(codebook.select("cell", "sub", "c")), "cell")
+        .join(F.broadcast(qq), "query_id")
+        .select("query_id", "cell", "sub", sub_dist.alias("sq_dist"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= p2)
+        .select("query_id", "cell", "sub")
     )
     cells = kmeans_assign_two_level(
         corpus, cents1, codebook, scale, vec_col, id_col

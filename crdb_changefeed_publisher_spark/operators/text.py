@@ -919,7 +919,13 @@ def _gram_digest_stream(
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
-                words = text.strip().split(" ")
+                if text is None:
+                    continue
+                # strip SPACES only: _positional_grams tokenizes with
+                # F.split(F.trim(text), ' ') and Spark's trim removes
+                # 0x20 only — Python str.strip() would also eat
+                # tabs/newlines and diverge on edge-token digests
+                words = text.strip(" ").split(" ")
                 for i in range(len(words) - n + 1):
                     out.append(
                         hashlib.sha256(" ".join(words[i: i + n]).encode()).digest()

@@ -2441,12 +2441,16 @@ def _kmeans2_ctes(
     return ",\n    ".join(parts)
 
 
-_KMEANS2_CACHE: dict[tuple[str, str], tuple[list[list[int]], list]] = {}
+_KMEANS2_CACHE: dict[tuple[str, str], tuple[list[list[int]], "DataFrame"]] = {}
 
 
-def _kmeans2_artifacts(spark: SparkSession, sf_dir: str):
-    """Session-cached two-level codebook (cents1, collected codebook rows):
-    one training run feeds the assignment spec and any probe consumer."""
+def _kmeans2_codebook_df(spark: SparkSession, sf_dir: str):
+    """Session-cached two-level codebook (cents1, PERSISTED codebook
+    DataFrame): one training run feeds the assignment spec and any probe
+    consumer. The codebook stays a DataFrame end-to-end — the trainer
+    returns it persisted + materialized, and the distributed serve path
+    (cogroup assignment / broadcast-join probe) never collects a row of
+    it (r11 verdict #1)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KMEANS2_CACHE:
         from crdb_changefeed_publisher_spark.operators.linalg import (
@@ -2458,7 +2462,7 @@ def _kmeans2_artifacts(spark: SparkSession, sf_dir: str):
             emb, cell_target=KMEANS_CELL_TARGET, n_iters=KMEANS_ITERS,
             scale=KMEANS_SCALE, n=_emb_count(spark, sf_dir),
         )
-        _KMEANS2_CACHE[key] = (cents1, codebook.collect())
+        _KMEANS2_CACHE[key] = (cents1, codebook)
     return _KMEANS2_CACHE[key]
 
 
@@ -2497,13 +2501,6 @@ def embedding_kmeans_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign_two_level(emb, cents1, codebook, scale=KMEANS_SCALE)
 
 
-def _kmeans2_codebook_df(spark: SparkSession, sf_dir: str):
-    cents1, cb_rows = _kmeans2_artifacts(spark, sf_dir)
-    codebook = spark.createDataFrame(
-        [(int(r.cell), int(r.sub), list(r.c), int(r.n_members)) for r in cb_rows],
-        "cell int, sub int, c array<bigint>, n_members bigint",
-    )
-    return cents1, codebook
 
 
 def _ivf_two_level_oracle(
