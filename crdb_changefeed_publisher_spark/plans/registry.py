@@ -96,6 +96,9 @@ COST_HINTS: dict[str, float] = {
     "doc_dsir_sample": 1.2,
     # r10 swap round 8 promotion (sf0.1 measure in docs/SCALE.md)
     "doc_fuzzy_linkage_exact": 9.9,
+    # r12 swap round 10 promotion: first run pays the two-level training
+    # pass (~3.5 s at sf0.1, session-shared), probe+rerank ~1 s warm
+    "embedding_topk_ivf_two_level": 4.5,
 }
 
 
