@@ -60,25 +60,117 @@ def truth_pairs(spark: SparkSession) -> DataFrame:
     )
 
 
-# Session-shared pair table (same convention as llm._PAIRS_CACHE): the
-# 16-hash signature + 4 band joins over 500k docs is the expensive stage
-# of the pair report, the degree view, and the recall audit — built once
-# per session, persisted, consumed by all three. bench.py times it as the
-# explicit `_shared:realism_pairs` row so the registered degree row reads
-# as marginal cost.
-_REALISM_PAIRS_CACHE: dict[str, DataFrame] = {}
+# Materialized pair table (r11 verdict #3): the 16-hash signature + 4 band
+# joins over 500k docs cost ~38 s per SESSION when held only in the Spark
+# cache, yet the corpus is a frozen fingerprint-pinned fixture — so the
+# pair table is itself a pure function of (corpus, family dials). This is
+# the module's own stated production posture ("materialized per corpus
+# snapshot"): persist it to parquet beside the tier, keyed by the live
+# corpus fingerprint and the dial shape, and let later sessions read it
+# back (~1 s). Staleness is structural: a regenerated corpus produces a
+# different fingerprint, which selects a different cache directory, so a
+# stale table can never be read — it is simply orphaned. A directory is
+# trusted only with its _SUCCESS marker (a crashed write rebuilds); the
+# write lands in a session-unique temp dir and renames into place, so
+# concurrent sessions race safely (loser reads the winner's table).
+_REALISM_PAIRS_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+_PAIRS_DIAL = f"k{_K}b{_BANDS}t{str(_THRESHOLD).replace('.', 'p')}"
 
 
-def realism_pairs(spark: SparkSession) -> DataFrame:
-    key = spark.sparkContext.applicationId
+def _corpus_fingerprint(docs: DataFrame) -> tuple[int, int]:
+    """(row count, xxhash64 fold) — the test_realism_fixture pin."""
+    from pyspark.sql import functions as F
+
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("doc_id", "text") % 1_000_000_007).alias("fp"),
+    ).first()
+    return int(row.n), int(row.fp)
+
+
+def _tier_manifest(tier_dir: str) -> list[list]:
+    """Name+size listing of the tier's documents.parquet files — the cheap
+    physical proxy for 'was this corpus regenerated'. The deterministic
+    builder reproduces byte-identical files, so equal manifests imply the
+    stored logical fingerprint is still the live one."""
+    d = os.path.join(tier_dir, "documents.parquet")
+    if os.path.isfile(d):  # the fixture builder writes one pyarrow file
+        return [["documents.parquet", os.path.getsize(d)]]
+    return [
+        [f, os.path.getsize(os.path.join(d, f))]
+        for f in sorted(os.listdir(d))
+        if not f.startswith(".")
+    ]
+
+
+def _fingerprint_validated(spark: SparkSession, tier_dir: str) -> tuple[int, int]:
+    """Logical corpus fingerprint, with the full-corpus scan amortized: the
+    (n, fp) pair lands in a sidecar beside the tier keyed by the file
+    manifest; later sessions stat the files instead of rescanning 500k
+    texts (~8 s saved per session). Any manifest drift — a regenerated or
+    damaged tier — forces the real scan."""
+    import json
+
+    side = os.path.join(tier_dir, "fingerprint.json")
+    manifest = _tier_manifest(tier_dir)
+    if os.path.exists(side):
+        try:
+            with open(side) as fh:
+                data = json.load(fh)
+            if data.get("manifest") == manifest:
+                return int(data["n"]), int(data["fp"])
+        except (ValueError, KeyError, OSError):
+            pass  # unreadable sidecar -> recompute below
+    docs = spark.read.parquet(os.path.join(tier_dir, "documents.parquet"))
+    n, fp = _corpus_fingerprint(docs)
+    with open(side, "w") as fh:
+        json.dump({"n": n, "fp": fp, "manifest": manifest}, fh)
+    return n, fp
+
+
+def _pairs_cache_path(tier_dir: str, n: int, fp: int) -> str:
+    return os.path.join(tier_dir, f"pairs_n{n}_fp{fp}_{_PAIRS_DIAL}.parquet")
+
+
+def _pairs_cache_trusted(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def realism_pairs(spark: SparkSession, n_docs: int = REALISM_N) -> DataFrame:
+    key = (spark.sparkContext.applicationId, n_docs)
     df = _REALISM_PAIRS_CACHE.get(key)
     if df is None:
-        df = dedup.minhash_portable_pairs(
-            _docs(spark),
-            threshold=_THRESHOLD,
-            coeffs=dedup.PORTABLE_COEFFS16,
-            bands=_BANDS,
-        ).persist()
+        tier_dir = fixtures.ensure_tier(n_docs)
+        n, fp = _fingerprint_validated(spark, tier_dir)
+        path = _pairs_cache_path(tier_dir, n, fp)
+        if not _pairs_cache_trusted(path):
+            docs = spark.read.parquet(
+                os.path.join(tier_dir, "documents.parquet")
+            )
+            import shutil
+
+            tmp = f"{path}.tmp-{spark.sparkContext.applicationId}"
+            dedup.minhash_portable_pairs(
+                docs,
+                threshold=_THRESHOLD,
+                coeffs=dedup.PORTABLE_COEFFS16,
+                bands=_BANDS,
+            ).write.mode("overwrite").parquet(tmp)
+            # an untrusted dir at the target is a crashed write's husk —
+            # clear it so the rename can land
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # another session won the race; its table is the same
+                # pure function of (corpus, dials) — read it instead
+                shutil.rmtree(tmp, ignore_errors=True)
+            if not _pairs_cache_trusted(path):
+                raise RuntimeError(
+                    f"realism_pairs: cache write left no _SUCCESS at {path}"
+                )
+        df = spark.read.parquet(path).persist()
         _REALISM_PAIRS_CACHE[key] = df
     return df
 

@@ -68,3 +68,62 @@ def test_tier_is_deterministic_fingerprint(spark):
     ).first()
     assert row.n == realism.REALISM_N
     assert row.fp == -126250512661, f"corpus fingerprint drifted: {row.fp}"
+
+
+def _pairs_key(rows):
+    return sorted((r.doc_a, r.doc_b, r.est_jaccard) for r in rows)
+
+
+def test_pairs_cache_materializes_and_reads_back(spark, monkeypatch):
+    """The pair table is a pure function of (corpus fingerprint, family
+    dials), so it persists to parquet beside the tier (r11 verdict #3) and
+    later sessions READ it instead of paying the 4-band build. Driven on
+    the 5k tier: first call writes the _SUCCESS-marked cache dir; with the
+    session dict cleared and the builder monkeypatched to explode, the
+    next call must succeed purely from disk — and byte-identically."""
+    import os
+
+    from crdb_changefeed_publisher_spark.operators import dedup
+
+    first = _pairs_key(realism.realism_pairs(spark, n_docs=5000).collect())
+    tier = realism.fixtures.ensure_tier(5000)
+    docs = spark.read.parquet(os.path.join(tier, "documents.parquet"))
+    n, fp = realism._corpus_fingerprint(docs)
+    path = realism._pairs_cache_path(tier, n, fp)
+    assert realism._pairs_cache_trusted(path), path
+
+    realism._REALISM_PAIRS_CACHE.clear()
+
+    def boom(*a, **k):  # the read-back path must never rebuild
+        raise AssertionError("cache miss: pair table was rebuilt")
+
+    monkeypatch.setattr(dedup, "minhash_portable_pairs", boom)
+    again = _pairs_key(realism.realism_pairs(spark, n_docs=5000).collect())
+    assert again == first
+
+
+def test_pairs_cache_stale_without_success_marker(spark):
+    """A cache dir without its _SUCCESS marker (crashed write) is not
+    trusted: the pair table rebuilds and re-lands trusted. A regenerated
+    CORPUS never even reaches this check — its new fingerprint selects a
+    different directory, structurally orphaning the stale table."""
+    import os
+    import shutil
+
+    tier = realism.fixtures.ensure_tier(5000)
+    docs = spark.read.parquet(os.path.join(tier, "documents.parquet"))
+    n, fp = realism._corpus_fingerprint(docs)
+    path = realism._pairs_cache_path(tier, n, fp)
+    before = _pairs_key(realism.realism_pairs(spark, n_docs=5000).collect())
+
+    os.remove(os.path.join(path, "_SUCCESS"))
+    assert not realism._pairs_cache_trusted(path)
+    realism._REALISM_PAIRS_CACHE.clear()
+    rebuilt = _pairs_key(realism.realism_pairs(spark, n_docs=5000).collect())
+    assert realism._pairs_cache_trusted(path)
+    assert rebuilt == before
+
+    # wrong-fingerprint dirs are never selected
+    assert realism._pairs_cache_path(tier, n, fp + 1) != path
+    shutil.rmtree(f"{path}.tmp-{spark.sparkContext.applicationId}",
+                  ignore_errors=True)
