@@ -560,6 +560,7 @@ def kmeans_assign_two_level(
     scale: int = 1024,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cell, sub, sq_dist) under a two-level codebook: exact L1
     argmin to the coarse cell, then exact argmin over that cell's
@@ -576,7 +577,14 @@ def kmeans_assign_two_level(
     this replaces pickled the whole codebook into every task (~134 MB
     per task at the 50M point) and capped out where the driver's memory
     did; this form's codebook cost scales with the number of CELLS PER
-    TASK, independent of k_total."""
+    TASK, independent of k_total.
+
+    `keep_vec=True` additionally emits the vector column: the vectors
+    already ride the cogroup exchange, so a consumer that needs them
+    next to the (cell, sub) key — the IVF rerank — reads them out of
+    the SAME exchange instead of re-joining the corpus table (a second
+    full-corpus sort-merge shuffle, measured as the serve-side disk
+    wall at 20M on one box)."""
     import pandas as pd
 
     C1 = np.asarray(cents1, dtype=np.int64)
@@ -603,6 +611,7 @@ def kmeans_assign_two_level(
                 "cell": np.array([], dtype=np.int32),
                 "sub": np.array([], dtype=np.int32),
                 "sq_dist": np.array([], dtype=np.int64),
+                **({vec_col: pd.Series([], dtype=object)} if keep_vec else {}),
             }
         )
         if not len(left):
@@ -633,15 +642,17 @@ def kmeans_assign_two_level(
                 "cell": np.full(len(Q), cell, dtype=np.int32),
                 "sub": subs[b].astype(np.int32),
                 "sq_dist": d2[np.arange(len(b)), b],
+                **({vec_col: left[vec_col].to_numpy()} if keep_vec else {}),
             }
         )
 
+    schema = f"{id_col} {id_type}, cell int, sub int, sq_dist long"
+    if keep_vec:
+        schema += f", {vec_col} {vec_type}"
     return (
         tagged.groupBy("cell")
         .cogroup(codebook.select("cell", "sub", "c").groupBy("cell"))
-        .applyInPandas(
-            assign_cell, f"{id_col} {id_type}, cell int, sub int, sq_dist long"
-        )
+        .applyInPandas(assign_cell, schema)
     )
 
 

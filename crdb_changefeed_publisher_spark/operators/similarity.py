@@ -1078,20 +1078,28 @@ def ivf_topk_two_level(
         .filter(F.col("pr") <= p2)
         .select("query_id", "cell", "sub")
     )
+    # keep_vec threads the corpus vectors through the assignment's OWN
+    # exchange: reranking against a separate corpus-vector table would
+    # sort-merge-shuffle the full corpus a second time (measured as the
+    # serve-side disk wall at 20M on one box). With the probe table and
+    # query vectors broadcast (both are query-sized), the whole serve
+    # pays exactly ONE full-corpus exchange — the cogroup assignment,
+    # which at 100 TB is the write-time (cell, sub)-partitioned layout.
     cells = kmeans_assign_two_level(
-        corpus, cents1, codebook, scale, vec_col, id_col
-    ).select(F.col(id_col).alias("neighbor_id"), "cell", "sub")
+        corpus, cents1, codebook, scale, vec_col, id_col, keep_vec=True
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        "sub",
+        as_double(F.col(vec_col)).alias("ce"),
+    )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qe")
     )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ce")
-    )
     scored = (
-        probes.join(cells, ["cell", "sub"])
+        cells.join(F.broadcast(probes), ["cell", "sub"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
