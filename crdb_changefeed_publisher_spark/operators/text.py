@@ -12,6 +12,8 @@ exact same arithmetic runs on any SQL oracle engine.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -974,6 +976,7 @@ def exact_substring_excise_sliced(
     from scratch. Semantics are the one-shot form's to the byte: same
     digests, same min_count over ALL occurrences, same coverage merge —
     pinned by a row-for-row equality test at a tier both forms run."""
+    import shutil
     import tempfile
 
     spark = docs.sparkSession
@@ -993,8 +996,23 @@ def exact_substring_excise_sliced(
     )
     dup = spark.read.parquet(dup_path).withColumn("dup", F.lit(1))
 
+    # slice on a HASH of the id, not the id itself: the value-identity
+    # contract cares only that slices partition the corpus (rewrites are
+    # doc-local), and xxhash64 admits string-keyed corpora — the hash-split
+    # convention used everywhere else — where pmod(id, n) would throw.
+    # Slices accumulate in an .inprogress dir that RENAMES into place after
+    # the last slice, so a mid-run crash never leaves a partial corpus
+    # readable at out_path (a rerun starts clean). At 100 TB this rewrite
+    # lands in the manifest-committed lakehouse sink instead
+    # (streaming/table_sink.py::write_batch — readers see only committed
+    # snapshots); the rename gives the same reader-facing atomicity on a
+    # plain directory.
+    tmp_out = f"{out_path}.inprogress"
+    shutil.rmtree(tmp_out, ignore_errors=True)
     for s in range(n_slices):
-        part = docs.filter(F.pmod(F.col(id_col), F.lit(n_slices)) == s)
+        part = docs.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_slices)) == s
+        )
         keyed = _positional_grams(part, n, text_col, id_col)
         flagged = keyed.join(dup, "gk", "left").withColumn(
             "dup_start",
@@ -1002,13 +1020,13 @@ def exact_substring_excise_sliced(
         )
         _excise_covered(flagged, n).write.mode(
             "overwrite" if s == 0 else "append"
-        ).parquet(out_path)
+        ).parquet(tmp_out)
+    shutil.rmtree(out_path, ignore_errors=True)
+    os.rename(tmp_out, out_path)
 
     # the duplicated-digest set is inter-pass state only; the rewritten
     # rows (returned lazily below) are the one artifact the caller owns —
     # at 5M docs the digest parquet is GBs of scratch worth reclaiming
-    import shutil
-
     shutil.rmtree(dup_path, ignore_errors=True)
     return spark.read.parquet(out_path)
 

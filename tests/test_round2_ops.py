@@ -1112,3 +1112,28 @@ def test_contaminated_span_excise_handcrafted(spark):
     assert out[2].n_removed_words == 0
     assert out[3].n_removed_words == 0
     assert out[4].kept_text == "hi" and out[4].n_removed_words == 0
+
+
+def test_exact_substring_excise_sliced_string_ids(spark):
+    """Slicing hashes the id (pmod(xxhash64(id), n)) so string-keyed
+    corpora — the hash-split convention everywhere else — work; values
+    must still equal the one-shot form run on the same docs."""
+    from crdb_changefeed_publisher_spark.operators.text import (
+        exact_substring_excise,
+        exact_substring_excise_sliced,
+    )
+
+    rows = [
+        ("doc-a", "the quick brown fox jumps over a lazy dog"),
+        ("doc-b", "once upon the quick brown fox jumps again ok"),
+        ("doc-c", "completely different text with no overlap at all"),
+        ("doc-d", "x y repeat me now and repeat me now z"),
+        ("doc-e", "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    one = sorted(tuple(r) for r in exact_substring_excise(docs, n=3).collect())
+    sl = sorted(
+        tuple(r)
+        for r in exact_substring_excise_sliced(docs, n=3, n_slices=3).collect()
+    )
+    assert one == sl and len(sl) == 5
