@@ -147,3 +147,198 @@ def ensure_tier(n_docs: int) -> str:
     if not have:
         build_corpus(n_docs, out_dir)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Span/edit-truth tier family (r11 verdict #4): the Zipfian realism corpus
+# certifies CANDIDATE recall for set-similarity (MinHash) only. This second
+# family plants the other two kinds of ground truth production dedup needs
+# verified on realistic data, in two tables per tier so each operator runs
+# against exactly its own truth:
+#
+# * documents_spans.parquet + truth_spans.parquet — verbatim shared runs
+#   with KNOWN word boundaries for ExactSubstr EXCISION-EXACTNESS: groups
+#   of 2-3 docs share one L-word run (12-30 words, sampled fresh per
+#   group), flanked by per-member UNIQUE guard words so no 8-gram
+#   straddles the boundary in two docs — the excision's expected output
+#   is therefore exactly the planted coverage, recorded per doc as
+#   (span_start, span_len, kept_text). Background docs share no 8-gram
+#   (50k-word vocab; accidental-dup probability ~1e-8 at this tier, and
+#   the fixed seed makes the verified corpus permanent).
+#
+# * documents_edits.parquet + truth_edit_pairs.parquet — CHARACTER-
+#   mutation clones for PassJoin's exact-recall guarantee: each clone
+#   applies 1-4 random single-char edits (sub/ins/del, letters only, so
+#   normalized_link_key is the identity) to a distinct base doc, hence
+#   ed(base, clone) <= 4 by construction while unrelated docs sit
+#   hundreds of edits apart — the operator's output pair set must EQUAL
+#   the planted set (recall AND precision).
+#
+# Deterministic end to end (own seed; the original build_corpus is
+# byte-frozen — its tiers' committed fingerprints must not move).
+# ---------------------------------------------------------------------------
+
+SPANEDIT_SEED = 20260817
+SPAN_GROUP_FRAC = 0.12  # fraction of span-table docs that are group members
+SPAN_LEN_LO, SPAN_LEN_HI = 12, 30
+EDIT_CLONE_FRAC = 0.2  # fraction of edit-table docs that are clones
+EDIT_MAX = 4
+
+
+def _base26(n: int) -> str:
+    s = ""
+    while True:
+        s = chr(ord("a") + n % 26) + s
+        n //= 26
+        if n == 0:
+            return s
+
+
+def _background_tokens(rng, cdf, n_docs: int) -> list:
+    lens = rng.integers(LEN_LO, LEN_HI + 1, size=n_docs)
+    total = int(lens.sum())
+    idx = np.searchsorted(cdf, rng.random(total)).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    return [idx[offs[i]: offs[i + 1]] for i in range(n_docs)]
+
+
+def build_spanedit_corpus(n_docs: int, out_dir: str) -> dict:
+    """Write the span/edit tier: documents_spans.parquet +
+    truth_spans.parquet + documents_edits.parquet +
+    truth_edit_pairs.parquet. `n_docs` sizes EACH table."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SPANEDIT_SEED)
+    vocab = _make_vocab(rng)
+    vocab_set = set(vocab)
+    cdf = _zipf_cdf()
+
+    # ---- spans table -------------------------------------------------
+    toks = _background_tokens(rng, cdf, n_docs)
+    n_members = int(n_docs * SPAN_GROUP_FRAC)
+    member_ids = rng.choice(n_docs, size=n_members, replace=False)
+    member_ids.sort()
+    span_texts: dict[int, str] = {}
+    truth = {"doc_id": [], "span_start": [], "span_len": [], "kept_text": []}
+    guard_n = 0
+    pos = 0
+    while pos < n_members:
+        m = int(rng.integers(2, 4))  # group of 2 or 3
+        group = member_ids[pos: pos + m]
+        if len(group) < 2:
+            break
+        pos += m
+        L = int(rng.integers(SPAN_LEN_LO, SPAN_LEN_HI + 1))
+        run = np.searchsorted(cdf, rng.random(L)).astype(np.int64)
+        run_words = list(vocab[run])
+        for d in group:
+            base = list(vocab[toks[int(d)]])
+            p = int(rng.integers(1, len(base)))  # guards stay interior
+            guards = []
+            while len(guards) < 2:
+                g = "zq" + _base26(guard_n)
+                guard_n += 1
+                if g not in vocab_set:
+                    guards.append(g)
+            words = base[:p] + [guards[0]] + run_words + [guards[1]] + base[p:]
+            span_texts[int(d)] = " ".join(words)
+            start = p + 2  # 1-based; base[:p] + left guard precede the run
+            kept = base[:p] + [guards[0]] + [guards[1]] + base[p:]
+            truth["doc_id"].append(int(d))
+            truth["span_start"].append(start)
+            truth["span_len"].append(L)
+            truth["kept_text"].append(" ".join(kept))
+
+    span_docs = [
+        span_texts.get(i, " ".join(vocab[toks[i]])) for i in range(n_docs)
+    ]
+
+    # ---- edits table -------------------------------------------------
+    n_clone = int(n_docs * EDIT_CLONE_FRAC)
+    n_base = n_docs - n_clone
+    etoks = _background_tokens(rng, cdf, n_base)
+    edit_docs = [" ".join(vocab[t]) for t in etoks]
+    bases = rng.choice(n_base, size=n_clone, replace=False)
+    epairs = {"doc_a": [], "doc_b": [], "n_edits": []}
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    for j in range(n_clone):
+        b = int(bases[j])
+        s = list(edit_docs[b])
+        e = int(rng.integers(1, EDIT_MAX + 1))
+        for _ in range(e):
+            op = int(rng.integers(0, 3))
+            if op == 0 and s:  # substitute
+                s[int(rng.integers(0, len(s)))] = letters[int(rng.integers(0, 26))]
+            elif op == 1:  # insert
+                s.insert(int(rng.integers(0, len(s) + 1)),
+                         letters[int(rng.integers(0, 26))])
+            elif s:  # delete
+                del s[int(rng.integers(0, len(s)))]
+        doc_id = n_base + j
+        edit_docs.append("".join(s))
+        epairs["doc_a"].append(b)
+        epairs["doc_b"].append(doc_id)
+        epairs["n_edits"].append(e)
+
+    def _write_docs(name: str, texts: list) -> None:
+        n = len(texts)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(texts, type=pa.string()),
+                    "lang": pa.array(["en"] * n),
+                    "source": pa.array([f"src{i % 5}" for i in range(n)]),
+                    "n_chars": pa.array(
+                        np.fromiter((len(t) for t in texts), dtype=np.int64,
+                                    count=n)
+                    ),
+                }
+            ),
+            os.path.join(out_dir, name),
+        )
+
+    _write_docs("documents_spans.parquet", span_docs)
+    _write_docs("documents_edits.parquet", edit_docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(truth["doc_id"], type=pa.int64()),
+                "span_start": pa.array(truth["span_start"], type=pa.int32()),
+                "span_len": pa.array(truth["span_len"], type=pa.int32()),
+                "kept_text": pa.array(truth["kept_text"], type=pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "truth_spans.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_a": pa.array(epairs["doc_a"], type=pa.int64()),
+                "doc_b": pa.array(epairs["doc_b"], type=pa.int64()),
+                "n_edits": pa.array(epairs["n_edits"], type=pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "truth_edit_pairs.parquet"),
+    )
+    return {
+        "n_docs": n_docs,
+        "n_truth_spans": len(truth["doc_id"]),
+        "n_truth_edit_pairs": len(epairs["doc_a"]),
+    }
+
+
+def ensure_spanedit_tier(n_docs: int) -> str:
+    """Path to the span/edit tier for `n_docs`, building if missing."""
+    out_dir = os.path.join(REALCORPUS_ROOT, f"se{n_docs}")
+    have = all(
+        os.path.exists(os.path.join(out_dir, f))
+        for f in (
+            "documents_spans.parquet",
+            "documents_edits.parquet",
+            "truth_spans.parquet",
+            "truth_edit_pairs.parquet",
+        )
+    )
+    if not have:
+        build_spanedit_corpus(n_docs, out_dir)
+    return out_dir

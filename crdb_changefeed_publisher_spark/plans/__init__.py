@@ -21,5 +21,6 @@ from crdb_changefeed_publisher_spark.plans import (  # noqa: F401,E402
     llm,
     realism,
     scalar,
+    spanedit,
     tpch,
 )
