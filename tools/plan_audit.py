@@ -29,7 +29,7 @@ MARKS = [
     ("bcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
     ("smj", r"SortMergeJoin"),
     ("wsc", r"\*\(\d+\)|WholeStageCodegen"),
-    ("arrow", r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"),
+    ("arrow", r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"),
     ("pushed", r"PushedFilters: \[[^\]]"),
     ("CARTESIAN", r"CartesianProduct"),
     ("ROWPY", r"BatchEvalPython"),
