@@ -43,9 +43,16 @@ def test_zvalue_bit_interleave_properties(spark):
 
 
 def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
-    # uniform 2-d grid so clustering quality is measurable
+    # uniform 2-d grid so clustering quality is measurable. y must be
+    # INDEPENDENT of x: the previous (id * 37) % 256 was a bijection of
+    # id % 256 = x, so each x-sorted file held only ~16 distinct y values
+    # and the "x-sort cannot prune y" control below depended on where the
+    # range sampler (seeded by session RDD ids) happened to cut — flaky
+    # across suite orderings. id DIV 256 decouples the axes: every
+    # x-range file now spans the full y domain deterministically.
     df = spark.range(64_000).selectExpr(
-        "id AS rowid", "CAST(id % 256 AS LONG) AS x", "CAST((id * 37) % 256 AS LONG) AS y"
+        "id AS rowid", "CAST(id % 256 AS LONG) AS x",
+        "CAST((id DIV 256) % 256 AS LONG) AS y",
     )
     zdir = str(tmp_path / "zorder")
     write_zordered(df, zdir, "x", "y", num_files=16, bits=8)

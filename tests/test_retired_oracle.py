@@ -81,7 +81,9 @@ def test_retired_set_is_the_expected_one():
         "embedding_kmeans_two_level",
         "embedding_pca_project",
         "embedding_topk_ivf",
-        "embedding_topk_ivf_two_level",
+        # embedding_topk_ivf_two_level PROMOTED in swap round 10 (r12);
+        # embedding_topk_ivfpq retired in trade
+        "embedding_topk_ivfpq",
         "embedding_topk_pca",
         "embedding_topk_pq",
         "events_funnel_windowed",
@@ -119,6 +121,8 @@ def test_retired_set_is_the_expected_one():
         "realism_minhash_pairs",
         "running_revenue_by_customer",
         "sales_rollup",
+        "spanedit_exact_substring",
+        "spanedit_passjoin_pairs",
         "string_funcs_part",
         "supplier_customer_pagerank",
         "token_vocab_coverage",
