@@ -508,8 +508,14 @@ def kmeans_train_two_level(
     # the tag scan (quantize + argmin over the full corpus) is the
     # dominant cost past 20M vectors; without the persist the skew
     # guard, the codebook build, and every downstream codebook action
-    # would each recompute it
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    # would each recompute it. MEMORY_ONLY deliberately: the level-2
+    # exchange already writes the full tagged corpus to local disk
+    # (~27 GB at 100M vectors), and a MEMORY_AND_DISK cache spills a
+    # second corpus-sized copy onto the same disk — measured as the
+    # eighth-decade wall (102.4M train died SPILL_OUT_OF_MEMORY at
+    # 1,903 s with the exchange alone fitting comfortably). Blocks that
+    # exceed the storage pool are recomputed, never spilled.
+    keyed = keyed.persist(StorageLevel.MEMORY_ONLY)
 
     try:
         pops = keyed.groupBy("cluster").count()
