@@ -554,6 +554,11 @@ def kmeans_train_two_level(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         codebook.count()  # materialize off the cached tag scan
+    except Exception:
+        # mirror the keyed guard above: a failed materialization must not
+        # leak a persisted codebook nobody holds a handle to (ADVICE r12)
+        codebook.unpersist()
+        raise
     finally:
         keyed.unpersist()
     return cents1, codebook
@@ -611,13 +616,18 @@ def kmeans_assign_two_level(
     )
 
     def assign_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # the empty frame's id/vec columns come from LEFT'S OWN dtypes
+        # (left.iloc[:0]), never hardcoded int64 — a string-keyed foreign
+        # corpus hitting a codebook-only cell must produce a zero-row
+        # frame Arrow can cast to the declared schema (ADVICE r12: the
+        # hardcoded int64 raised ArrowTypeError even at zero rows)
         empty = pd.DataFrame(
             {
-                id_col: np.array([], dtype=np.int64),
+                id_col: left[id_col].iloc[:0],
                 "cell": np.array([], dtype=np.int32),
                 "sub": np.array([], dtype=np.int32),
                 "sq_dist": np.array([], dtype=np.int64),
-                **({vec_col: pd.Series([], dtype=object)} if keep_vec else {}),
+                **({vec_col: left[vec_col].iloc[:0]} if keep_vec else {}),
             }
         )
         if not len(left):

@@ -1021,8 +1021,19 @@ def exact_substring_excise_sliced(
         _excise_covered(flagged, n).write.mode(
             "overwrite" if s == 0 else "append"
         ).parquet(tmp_out)
-    shutil.rmtree(out_path, ignore_errors=True)
+    # swap the finished corpus in WITHOUT a no-output window (r12 verdict
+    # finding #3): rename any existing table ASIDE first (atomic), rename
+    # the new one into place (atomic), then reap the old copy — a reader
+    # between the two renames sees either the old corpus or the new one,
+    # never an empty path.
+    old_aside = f"{out_path}.old-{os.getpid()}"
+    shutil.rmtree(old_aside, ignore_errors=True)
+    had_old = os.path.exists(out_path)
+    if had_old:
+        os.rename(out_path, old_aside)
     os.rename(tmp_out, out_path)
+    if had_old:
+        shutil.rmtree(old_aside, ignore_errors=True)
 
     # the duplicated-digest set is inter-pass state only; the rewritten
     # rows (returned lazily below) are the one artifact the caller owns —

@@ -75,7 +75,18 @@ def truth_pairs(spark: SparkSession) -> DataFrame:
 # concurrent sessions race safely (loser reads the winner's table).
 _REALISM_PAIRS_CACHE: dict[tuple[str, int], DataFrame] = {}
 
-_PAIRS_DIAL = f"k{_K}b{_BANDS}t{str(_THRESHOLD).replace('.', 'p')}"
+# The dial string keys the cache by the family's VALUES, not just its
+# shape (r12 verdict finding #1): the coefficient tuple is folded into a
+# short stable hash so an edit to PORTABLE_COEFFS16 that preserves the
+# count still selects a fresh cache directory instead of silently reading
+# pairs built under the old family.
+_COEFF_HASH = __import__("hashlib").sha256(
+    repr(tuple(map(tuple, dedup.PORTABLE_COEFFS16))).encode()
+).hexdigest()[:8]
+
+_PAIRS_DIAL = (
+    f"k{_K}b{_BANDS}t{str(_THRESHOLD).replace('.', 'p')}c{_COEFF_HASH}"
+)
 
 
 def _corpus_fingerprint(docs: DataFrame) -> tuple[int, int]:
@@ -95,10 +106,18 @@ def _tier_manifest(tier_dir: str) -> list[list]:
     builder reproduces byte-identical files, so equal manifests imply the
     stored logical fingerprint is still the live one."""
     d = os.path.join(tier_dir, "documents.parquet")
+
+    def entry(name: str, p: str) -> list:
+        st = os.stat(p)
+        # mtime (ns) joins name+size (ADVICE r12): a size-preserving
+        # rewrite of the corpus now forces the real fingerprint rescan
+        # instead of silently reusing the stored logical fingerprint.
+        return [name, st.st_size, st.st_mtime_ns]
+
     if os.path.isfile(d):  # the fixture builder writes one pyarrow file
-        return [["documents.parquet", os.path.getsize(d)]]
+        return [entry("documents.parquet", d)]
     return [
-        [f, os.path.getsize(os.path.join(d, f))]
+        entry(f, os.path.join(d, f))
         for f in sorted(os.listdir(d))
         if not f.startswith(".")
     ]
@@ -124,8 +143,13 @@ def _fingerprint_validated(spark: SparkSession, tier_dir: str) -> tuple[int, int
             pass  # unreadable sidecar -> recompute below
     docs = spark.read.parquet(os.path.join(tier_dir, "documents.parquet"))
     n, fp = _corpus_fingerprint(docs)
-    with open(side, "w") as fh:
+    # temp+rename (the repo's write discipline — r12 verdict finding #2):
+    # a crash mid-dump must not leave a truncated sidecar at the final
+    # path for the next session to half-parse.
+    tmp = f"{side}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
         json.dump({"n": n, "fp": fp, "manifest": manifest}, fh)
+    os.replace(tmp, side)
     return n, fp
 
 
@@ -157,15 +181,21 @@ def realism_pairs(spark: SparkSession, n_docs: int = REALISM_N) -> DataFrame:
                 coeffs=dedup.PORTABLE_COEFFS16,
                 bands=_BANDS,
             ).write.mode("overwrite").parquet(tmp)
-            # an untrusted dir at the target is a crashed write's husk —
-            # clear it so the rename can land
-            shutil.rmtree(path, ignore_errors=True)
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                # another session won the race; its table is the same
-                # pure function of (corpus, dials) — read it instead
+            # Re-check RIGHT before clearing (ADVICE r12): during the ~38 s
+            # build a concurrent winner may have landed a trusted table at
+            # the target; an unconditional rmtree would delete it under the
+            # winner's lazily-read DataFrame. Only an untrusted dir — a
+            # crashed write's husk — is cleared so the rename can land.
+            if _pairs_cache_trusted(path):
                 shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    # another session won the race; its table is the same
+                    # pure function of (corpus, dials) — read it instead
+                    shutil.rmtree(tmp, ignore_errors=True)
             if not _pairs_cache_trusted(path):
                 raise RuntimeError(
                     f"realism_pairs: cache write left no _SUCCESS at {path}"

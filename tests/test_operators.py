@@ -1208,6 +1208,58 @@ def test_ivf_two_level_level_recall_on_clustered_corpus(spark):
     assert len(got & truth) / len(truth) >= 0.95
 
 
+def test_two_level_assign_string_id_foreign_corpus(spark):
+    """Regression (ADVICE r12): assigning a STRING-keyed foreign corpus
+    under a two-level codebook exercises the codebook-only-cell branch —
+    cells the small corpus never hits cogroup with an empty left frame
+    whose id column must carry the corpus's real dtype (left.iloc[:0]),
+    not a hardcoded int64 (pyarrow raised ArrowTypeError even at zero
+    rows). Values must equal the int-keyed assignment of the same
+    vectors, both with and without keep_vec."""
+    import numpy as np
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_assign_two_level,
+        kmeans_train_two_level,
+    )
+    from crdb_changefeed_publisher_spark.plans.llm import KMEANS_SCALE
+
+    n, dim = 2000, 16
+    rng = np.random.default_rng(23)
+    pts = np.round(rng.standard_normal((n, dim)), 4)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+    cents1, codebook = kmeans_train_two_level(emb, n=n, scale=KMEANS_SCALE)
+    codebook = codebook.localCheckpoint(eager=True)
+
+    # a 5-vector foreign corpus (vectors drawn from the training corpus,
+    # re-keyed as strings) hits at most 5 coarse cells; every other cell
+    # is codebook-only and must yield a typed EMPTY frame, not a crash
+    few = [0, 400, 800, 1200, 1600]
+    foreign = spark.createDataFrame(
+        [(f"doc-{i}", [float(x) for x in pts[i]]) for i in few],
+        "vec_id string, embedding array<double>",
+    )
+    for keep_vec in (False, True):
+        got = {
+            (r.vec_id, r.cell, r.sub, r.sq_dist)
+            for r in kmeans_assign_two_level(
+                foreign, cents1, codebook, KMEANS_SCALE, keep_vec=keep_vec
+            ).collect()
+        }
+        want = {
+            (f"doc-{r.vec_id}", r.cell, r.sub, r.sq_dist)
+            for r in kmeans_assign_two_level(
+                emb, cents1, codebook, KMEANS_SCALE
+            )
+            .filter(F.col("vec_id").isin(few))
+            .collect()
+        }
+        assert got == want and len(got) == len(few)
+
+
 def test_ivf_lifecycle_value_exact_at_k2048(spark):
     """The k-generic PROOF behind extending KMEANS_K_CHOICES past 1024
     (r9 verdict #2): on a 4,000-vector corpus with cell_target=2 the
