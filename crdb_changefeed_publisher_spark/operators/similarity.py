@@ -981,66 +981,27 @@ def ivf_topk_trained(
     )
 
 
-def ivf_topk_two_level(
+def _two_level_coarse_cells(
     queries: DataFrame,
-    corpus: DataFrame,
     cents1: list[list[int]],
-    codebook: DataFrame,
-    k: int = 5,
-    scale: int = 1024,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    scale: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """IVF serving over a TWO-LEVEL trained codebook — the query path of
-    the seventh-decade trainer (linalg.kmeans_train_two_level): the
-    corpus indexes by the operator's hierarchical assignment (L1 argmin,
-    then argmin over the winning coarse cell's subs), and each query
-
-    * ranks the k1 COARSE centroids by exact int64 distance and keeps
-      its n_probe_for(k1) nearest coarse cells (never the k_total flat
-      ranking — pricing the coarse screen is the point of the level),
-    * ranks those cells' SUB-centroids by the same exact distance
-      ((dist, cell, sub) ties) and keeps n_probe_for(k_total) final
-      (cell, sub) probes,
-    * equi-joins candidates on the (cell, sub) key and reranks by exact
-      cosine — the ivf_topk_trained contract unchanged.
-
-    Both probe dials stay integer-exact (n_probe_for at each level), so
-    the WHOLE two-level lifecycle — train, index, coarse probe, sub
-    probe, rerank — is value-verifiable against an unrolled SQL twin
-    (plans/llm.py::embedding_topk_ivf_two_level). At 100 TB the
-    assignment is the write-time (cell, sub)-partitioned layout; the
-    coarse screen costs queries k1 ~ sqrt(k_total) distance rows instead
-    of k_total — the same sqrt saving on the query side that the trainer
-    takes on the build side.
-
-    DISTRIBUTED serve (r11 verdict #1): the only driver-side codebook
-    state is its COUNT (the p2 dial) — no codebook row is ever
-    collected. The query closure carries just the k1 coarse centroids;
-    sub-ranking is a BROADCAST-JOIN of the codebook table on the probed
-    cell key (k_total tiny rows — 134 MB at the 50M point, torrent-
-    shipped once per executor instead of pickled into every task) with
-    the exact int64 distance evaluated JVM-side (zip_with/aggregate
-    over the quantized arrays — the same IEEE floor + integer ops as
-    the numpy path) and the (dist, cell, sub) probe window capped at
-    p2; corpus indexing is the cogrouped kmeans_assign_two_level. A
-    coarse cell that ended training EMPTY has a centroid but no
-    codebook rows: it consumes one of the c1 probe slots and then
-    drops at the join — the SQL twin's join on s{T} drops it the same
-    way."""
+    """(query_id, cell): each query's n_probe_for(k1) nearest COARSE cells
+    by exact int64 distance (stable argsort = lower-cell-id ties) — the
+    level-1 screen shared by the probe builder and the index pruner. The
+    closure carries only the k1 ~ sqrt(k_total) coarse centroids."""
     import numpy as np
 
     from crdb_changefeed_publisher_spark.operators.linalg import (
         _int_sq_dists,
         _quantize_np,
-        kmeans_assign_two_level,
         n_probe_for,
-        quantize_vec,
     )
 
     C1 = np.asarray(cents1, dtype=np.int64)
     c1_probe = min(n_probe_for(len(C1)), len(C1))
-    p2 = n_probe_for(codebook.count())
 
     def coarse_probe(batches):
         for pdf in batches:
@@ -1057,9 +1018,33 @@ def ivf_topk_two_level(
             )
 
     qid_type = queries.schema[id_col].dataType.simpleString()
-    qcells = queries.select(id_col, vec_col).mapInPandas(
+    return queries.select(id_col, vec_col).mapInPandas(
         coarse_probe, f"query_id {qid_type}, cell int"
     )
+
+
+def _two_level_probes(
+    queries: DataFrame,
+    cents1: list[list[int]],
+    codebook: DataFrame,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, cell, sub): the final probe table of the two-level serve —
+    the coarse screen's cells expanded to their sub-centroids via a
+    BROADCAST join of the codebook (k_total tiny rows, never collected),
+    exact int64 distance evaluated JVM-side, and the (dist, cell, sub)
+    window capped at n_probe_for(k_total). Shared verbatim by the
+    in-memory serve and the from-index serve so both answer from the
+    identical probe set."""
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        n_probe_for,
+        quantize_vec,
+    )
+
+    p2 = n_probe_for(codebook.count())
+    qcells = _two_level_coarse_cells(queries, cents1, scale, id_col, vec_col)
     qq = queries.select(
         F.col(id_col).alias("query_id"),
         quantize_vec(F.col(vec_col), scale).alias("qq"),
@@ -1070,7 +1055,7 @@ def ivf_topk_two_level(
         lambda acc, x: acc + x,
     )
     wp = Window.partitionBy("query_id").orderBy("sq_dist", "cell", "sub")
-    probes = (
+    return (
         qcells.join(F.broadcast(codebook.select("cell", "sub", "c")), "cell")
         .join(F.broadcast(qq), "query_id")
         .select("query_id", "cell", "sub", sub_dist.alias("sq_dist"))
@@ -1078,21 +1063,17 @@ def ivf_topk_two_level(
         .filter(F.col("pr") <= p2)
         .select("query_id", "cell", "sub")
     )
-    # keep_vec threads the corpus vectors through the assignment's OWN
-    # exchange: reranking against a separate corpus-vector table would
-    # sort-merge-shuffle the full corpus a second time (measured as the
-    # serve-side disk wall at 20M on one box). With the probe table and
-    # query vectors broadcast (both are query-sized), the whole serve
-    # pays exactly ONE full-corpus exchange — the cogroup assignment,
-    # which at 100 TB is the write-time (cell, sub)-partitioned layout.
-    cells = kmeans_assign_two_level(
-        corpus, cents1, codebook, scale, vec_col, id_col, keep_vec=True
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        "cell",
-        "sub",
-        as_double(F.col(vec_col)).alias("ce"),
-    )
+
+
+def _two_level_rerank(
+    cells: DataFrame, queries: DataFrame, probes: DataFrame,
+    k: int, id_col: str, vec_col: str,
+) -> DataFrame:
+    """Exact-cosine rerank of the probed candidates: `cells` is the indexed
+    corpus (neighbor_id, cell, sub, ce) — from the assignment exchange or
+    from the persisted index — and the probe table + query vectors are
+    broadcast (both query-sized), so the rerank adds NO corpus-sized
+    shuffle of its own."""
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qe")
     )
@@ -1114,3 +1095,207 @@ def ivf_topk_two_level(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def build_two_level_index(
+    corpus: DataFrame,
+    cents1: list[list[int]],
+    codebook: DataFrame,
+    out_path: str,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the two-level assignment as the WRITE-TIME index layout —
+    the 100 TB posture every serve docstring names: the serve's only
+    corpus-sized cost is the cogrouped assignment exchange
+    (kmeans_assign_two_level), so pay it ONCE and land the exchange's
+    output on disk partitioned by the coarse cell. Directory layout:
+
+        out_path/index/cell=<c>/...   corpus rows (id, sub, sq_dist, vec),
+                                      files sorted by (sub, id) so the
+                                      probe's sub keys align with parquet
+                                      row-group stats inside a cell
+        out_path/codebook/            the (cell, sub, c, n_members) table
+        out_path/cents1.json          the k1 coarse centroids
+
+    Partitioning by CELL (k1 <= 8192 directories by the kmeans_k1_for
+    dial — 2.4M rows/dir at 20B vectors) rather than (cell, sub)
+    (k_total ~ n/250 directories — 524,288 at the eighth decade, a
+    filesystem-metadata wall) keeps partition discovery cheap while a
+    query's cell probes still prune at the DIRECTORY level; its sub
+    probes filter inside the ~sqrt(n*250)-row cell via the broadcast
+    probe join over sub-sorted row groups. Codebook + centroids ride
+    along so a serving session needs only the path
+    (load_two_level_codebook)."""
+    import json
+    import os
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_assign_two_level,
+    )
+
+    assigned = kmeans_assign_two_level(
+        corpus, cents1, codebook, scale, vec_col, id_col, keep_vec=True
+    )
+    (
+        assigned.repartition("cell")
+        .sortWithinPartitions("sub", id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_path, "index"))
+    )
+    codebook.select("cell", "sub", "c", "n_members").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_path, "codebook"))
+    tmp = os.path.join(out_path, f"cents1.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump({"scale": scale, "cents1": cents1}, fh)
+    os.replace(tmp, os.path.join(out_path, "cents1.json"))
+
+
+def load_two_level_codebook(
+    spark, path: str
+) -> tuple[list[list[int]], DataFrame, int]:
+    """(cents1, codebook DataFrame, scale) back from a build_two_level_index
+    directory — everything a serving session needs besides the queries."""
+    import json
+    import os
+
+    with open(os.path.join(path, "cents1.json")) as fh:
+        meta = json.load(fh)
+    codebook = spark.read.parquet(os.path.join(path, "codebook"))
+    return meta["cents1"], codebook, int(meta["scale"])
+
+
+def load_two_level_index(
+    spark, path: str, cells: list[int] | None = None
+) -> DataFrame:
+    """Read the persisted index; with `cells` the predicate is a PARTITION
+    filter — the scan never opens unprobed cells' directories (the
+    tools/build_ann_index.py::load_index contract, extended to the
+    two-level layout)."""
+    import os
+
+    df = spark.read.parquet(os.path.join(path, "index"))
+    if cells is not None:
+        df = df.filter(df.cell.isin([int(c) for c in cells]))
+    return df
+
+
+def ivf_topk_two_level(
+    queries: DataFrame,
+    corpus: DataFrame | None,
+    cents1: list[list[int]],
+    codebook: DataFrame,
+    k: int = 5,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    from_index_path: str | None = None,
+) -> DataFrame:
+    """IVF serving over a TWO-LEVEL trained codebook — the query path of
+    the seventh-decade trainer (linalg.kmeans_train_two_level): the
+    corpus indexes by the operator's hierarchical assignment (L1 argmin,
+    then argmin over the winning coarse cell's subs), and each query
+
+    * ranks the k1 COARSE centroids by exact int64 distance and keeps
+      its n_probe_for(k1) nearest coarse cells (never the k_total flat
+      ranking — pricing the coarse screen is the point of the level),
+    * ranks those cells' SUB-centroids by the same exact distance
+      ((dist, cell, sub) ties) and keeps n_probe_for(k_total) final
+      (cell, sub) probes,
+    * equi-joins candidates on the (cell, sub) key and reranks by exact
+      cosine — the ivf_topk_trained contract unchanged.
+
+    Both probe dials stay integer-exact (n_probe_for at each level), so
+    the WHOLE two-level lifecycle — train, index, coarse probe, sub
+    probe, rerank — is value-verifiable against an unrolled SQL twin
+    (plans/llm.py::embedding_topk_ivf_two_level).
+
+    `from_index_path` (r12 verdict #1) serves from the PERSISTED layout
+    (build_two_level_index) instead of recomputing the assignment: the
+    union of the queries' coarse cells — bounded by k1 <= 8192 ints, the
+    one driver-side collect, same contract as the flat load_index —
+    prunes the index scan to the probed cells' DIRECTORIES, and the
+    broadcast probe join selects (cell, sub) candidates inside them; the
+    corpus is neither scanned in full nor shuffled at all (`corpus` may
+    be None). Repeat serves therefore pay query-sized work against a
+    one-time build — 232.8 s of the 20.48M in-memory serve was exactly
+    this recomputed exchange. Answers are row-identical to the in-memory
+    serve by construction (the index IS the same assignment's output;
+    tests/test_ann_index_layout.py pins it at 2 SFs).
+
+    At 100 TB the
+    assignment is the write-time (cell, sub)-partitioned layout; the
+    coarse screen costs queries k1 ~ sqrt(k_total) distance rows instead
+    of k_total — the same sqrt saving on the query side that the trainer
+    takes on the build side.
+
+    DISTRIBUTED serve (r11 verdict #1): the only driver-side codebook
+    state is its COUNT (the p2 dial) — no codebook row is ever
+    collected. The query closure carries just the k1 coarse centroids;
+    sub-ranking is a BROADCAST-JOIN of the codebook table on the probed
+    cell key (k_total tiny rows — 134 MB at the 50M point, torrent-
+    shipped once per executor instead of pickled into every task) with
+    the exact int64 distance evaluated JVM-side (zip_with/aggregate
+    over the quantized arrays — the same IEEE floor + integer ops as
+    the numpy path) and the (dist, cell, sub) probe window capped at
+    p2; corpus indexing is the cogrouped kmeans_assign_two_level. A
+    coarse cell that ended training EMPTY has a centroid but no
+    codebook rows: it consumes one of the c1 probe slots and then
+    drops at the join — the SQL twin's join on s{T} drops it the same
+    way."""
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_assign_two_level,
+    )
+
+    probes = _two_level_probes(
+        queries, cents1, codebook, scale, id_col, vec_col
+    )
+    if from_index_path is not None:
+        # prune BEFORE the scan: the union of the queries' coarse cells is
+        # a superset of the final probes' cells (the p2 window only drops
+        # (cell, sub) rows) and is bounded by k1, so the isin list stays
+        # driver-safe at any corpus size while unprobed cells' directories
+        # are never opened
+        probed = sorted(
+            int(r.cell)
+            for r in _two_level_coarse_cells(
+                queries, cents1, scale, id_col, vec_col
+            )
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+        cells = load_two_level_index(
+            queries.sparkSession, from_index_path, cells=probed
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            "sub",
+            as_double(F.col(vec_col)).alias("ce"),
+        )
+    else:
+        if corpus is None:
+            raise ValueError(
+                "ivf_topk_two_level: pass a corpus DataFrame or a "
+                "from_index_path (build_two_level_index) to serve from"
+            )
+        # keep_vec threads the corpus vectors through the assignment's OWN
+        # exchange: reranking against a separate corpus-vector table would
+        # sort-merge-shuffle the full corpus a second time (measured as the
+        # serve-side disk wall at 20M on one box). With the probe table and
+        # query vectors broadcast (both are query-sized), the whole serve
+        # pays exactly ONE full-corpus exchange — the cogroup assignment,
+        # which at 100 TB is the write-time (cell, sub)-partitioned layout
+        # (build_two_level_index persists exactly this exchange).
+        cells = kmeans_assign_two_level(
+            corpus, cents1, codebook, scale, vec_col, id_col, keep_vec=True
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            "sub",
+            as_double(F.col(vec_col)).alias("ce"),
+        )
+    return _two_level_rerank(cells, queries, probes, k, id_col, vec_col)

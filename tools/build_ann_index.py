@@ -52,18 +52,56 @@ def load_index(spark: SparkSession, path: str, cells: list[int] | None = None) -
     return df
 
 
+def build_two_level(spark: SparkSession, sf_dir: str, out: str) -> None:
+    """Train the two-level codebook on the corpus, then persist the
+    assignment as the write-time (cell, sub) layout — the r12 verdict #1
+    path: a serving session points ivf_topk_two_level(from_index_path=out)
+    at the directory and pays query-sized work per serve instead of the
+    corpus-assignment exchange."""
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_train_two_level,
+    )
+    from crdb_changefeed_publisher_spark.operators.similarity import (
+        build_two_level_index,
+    )
+    from crdb_changefeed_publisher_spark.plans.llm import KMEANS_SCALE
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents1, codebook = kmeans_train_two_level(emb, scale=KMEANS_SCALE)
+    try:
+        build_two_level_index(
+            emb, cents1, codebook, out, scale=KMEANS_SCALE
+        )
+    finally:
+        codebook.unpersist()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/ann_index")
+    ap.add_argument(
+        "--two-level", action="store_true",
+        help="train a two-level codebook and persist the (cell, sub) "
+        "layout (index/ + codebook/ + cents1.json) instead of the flat "
+        "frozen-codebook index",
+    )
     args = ap.parse_args()
     from crdb_changefeed_publisher_spark.session import get_spark
 
     spark = get_spark("ann-index-build")
-    build_index(spark, args.sf_dir, args.out)
-    n = spark.read.parquet(args.out).count()
-    cells = sorted(r.cell for r in spark.read.parquet(args.out).select("cell").distinct().collect())
-    print(f"wrote {args.out}: {n} rows across {len(cells)} cell partitions")
+    if args.two_level:
+        build_two_level(spark, args.sf_dir, args.out)
+        idx = spark.read.parquet(os.path.join(args.out, "index"))
+        n = idx.count()
+        n_cells = idx.select("cell").distinct().count()
+        print(f"wrote {args.out}: {n} rows across {n_cells} cell partitions (two-level)")
+    else:
+        build_index(spark, args.sf_dir, args.out)
+        n = spark.read.parquet(args.out).count()
+        cells = sorted(r.cell for r in spark.read.parquet(args.out).select("cell").distinct().collect())
+        print(f"wrote {args.out}: {n} rows across {len(cells)} cell partitions")
     spark.stop()
 
 
