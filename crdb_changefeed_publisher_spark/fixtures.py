@@ -327,6 +327,154 @@ def build_spanedit_corpus(n_docs: int, out_dir: str) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Incremental-ingest shard family (r12 verdict #4): a fresh shard arriving
+# AGAINST an existing realism tier, with planted cross-shard ground truth —
+# the fixture that certifies the incremental dedup path
+# (operators/dedup.py::incremental_dedup_report probing the tier's
+# PERSISTED content/band indexes) the way truth_pairs certifies the batch
+# path. Per shard doc the truth table records its expected admission class:
+#
+# * 'exact'  — verbatim copy of a parent-tier document (content-hash
+#   recall is deterministic: every one MUST classify exact);
+# * 'near'   — clone of a parent-tier BASE document under the SAME edit
+#   model as the tier's own planted clones (SUBST_P per-word substitution,
+#   >= 1 edit forced so the label can never collapse into 'exact') — the
+#   tier's >= 0.85 banded-recall floor therefore transfers verbatim;
+# * 'new'    — fresh Zipfian background text over the same vocabulary
+#   (shares frequent words/shingles with the corpus, as a real shard
+#   would — the honest false-positive load for the band screen).
+#
+# A slice of the 'new' docs is duplicated WITHIN the shard (dup_of points
+# at the copied shard doc) so within-shard keep/n_copies accounting is
+# certified in the same pass. Deterministic (own seed); shard doc_ids are
+# offset by SHARD_ID_OFFSET so they can never collide with tier ids.
+# ---------------------------------------------------------------------------
+
+SHARD_SEED = 20260818
+SHARD_EXACT_FRAC = 0.10
+SHARD_NEAR_FRAC = 0.15
+SHARD_INTRA_DUP_FRAC = 0.05
+SHARD_ID_OFFSET = 10_000_000
+
+
+def build_shard_corpus(n_docs: int, parent_dir: str, out_dir: str) -> dict:
+    """Write shard_documents.parquet + truth_shard.parquet (doc_id,
+    expected, parent_id, dup_of) for a `n_docs` shard against the tier at
+    `parent_dir`."""
+    os.makedirs(out_dir, exist_ok=True)
+    parent = pq.read_table(
+        os.path.join(parent_dir, "documents.parquet"), columns=["text"]
+    )
+    parent_texts = parent.column("text").to_pylist()
+    n_parent = len(parent_texts)
+    n_parent_base = int(n_parent * (1.0 - CLONE_FRAC))
+
+    # the tier's vocabulary/frequency model, reproduced deterministically
+    # (same construction as build_corpus — _make_vocab consumes only its
+    # own rng draws)
+    vocab = _make_vocab(np.random.default_rng(SEED))
+    cdf = _zipf_cdf()
+    rng = np.random.default_rng(SHARD_SEED)
+
+    n_exact = int(n_docs * SHARD_EXACT_FRAC)
+    n_near = int(n_docs * SHARD_NEAR_FRAC)
+    n_intra = int(n_docs * SHARD_INTRA_DUP_FRAC)
+    n_new = n_docs - n_exact - n_near - n_intra
+
+    texts: list[str] = []
+    expected: list[str] = []
+    parent_id: list[int] = []
+    dup_of: list[int] = []
+
+    for p in rng.integers(0, n_parent, size=n_exact):
+        texts.append(parent_texts[int(p)])
+        expected.append("exact")
+        parent_id.append(int(p))
+        dup_of.append(-1)
+
+    for p in rng.integers(0, n_parent_base, size=n_near):
+        words = np.array(parent_texts[int(p)].split(" "), dtype=object)
+        mask = rng.random(len(words)) < SUBST_P
+        if not mask.any():
+            mask[int(rng.integers(0, len(words)))] = True
+        repl = vocab[np.searchsorted(cdf, rng.random(int(mask.sum())))]
+        words[mask] = repl
+        text = " ".join(words)
+        if text == parent_texts[int(p)]:
+            # every substitution drew the original word back — force one
+            # real edit so the planted label stays 'near'
+            i = int(np.nonzero(mask)[0][0])
+            j = (int(np.searchsorted(cdf, rng.random())) + 1) % len(vocab)
+            if vocab[j] == words[i]:
+                j = (j + 1) % len(vocab)
+            words[i] = vocab[j]
+            text = " ".join(words)
+        texts.append(text)
+        expected.append("near")
+        parent_id.append(int(p))
+        dup_of.append(-1)
+
+    lens = rng.integers(LEN_LO, LEN_HI + 1, size=n_new)
+    total = int(lens.sum())
+    idx = np.searchsorted(cdf, rng.random(total)).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    first_new = len(texts)
+    for i in range(n_new):
+        texts.append(" ".join(vocab[idx[offs[i]: offs[i + 1]]]))
+        expected.append("new")
+        parent_id.append(-1)
+        dup_of.append(-1)
+
+    for s in rng.integers(first_new, first_new + n_new, size=n_intra):
+        texts.append(texts[int(s)])
+        expected.append("new")
+        parent_id.append(-1)
+        dup_of.append(int(s) + SHARD_ID_OFFSET)
+
+    ids = np.arange(n_docs, dtype=np.int64) + SHARD_ID_OFFSET
+    n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * n_docs),
+                "source": pa.array([f"shard{i % 3}" for i in range(n_docs)]),
+                "n_chars": pa.array(n_chars),
+            }
+        ),
+        os.path.join(out_dir, "shard_documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "expected": pa.array(expected, type=pa.string()),
+                "parent_id": pa.array(parent_id, type=pa.int64()),
+                "dup_of": pa.array(dup_of, type=pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "truth_shard.parquet"),
+    )
+    return {"n_docs": n_docs, "n_exact": n_exact, "n_near": n_near,
+            "n_new": n_new, "n_intra": n_intra}
+
+
+def ensure_shard_tier(n_docs: int, parent_n: int) -> str:
+    """Path to the shard tier for `n_docs` against the `parent_n` realism
+    tier, building both if missing."""
+    parent_dir = ensure_tier(parent_n)
+    out_dir = os.path.join(REALCORPUS_ROOT, f"shard{n_docs}_of_n{parent_n}")
+    have = all(
+        os.path.exists(os.path.join(out_dir, f))
+        for f in ("shard_documents.parquet", "truth_shard.parquet")
+    )
+    if not have:
+        build_shard_corpus(n_docs, parent_dir, out_dir)
+    return out_dir
+
+
 def ensure_spanedit_tier(n_docs: int) -> str:
     """Path to the span/edit tier for `n_docs`, building if missing."""
     out_dir = os.path.join(REALCORPUS_ROOT, f"se{n_docs}")

@@ -1098,12 +1098,64 @@ def simhash_near_dup_degrees(
     )
 
 
-def incremental_dedup_report(
+def content_key_index(
+    corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(_tkey): the distinct sha2-256 content digests of a corpus — one
+    of the two ids-free indexes a production pipeline PERSISTS between
+    shard ingests (the other is band_index). 32 B/doc, shrinking under
+    distinct; the corpus text itself never leaves its scan."""
+    return corpus.select(
+        F.unhex(F.sha2(F.col(text_col), 256)).alias("_tkey")
+    ).distinct()
+
+
+def band_index(
     corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    coeffs: list[tuple[int, int]] | None = None,
+    bands: int = 2,
+) -> DataFrame:
+    """(band_idx, band_hash): the distinct LSH band hashes of a corpus
+    under the portable MinHash family — the near-dup probe index
+    incremental_dedup_report joins each arriving shard against. Two longs
+    per doc before distinct; a pure function of the text (see
+    portable_banded_signatures), so indexes built over different corpus
+    snapshots at different times stay join-compatible."""
+    sig = portable_banded_signatures(
+        corpus, text_col, id_col, n, coeffs=coeffs, bands=bands
+    )
+    return (
+        sig.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band_idx"),
+                            F.col(f"b{band}").alias("band_hash"),
+                        )
+                        for band in range(bands)
+                    ]
+                )
+            ).alias("b")
+        )
+        .select("b.band_idx", "b.band_hash")
+        .distinct()
+    )
+
+
+def incremental_dedup_report(
+    corpus: DataFrame | None,
     shard: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    coeffs: list[tuple[int, int]] | None = None,
+    bands: int = 2,
+    corpus_keys: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW SHARD against an EXISTING corpus without rescanning the
     corpus pairwise — the operational shape of dedup at 100 TB, where the
@@ -1120,12 +1172,25 @@ def incremental_dedup_report(
 
     Scale shape — the corpus side reduces to two ids-free indexes that a
     production pipeline PERSISTS between shards rather than recomputing:
-      * content-hash index: distinct sha2-256 of corpus text (32 B/doc);
-      * band index: distinct (band_idx, band_hash) pairs (two longs/doc).
-    The shard (typically ~1e-4 of corpus size) probes both with plain
-    equi-joins; nothing quadratic anywhere, and the corpus text is never
-    shuffled — only its hashes.
+      * content-hash index: distinct sha2-256 of corpus text (32 B/doc) —
+        content_key_index;
+      * band index: distinct (band_idx, band_hash) pairs (two longs/doc)
+        — band_index.
+    `corpus_keys` / `corpus_bands` accept exactly those persisted tables
+    (r12 verdict #4: the realism tier materializes them beside its pair
+    cache — plans/realism.py), in which case `corpus` may be None and
+    shard admission reads NO corpus-sized input at all. The shard
+    (typically ~1e-4 of corpus size) probes both with plain equi-joins;
+    nothing quadratic anywhere, and the corpus text is never shuffled —
+    only its hashes. `coeffs`/`bands` select the LSH family (default: the
+    registered 8-hash/2-band shape; the realism tier certifies the
+    16-hash/4-band production shape against planted cross-shard clones).
     """
+    if corpus is None and (corpus_keys is None or corpus_bands is None):
+        raise ValueError(
+            "incremental_dedup_report: pass a corpus DataFrame or BOTH "
+            "persisted indexes (corpus_keys + corpus_bands)"
+        )
     shard_keeps = (
         shard.groupBy(F.unhex(F.sha2(F.col(text_col), 256)).alias("_tkey"))
         .agg(
@@ -1136,23 +1201,34 @@ def incremental_dedup_report(
             F.min(text_col).alias("_text"),
         )
     )
-    corpus_keys = corpus.select(
-        F.unhex(F.sha2(F.col(text_col), 256)).alias("_tkey"), F.lit(1).alias("_exact")
-    ).distinct()
+    if corpus_keys is None:
+        corpus_keys = content_key_index(corpus, text_col)
+    corpus_keys = corpus_keys.select("_tkey", F.lit(1).alias("_exact"))
 
     def _bands(df: DataFrame, id_alias: str) -> DataFrame:
-        sig = portable_banded_signatures(df, text_col, id_col, n)
+        sig = portable_banded_signatures(
+            df, text_col, id_col, n, coeffs=coeffs, bands=bands
+        )
         return sig.select(
             F.col("doc_id").alias(id_alias),
             F.explode(
                 F.array(
-                    F.struct(F.lit(0).alias("band_idx"), F.col("b0").alias("band_hash")),
-                    F.struct(F.lit(1).alias("band_idx"), F.col("b1").alias("band_hash")),
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band_idx"),
+                            F.col(f"b{band}").alias("band_hash"),
+                        )
+                        for band in range(bands)
+                    ]
                 )
             ).alias("b"),
         ).select(id_alias, "b.band_idx", "b.band_hash")
 
-    corpus_bands = _bands(corpus, "corpus_id").select("band_idx", "band_hash").distinct()
+    if corpus_bands is None:
+        corpus_bands = band_index(
+            corpus, text_col, id_col, n, coeffs=coeffs, bands=bands
+        )
+    corpus_bands = corpus_bands.select("band_idx", "band_hash")
     keep_docs = shard_keeps.select(F.col("keep_id").alias(id_col), F.col("_text").alias(text_col))
     near_hits = (
         _bands(keep_docs, "keep_id")
