@@ -9,6 +9,8 @@ approximate LSH/PQ ops, via seeded+rounded literals — is value-verified.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1576,10 +1578,17 @@ SHARED_PASSES = {
         [(len(_kmeans_cents(spark, sf_dir)),)], "k int"
     ),
     # two-level training is likewise eager (the trainer persists and
-    # materializes the codebook before returning), so the registered
-    # embedding_topk_ivf_two_level row reads as marginal probe+rerank
+    # materializes the codebook before returning), and r13 adds the
+    # one-time PERSISTED-INDEX build (the write-time exchange) to the
+    # shared pass, so the registered embedding_topk_ivf_two_level row
+    # reads as its marginal cost: pruned scan + probe + rerank — the
+    # repeat-serve economics the layout exists for
     "kmeans2_train": lambda spark, sf_dir: spark.createDataFrame(
-        [(_kmeans2_codebook_df(spark, sf_dir)[1].count(),)], "k_total int"
+        [(
+            _kmeans2_codebook_df(spark, sf_dir)[1].count(),
+            _kmeans2_index_path(spark, sf_dir),
+        )],
+        "k_total long, index_path string",
     ),
     # the 500k-tier realism pair table (plans/realism.py): built once per
     # session, consumed by realism_minhash_degrees (registered) and the
@@ -2581,23 +2590,61 @@ def _ivf_two_level_oracle(
     """
 
 
+_KMEANS2_INDEX_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _kmeans2_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached PERSISTED two-level index for the tier: the trained
+    codebook's corpus assignment written once as the (cell, sub) layout
+    (similarity.build_two_level_index — r12 verdict #1), then served from
+    disk by every consumer. This is the 100 TB posture the registered row
+    exercises: the one corpus-sized exchange is paid at WRITE time; the
+    query path reads directory-pruned scans."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _KMEANS2_INDEX_PATHS.get(key)
+    if path is None:
+        cents1, codebook = _kmeans2_codebook_df(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_ann2l",
+            spark.sparkContext.applicationId,
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        similarity.build_two_level_index(
+            emb, cents1, codebook, path, scale=KMEANS_SCALE
+        )
+        _KMEANS2_INDEX_PATHS[key] = path
+    return path
+
+
 @query(
     "embedding_topk_ivf_two_level",
     # PROMOTED in swap round 10 (r11 verdict #2): the seventh-decade
     # two-level lifecycle is the repo's flagship scale result and now
     # holds the driver row; embedding_topk_ivfpq retired in trade (its
-    # frozen-codebook composition stays oracle-verified in pytest)
+    # frozen-codebook composition stays oracle-verified in pytest).
+    # Round 13: the row serves FROM THE PERSISTED INDEX (build once per
+    # session, directory-pruned scans) so the registered surface is the
+    # scale path; the in-memory serve stays pinned row-identical at 2 SFs
+    # in tests/test_ann_index_layout.py, and the oracle is unchanged
+    # because the layout changes where bytes live, never the answer.
     oracle=_ivf_two_level_oracle(),
-    doc="The two-level ANN lifecycle served end-to-end IN-ENGINE: the "
-    "seventh-decade trainer's codebook (embedding_kmeans_two_level, "
-    "session-shared) indexes the corpus hierarchically, queries rank the "
-    "k1 ~ sqrt(k_total) COARSE cells by exact integer distance (never "
-    "the flat k_total ranking — the coarse screen is the level's query-"
-    "side saving), keep ceil-sqrt(k1) of them, rank those cells' subs "
-    "and keep ceil-sqrt(k_total) final (cell, sub) probes, then exact "
-    "cosine reranks the probed candidates. Every dial and every distance "
-    "is integer-exact, so the complete two-level lifecycle is value-"
-    "verified against the unrolled SQL twin "
+    doc="The two-level ANN lifecycle served end-to-end IN-ENGINE from the "
+    "PERSISTED (cell, sub)-partitioned index: the seventh-decade "
+    "trainer's codebook (embedding_kmeans_two_level, session-shared) "
+    "assigns the corpus hierarchically and the assignment exchange lands "
+    "ON DISK partitioned by coarse cell (build_two_level_index, once per "
+    "session); queries rank the k1 ~ sqrt(k_total) COARSE cells by exact "
+    "integer distance, keep ceil-sqrt(k1) of them — which PRUNES the "
+    "index scan to those cells' directories — rank those cells' subs and "
+    "keep ceil-sqrt(k_total) final (cell, sub) probes, then exact cosine "
+    "reranks the probed candidates read from the pruned scan. Every dial "
+    "and every distance is integer-exact, so the complete lifecycle — "
+    "train, persist, prune, probe, rerank — is value-verified against "
+    "the unrolled SQL twin "
     "(operators/similarity.py::ivf_topk_two_level).",
 )
 def embedding_topk_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2605,7 +2652,8 @@ def embedding_topk_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     cents1, codebook = _kmeans2_codebook_df(spark, sf_dir)
     return similarity.ivf_topk_two_level(
-        queries, emb, cents1, codebook, k=5, scale=KMEANS_SCALE
+        queries, None, cents1, codebook, k=5, scale=KMEANS_SCALE,
+        from_index_path=_kmeans2_index_path(spark, sf_dir),
     )
 
 
