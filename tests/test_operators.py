@@ -1260,6 +1260,77 @@ def test_two_level_assign_string_id_foreign_corpus(spark):
         assert got == want and len(got) == len(few)
 
 
+def test_two_level_sliced_build_equals_one_shot(spark, tmp_path):
+    """The ninth-decade trainer (kmeans_train_two_level_sliced) must be
+    VALUE-IDENTICAL to the one-shot build — level-2 training is cell-local,
+    so slicing the coarse cells into balanced groups (bounding peak shuffle
+    scratch to ~corpus/n_slices) may not change a single trained value:
+    same level-1 centroids, same (cell, sub, centroid, n_members) rows, at
+    two slice counts including one that leaves slices ragged."""
+    import numpy as np
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_train_two_level,
+        kmeans_train_two_level_sliced,
+    )
+    from crdb_changefeed_publisher_spark.plans.llm import KMEANS_SCALE
+
+    n, dim = 2000, 16
+    rng = np.random.default_rng(29)
+    pts = np.round(rng.standard_normal((n, dim)), 4)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+
+    cents1, codebook = kmeans_train_two_level(emb, n=n, scale=KMEANS_SCALE)
+    want = {
+        (r.cell, r.sub, tuple(r.c), r.n_members) for r in codebook.collect()
+    }
+    codebook.unpersist()
+    assert len(want) > 8
+
+    for n_slices in (3, 1):
+        s_cents1, s_codebook = kmeans_train_two_level_sliced(
+            emb, str(tmp_path / f"cb{n_slices}"), n_slices=n_slices,
+            n=n, scale=KMEANS_SCALE,
+        )
+        assert s_cents1 == cents1
+        got = {
+            (r.cell, r.sub, tuple(r.c), r.n_members)
+            for r in s_codebook.collect()
+        }
+        assert got == want
+
+
+def test_two_level_sliced_skew_guard_refuses(spark, tmp_path):
+    """The sliced trainer keeps the driver-side measured-refusal
+    convention: the single counting pass (which also balances the slices)
+    must refuse a coarse cell larger than max_cell_rows BEFORE any
+    executor-side training task could raise."""
+    import numpy as np
+
+    import pytest
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_train_two_level_sliced,
+    )
+    from crdb_changefeed_publisher_spark.plans.llm import KMEANS_SCALE
+
+    n, dim = 400, 8
+    rng = np.random.default_rng(31)
+    pts = np.round(rng.standard_normal((n, dim)) * 0.01, 4)  # one hot cell
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="largest coarse cell"):
+        kmeans_train_two_level_sliced(
+            emb, str(tmp_path / "cb"), n_slices=2, n=n,
+            scale=KMEANS_SCALE, max_cell_rows=10,
+        )
+
+
 def test_ivf_lifecycle_value_exact_at_k2048(spark):
     """The k-generic PROOF behind extending KMEANS_K_CHOICES past 1024
     (r9 verdict #2): on a 4,000-vector corpus with cell_target=2 the
