@@ -1387,6 +1387,52 @@ def test_ivf_lifecycle_value_exact_at_k2048(spark):
     assert got == want
 
 
+def test_int_sq_dists_blas_path_exact():
+    """_int_sq_dists routes its cross term through float64 dgemm when
+    d * max|Q| * max|C| < 2^52 (every partial sum an integer < 2^53 —
+    exact in float64 under any blocking/FMA) and falls back to the
+    int64 matmul past the guard. Both paths must return the SAME int64
+    values as an arbitrary-precision Python-int reference: at the
+    operating point (quantized |q| <= 4*scale = 4096), at max-magnitude
+    inputs just UNDER the guard, and just OVER it (fallback path)."""
+    import numpy as np
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        _int_sq_dists,
+    )
+
+    def exact_ref(Q, C):
+        out = np.empty((len(Q), len(C)), dtype=np.int64)
+        for i, q in enumerate(Q.tolist()):  # python ints: no overflow
+            for j, c in enumerate(C.tolist()):
+                out[i, j] = sum((a - b) * (a - b) for a, b in zip(q, c))
+        return out
+
+    rng = np.random.default_rng(7)
+    # operating point: quantized-range magnitudes, BLAS path
+    Q = rng.integers(-4096, 4097, size=(50, 64)).astype(np.int64)
+    C = rng.integers(-4096, 4097, size=(17, 64)).astype(np.int64)
+    assert 64 * 4096 * 4096 < (1 << 52)
+    assert np.array_equal(_int_sq_dists(Q, C), exact_ref(Q, C))
+    # just UNDER the guard: d=4, mq=2^25, mc=2^25 -> 4*2^50 = 2^52 is
+    # NOT under; shave one: mc=2^25 - 1 keeps the product < 2^52
+    mq, mc = 1 << 25, (1 << 25) - 1
+    Qb = np.array([[mq, -mq, mq, -mq], [mq, mq, mq, mq]], dtype=np.int64)
+    Cb = np.array([[mc, mc, -mc, mc], [-mc, -mc, -mc, -mc]], dtype=np.int64)
+    assert 4 * mq * mc < (1 << 52)
+    assert np.array_equal(_int_sq_dists(Qb, Cb), exact_ref(Qb, Cb))
+    # just OVER the guard: the int64 fallback (products ~2^50, sums
+    # ~2^52 — still exact in int64) must also match
+    mq2 = 1 << 25
+    Qo = np.array([[mq2, -mq2, mq2, -mq2]], dtype=np.int64)
+    Co = np.array([[mq2, mq2, -mq2, mq2], [0, 1, 2, 3]], dtype=np.int64)
+    assert not (4 * mq2 * mq2 < (1 << 52))
+    assert np.array_equal(_int_sq_dists(Qo, Co), exact_ref(Qo, Co))
+    # empty sides stay total on both paths
+    assert _int_sq_dists(Q[:0], C).shape == (0, 17)
+    assert _int_sq_dists(Q, C[:0]).shape == (50, 0)
+
+
 def test_kmeans_dials_integer_exact():
     """n_probe_for is ceil(sqrt(k)) floored at 3 (the oracle pdial twin's
     MIN(p) WHERE p*p >= k over range(3, 128) — the range covers
