@@ -27,6 +27,17 @@ def cpu_count() -> int:
 
 def get_spark(app_name: str = "crdb_changefeed_publisher_spark") -> SparkSession:
     """Build (or reuse) the session with scale-aware defaults."""
+    # Arrow-batched UDFs allocate large transient numpy buffers (e.g. a
+    # 10k-row batch against a k=1024 codebook materializes an 80 MB
+    # distance matrix per batch). glibc mmap()s allocations past its
+    # dynamic threshold, so every batch faults in ~20k fresh zero pages
+    # and gives them back — measured at the eighth-decade drive as ~25
+    # cores of pure kernel time across the 32 workers (56 s -> 1.5 s for
+    # an identical 50-batch loop once the threshold forces arena reuse).
+    # Must be in the environment BEFORE the JVM starts: python workers
+    # inherit it through the executor launch.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     cpus = cpu_count()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -42,6 +53,13 @@ def get_spark(app_name: str = "crdb_changefeed_publisher_spark") -> SparkSession
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # belt to the os.environ suspenders above: executorEnv reaches
+        # python workers on a real cluster, where the driver's process
+        # environment does not
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+                os.environ["MALLOC_MMAP_THRESHOLD_"])
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+                os.environ["MALLOC_TRIM_THRESHOLD_"])
         # NOTE: do NOT set spark.cleaner.periodicGC.interval low — the
         # forced full GC on a large heap is a multi-second STW pause that
         # lands inside query timings (measured ~12s stalls at 1min interval)

@@ -250,30 +250,39 @@ def main() -> None:
     result["points"] = points
 
     if args.serve:
-        from pyspark.sql import functions as F
-
         codebook_df = spark.read.parquet(cb_path)
         t0 = time.monotonic()
-        out = similarity.ivf_topk_two_level(
-            qdf, emb, cents1, codebook_df, k=6, scale=KMEANS_SCALE
-        )
-        got = [(int(r.query_id), int(r.neighbor_id)) for r in out.collect()]
-        result["serve_sec"] = round(time.monotonic() - t0, 1)
-        result["serve_rows"] = len(got)
-        # operator-true recall: k=6 absorbs the self-hit the truth pass
-        # excludes; count truth pairs the serve returned
-        truth_pairs = {
-            (int(q_ids[qi]), int(nb))
-            for qi in range(nq)
-            for nb in truth[qi]
-            if nb >= 0
-        }
-        hit = len(truth_pairs & set(got))
-        result["serve_recall_at_5"] = round(hit / max(1, len(truth_pairs)), 4)
-        print(json.dumps({"phase": "serve", "sec": result["serve_sec"],
-                          "rows": len(got),
-                          "recall_at_5": result["serve_recall_at_5"]}),
-              flush=True)
+        try:
+            out = similarity.ivf_topk_two_level(
+                qdf, emb, cents1, codebook_df, k=6, scale=KMEANS_SCALE
+            )
+            got = [(int(r.query_id), int(r.neighbor_id)) for r in out.collect()]
+        except Exception as exc:  # a disk-wall serve must not lose the
+            # train/recall measurements already in `result`
+            result["serve_error"] = f"{type(exc).__name__}: {exc}"[:400]
+            result["serve_failed_after_sec"] = round(time.monotonic() - t0, 1)
+            print(json.dumps({"phase": "serve", "error": result["serve_error"],
+                              "sec": result["serve_failed_after_sec"]}),
+                  flush=True)
+        else:
+            result["serve_sec"] = round(time.monotonic() - t0, 1)
+            result["serve_rows"] = len(got)
+            # operator-true recall: k=6 absorbs the self-hit the truth
+            # pass excludes; count truth pairs the serve returned
+            truth_pairs = {
+                (int(q_ids[qi]), int(nb))
+                for qi in range(nq)
+                for nb in truth[qi]
+                if nb >= 0
+            }
+            hit = len(truth_pairs & set(got))
+            result["serve_recall_at_5"] = round(
+                hit / max(1, len(truth_pairs)), 4
+            )
+            print(json.dumps({"phase": "serve", "sec": result["serve_sec"],
+                              "rows": len(got),
+                              "recall_at_5": result["serve_recall_at_5"]}),
+                  flush=True)
 
     if args.out:
         with open(args.out, "a") as fh:
