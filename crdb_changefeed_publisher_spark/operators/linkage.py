@@ -195,6 +195,15 @@ def fuzzy_pairs_passjoin(
         F.col(id_col).alias("id"),
         normalized_link_key(F.col(text_col)).alias("t"),
     ).withColumn("len", F.length("t"))
+    # One normalize pass, not four (r13): t feeds the index explode, the
+    # probe explode, and both sides of the verify re-join — without a cut
+    # each consumer re-runs the scan + regexp_replace normalize. Lazy
+    # localCheckpoint: materialized by the first action (the saturation
+    # guard when budgeted, else the pair job itself), reused by the rest.
+    # ~(id + normalized text)/doc, the smallest frame in the pipeline —
+    # cheaper to hold than the 125x/doc segment explodes already
+    # checkpointed below.
+    t = t.localCheckpoint(eager=False)
 
     long_t = t.filter(F.col("len") >= k + 1)
     short_t = t.filter(F.col("len") < k + 1)
@@ -300,7 +309,6 @@ def fuzzy_pairs_passjoin(
             F.least("doc_i", "doc_p").alias("doc_a"),
             F.greatest("doc_i", "doc_p").alias("doc_b"),
         )
-        .distinct()
     )
     # short stratum: strings under k+1 chars pair only within the length
     # band, i.e. with strings of length <= 2k — constant-key join over a
@@ -326,8 +334,12 @@ def fuzzy_pairs_passjoin(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
         )
-        .distinct()
     )
+    # One distinct over the unioned candidates, not three (r13): the
+    # per-branch distincts each paid an exchange only for the union's
+    # final distinct to re-shuffle the same (doc_a, doc_b) keys again.
+    # Map-side partial aggregation still collapses the slot fan-out
+    # before the single exchange, so shuffled bytes do not grow.
     both = cand.unionByName(short_cand).distinct()
     strs = t.select("id", "t", "len")
     return (
