@@ -106,13 +106,34 @@ def bloom_might_contain(col: Column, words: list[int], k: int) -> Column:
     false positives at the standard (1 - e^{-kn/m})^k rate."""
     m_bits = len(words) * 64
     arr = F.array(*[F.lit(w) for w in words])
+    return _might_contain_against(col, arr, m_bits, k)
+
+
+def _might_contain_against(col: Column, words_arr: Column, m_bits: int, k: int) -> Column:
+    """Shared probe body: k O(1) element_at lookups + bit masks against a
+    words array that is either a plan literal (`bloom_might_contain`) or
+    a broadcast one-row COLUMN (`bloom_words_row` — the r13 scale form:
+    data, not plan constants, so codegen/analysis cost does not grow with
+    the filter)."""
     masks = F.array(*[F.lit(v) for v in _POW2])
     cond = F.lit(True)
     for pos in bloom_positions(col, m_bits, k):
-        word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
+        word = F.element_at(words_arr, (F.shiftright(pos, 6) + 1).cast("int"))
         mask = F.element_at(masks, (F.pmod(pos, F.lit(64)) + 1).cast("int"))
         cond = cond & (word.bitwiseAND(mask) != 0)
     return cond
+
+
+def bloom_words_row(df: DataFrame, col: str, m_bits: int, k: int = 5) -> DataFrame:
+    """The filter as ONE dense-array row, for a broadcast nested-loop
+    attach to the probe side (the repo's broadcast-of-one-row pattern).
+    The collect is bounded by the dial (m_bits/64 longs — 8 MB at the
+    2^26 clamp), same contract as `bloom_build`; shipping the words as
+    DATA keeps the plan constant-free where the literal form measured
+    80 s of codegen at 2^23 bits (see LITERAL_MAX_BITS note)."""
+    words = bloom_build(df, col, m_bits, k)
+    spark = df.sparkSession
+    return spark.createDataFrame([(words,)], "_bloom_words array<long>")
 
 
 # Above this size a literal words array stops being a reasonable plan
@@ -250,22 +271,39 @@ def bloom_semijoin_stats(
     keys = small.select(F.col(small_key).alias(big_key)).distinct()
     if m_bits is None:
         m_bits = bloom_m_bits_for(keys.count())
-    big_keys = big.select(big_key).distinct()
+    truth = keys.withColumn("_match", F.lit(1))
     if m_bits <= LITERAL_MAX_BITS:
+        # Literal filter: evaluate _pass directly on the fact scan (r13) —
+        # the probe is k codegen hash+mask ops per row, cheaper than the
+        # distinct-fact-keys exchange + join-back it replaced (the
+        # registered row's own doc promises "drops ... AT THE SCAN"; the
+        # join-back vehicle only pays for itself on the broadcast-join
+        # path below, where per-row probing would fan out k word rows).
         words = bloom_build(keys, big_key, m_bits, k)
-        probe = big_keys.select(
-            F.col(big_key),
-            bloom_might_contain(F.col(big_key), words, k).cast("int").alias("_pass"),
+        flagged = big.select(group_col, big_key).withColumn(
+            "_pass", bloom_might_contain(F.col(big_key), words, k).cast("int")
         )
     else:
-        words_df = bloom_build_df(keys, big_key, m_bits, k)
-        probe = bloom_pass_flags_join(big_keys, big_key, words_df, m_bits, k)
-    truth = keys.withColumn("_match", F.lit(1))
-    flagged = (
-        big.select(group_col, big_key)
-        .join(probe, big_key)
-        .join(F.broadcast(truth), big_key, "left")
-    )
+        # Past the literal cap the words ride as ONE dense-array row,
+        # broadcast-nested-loop-attached to the fact scan, and every row
+        # probes with k O(1) element_at lookups (r13) — replacing the
+        # distinct-fact-keys exchange + k-way probe explode + broadcast
+        # join + per-key min-agg + join-back of the old vehicle. Same
+        # bits, same answer; the collect is dial-bounded (bloom_build's
+        # contract), never data-sized.
+        words_row = bloom_words_row(keys, big_key, m_bits, k)
+        flagged = (
+            big.select(group_col, big_key)
+            .crossJoin(F.broadcast(words_row))
+            .withColumn(
+                "_pass",
+                _might_contain_against(
+                    F.col(big_key), F.col("_bloom_words"), m_bits, k
+                ).cast("int"),
+            )
+            .drop("_bloom_words")
+        )
+    flagged = flagged.join(F.broadcast(truth), big_key, "left")
     return flagged.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("_pass").cast("long").alias("n_bloom_pass"),

@@ -643,15 +643,32 @@ def dsir_importance_weights(
         (phash.poly_hash(F.col("shingle")) % n_buckets).cast("int").alias("bucket"),
     )
     tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    pc = pg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
+    # One pool gram pass, not two (r13): pc and the scoring join both
+    # consumed pg, and exchange reuse does not cross the poly_hash Python
+    # stage, so the scan + explode + window + hash ran twice. Reduce to
+    # per-(doc, bucket) occurrence counts first — exchange-free on top of
+    # the shingle window's doc_id partitioning — and lazily checkpoint
+    # that (~distinct buckets per doc, the smallest frame in the
+    # pipeline); both consumers below read it. sum(cnt) == the old
+    # per-occurrence count and sum(s*cnt) == the old per-occurrence
+    # sum(s), exact int64 with the same magnitude bound.
+    pgc = (
+        pg.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    pc = pgc.groupBy("bucket").agg(F.sum("cnt").alias("cp"))
     wt = pc.join(tc, "bucket", "left").selectExpr(
         "bucket",
         f"((coalesce(ct, CAST(0 AS BIGINT)) + 1) * {neutral}) div (cp + 1) AS s",
     )
     scored = (
-        pg.join(F.broadcast(wt), "bucket")
+        pgc.join(F.broadcast(wt), "bucket")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("s").alias("sum_s"))
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("s") * F.col("cnt")).alias("sum_s"),
+        )
         .selectExpr("doc_id", "n_bigrams", "sum_s div n_bigrams AS score")
     )
     return (

@@ -566,9 +566,16 @@ def minhash_portable_degrees(
             docs, text_col, id_col, n, threshold, coeffs=coeffs, bands=bands
         )
     )
+    # endpoint explode instead of union-of-projections (r13): one
+    # evaluation of the pair pipeline feeds both endpoints — the union
+    # form re-ran the band joins + distinct when `pairs` was not already
+    # materialized (see linkage.linkage_degrees for the measured twin)
     ends = p.select(
-        F.col("doc_a").alias("doc_id"), "est_jaccard"
-    ).unionByName(p.select(F.col("doc_b").alias("doc_id"), "est_jaccard"))
+        F.explode(
+            F.array(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("doc_id"))
+        ).alias("doc_id"),
+        "est_jaccard",
+    )
     return ends.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_near_dups"),
         F.max("est_jaccard").alias("best_est"),
@@ -1200,6 +1207,12 @@ def incremental_dedup_report(
             # exact_duplicates); min() just picks the representative
             F.min(text_col).alias("_text"),
         )
+        # one shard scan, not three (r13): the keeps table feeds the band
+        # signature pass AND both sides of the final report join; without
+        # a cut each consumer re-runs the shard scan + sha2 groupBy. Lazy
+        # localCheckpoint — shard-sized by the operator's own contract
+        # (the arriving unit, ~1e-4 of corpus).
+        .localCheckpoint(eager=False)
     )
     if corpus_keys is None:
         corpus_keys = content_key_index(corpus, text_col)

@@ -101,11 +101,21 @@ def linkage_degrees(pairs: DataFrame) -> DataFrame:
     Columns: doc_id, n_links, min_dist, nearest (the smallest-id partner at
     the minimum distance — deterministic via lexicographic struct min).
     """
+    # One pass over the pair stream, not two (r13): the union-of-
+    # projections form evaluated the whole upstream pair pipeline twice —
+    # exchange reuse dedups identical shuffles but NOT the post-shuffle
+    # candidate join + threshold DP, so both linkage rows paid the verify
+    # stage double. Exploding each pair into its two endpoint structs is
+    # the same rows from a single evaluation, all codegen.
     ends = pairs.select(
-        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr"), "dist"
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr"), "dist")
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")),
+                F.struct(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")),
+            )
+        ).alias("e"),
+        "dist",
+    ).select("e.doc_id", "e.nbr", "dist")
     return (
         ends.groupBy("doc_id")
         .agg(

@@ -82,9 +82,15 @@ def snapshot_reconcile(
         verdict.filter(F.col("status").isNotNull()).select("key").localCheckpoint(eager=True)
     )
 
-    # detail pass over suspect keys only (drift-sized on both sides)
-    snap_sus = snap.join(suspect_keys, "key", "left_semi")
-    repl_sus = repl.join(suspect_keys, "key", "left_semi")
+    # detail pass over suspect keys only (drift-sized on both sides).
+    # EXPLICIT broadcast (r13): the checkpointed key list is an RDD scan
+    # with no size statistics, so the planner falls back to sort-merge
+    # semi-joins that exchange BOTH full inputs by key before AQE can
+    # convert them — the broadcast hint prunes each input at the scan
+    # with zero exchanges, which is the posture the "drift-sized by
+    # contract" argument promises.
+    snap_sus = snap.join(F.broadcast(suspect_keys), "key", "left_semi")
+    repl_sus = repl.join(F.broadcast(suspect_keys), "key", "left_semi")
 
     # key type derived from the snapshot schema, not hardcoded: string/UUID
     # keys are common and a 'long' literal would fail (or mis-cast) at the

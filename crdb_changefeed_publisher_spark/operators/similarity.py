@@ -235,24 +235,34 @@ def srp_lsh_topk(
                 mat = np.array(list(pdf["v"]), dtype=np.float64)
                 margins = np.round(mat @ planes, 6)  # |rows| x (L*b)
                 ids = pdf["id"].to_numpy()
-                out_id, out_t, out_b = [], [], []
-                for t in range(n_tables):
-                    chunk = margins[:, t * bits_per_table : (t + 1) * bits_per_table]
-                    buckets = ((chunk > 0) * weights).sum(axis=1)
-                    out_id.extend(ids)
-                    out_t.extend([t] * len(ids))
-                    out_b.extend(buckets)
-                    if probe:
-                        # flip the n_probes smallest-|margin| bits, one at a
-                        # time (stable sort => ties break on lowest bit idx)
-                        order = np.argsort(np.abs(chunk), axis=1, kind="stable")
-                        for p in range(min(n_probes, bits_per_table)):
-                            flip = order[:, p]
-                            out_id.extend(ids)
-                            out_t.extend([t] * len(ids))
-                            out_b.extend(buckets ^ (1 << flip.astype(np.int64)))
+                n = len(ids)
+                # whole-batch emit (r13 per-task-work pass): buckets for
+                # every (row, table) in one reshape + tensordot instead of
+                # per-table Python-list extends — same values, same
+                # (id, table, bucket) pairing, row order within the batch
+                # is immaterial to the downstream equi-join
+                chunks = margins.reshape(n, n_tables, bits_per_table)
+                buckets = ((chunks > 0) * weights).sum(axis=2)  # (n, L) int64
+                ids_tl = np.tile(ids, n_tables)
+                tbl_tl = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+                parts_id, parts_t, parts_b = [ids_tl], [tbl_tl], [buckets.T.ravel()]
+                if probe:
+                    # flip the n_probes smallest-|margin| bits, one at a
+                    # time (stable sort => ties break on lowest bit idx)
+                    order = np.argsort(np.abs(chunks), axis=2, kind="stable")
+                    for p in range(min(n_probes, bits_per_table)):
+                        flipped = buckets ^ (
+                            np.int64(1) << order[:, :, p].astype(np.int64)
+                        )
+                        parts_id.append(ids_tl)
+                        parts_t.append(tbl_tl)
+                        parts_b.append(flipped.T.ravel())
                 yield pd.DataFrame(
-                    {f"{prefix}_id": out_id, "table_idx": out_t, "bucket": out_b}
+                    {
+                        f"{prefix}_id": np.concatenate(parts_id),
+                        "table_idx": np.concatenate(parts_t),
+                        "bucket": np.concatenate(parts_b),
+                    }
                 )
 
         src = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))

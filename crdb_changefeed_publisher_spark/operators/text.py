@@ -628,6 +628,15 @@ def benchmark_contamination(
             ).alias("g"),
         )
         .select("doc_id", F.unhex(F.sha2(F.col("g"), 256)).alias("gk"))
+        # One exchange, not two (r13): hash-partitioning by doc_id alone
+        # satisfies the (doc_id, gk) distinct AND the final per-doc
+        # aggregate (partitioning exprs are a subset of both grouping
+        # keys), so the dedup and the report agg run exchange-free on top
+        # of this single shuffle. Within-doc duplicate grams are rare in
+        # prose, so the un-deduped exchange carries ~the same bytes the
+        # old (doc_id, gk) distinct exchange did — measured 2.01 -> 1.63 s
+        # at sf0.1, rows identical.
+        .repartition(F.col("doc_id"))
         .distinct()
     )
     bench = grams.filter(F.col("doc_id") % bench_mod == 0).select("gk").distinct()
@@ -691,6 +700,11 @@ def duplicate_span_report(
             ).alias("g"),
         )
         .select("doc_id", F.unhex(F.sha2(F.col("g"), 256)).alias("gk"))
+        # One exchange for dedup + doc-frequency window (r13): partitioning
+        # by gk alone satisfies both the (doc_id, gk) distinct (subset of
+        # the grouping keys) and the per-gram window below, so only the
+        # final per-doc aggregate pays a second shuffle — 3 exchanges -> 2.
+        .repartition(F.col("gk"))
         .distinct()
     )
     # distinct (doc, gram) rows make count-over-gram == document frequency
