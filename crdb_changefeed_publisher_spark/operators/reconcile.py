@@ -83,14 +83,14 @@ def snapshot_reconcile(
     )
 
     # detail pass over suspect keys only (drift-sized on both sides).
-    # EXPLICIT broadcast (r13): the checkpointed key list is an RDD scan
-    # with no size statistics, so the planner falls back to sort-merge
-    # semi-joins that exchange BOTH full inputs by key before AQE can
-    # convert them — the broadcast hint prunes each input at the scan
-    # with zero exchanges, which is the posture the "drift-sized by
-    # contract" argument promises.
-    snap_sus = snap.join(F.broadcast(suspect_keys), "key", "left_semi")
-    repl_sus = repl.join(F.broadcast(suspect_keys), "key", "left_semi")
+    # NO broadcast hint, deliberately (r13, measured): the initial plan's
+    # sort-merge semi-joins look wasteful, but AQE converts them to
+    # broadcast at runtime from observed sizes AND the cogroup below then
+    # reuses their key partitioning/sort; hinting broadcast here measured
+    # 1.2-1.6 -> 2.0-2.1 s at sf0.1 (blocking per-join broadcast builds +
+    # a fresh exchange+sort for the cogroup), so the hint was reverted.
+    snap_sus = snap.join(suspect_keys, "key", "left_semi")
+    repl_sus = repl.join(suspect_keys, "key", "left_semi")
 
     # key type derived from the snapshot schema, not hardcoded: string/UUID
     # keys are common and a 'long' literal would fail (or mis-cast) at the
