@@ -1207,12 +1207,14 @@ def incremental_dedup_report(
             # exact_duplicates); min() just picks the representative
             F.min(text_col).alias("_text"),
         )
-        # one shard scan, not three (r13): the keeps table feeds the band
-        # signature pass AND both sides of the final report join; without
-        # a cut each consumer re-runs the shard scan + sha2 groupBy. Lazy
-        # localCheckpoint — shard-sized by the operator's own contract
-        # (the arriving unit, ~1e-4 of corpus).
-        .localCheckpoint(eager=False)
+        # NOT checkpointed: a lineage cut here was tried (r13) and reverted —
+        # it erased the shard scan from inputFiles(), breaking the realism-
+        # tier certification that pins file-level provenance ("the corpus is
+        # never read" is asserted from the report's input file list, which a
+        # checkpoint truncates). The keeps table feeds the band-signature
+        # pass and both final join sides, so the shard scan + sha2 groupBy
+        # run per consumer — shard-sized by the operator's contract (~1e-4
+        # of corpus), the provenance guarantee is worth more than the cut.
     )
     if corpus_keys is None:
         corpus_keys = content_key_index(corpus, text_col)
