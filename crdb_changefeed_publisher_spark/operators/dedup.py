@@ -40,7 +40,16 @@ def shingle_rows(
     window is partition-local after repartitioning by doc_id, and documents
     are independent so there is no skew beyond document length.
     """
-    words = docs.select(
+    from crdb_changefeed_publisher_spark.tables import fan_out_scan
+
+    # Fan out BEFORE the posexplode (r13, guide §2.3/§2.4): a single-row-
+    # group corpus file plans as one scan task, pinning the split+explode
+    # to one core; repartitioning by doc_id first parallelizes it AND the
+    # lead() window below reuses the same hashpartitioning(doc_id), so the
+    # exchange count is unchanged while the exchange itself carries whole
+    # texts (~1x corpus bytes) instead of exploded word rows (~2x plus
+    # per-row overhead). No-op when the scan is already wide.
+    words = fan_out_scan(docs.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias("pos", "w"),
     )

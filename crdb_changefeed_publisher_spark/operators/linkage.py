@@ -200,8 +200,16 @@ def fuzzy_pairs_passjoin(
     edits) rather than prefix blocking's 16: the probe window is
     O(k^3)/doc, so this is the right tool for adversarial small-k
     linkage while prefix blocking remains the cheap large-k screen."""
+    from crdb_changefeed_publisher_spark.tables import fan_out_scan
+
     k = max_dist
-    t = docs.select(
+    # Fan the doc scan out BEFORE the normalize + O(k^3) explodes: a
+    # single-row-group corpus file otherwise pins the regexp normalize,
+    # both segment explodes and the xxhash key build to ONE task
+    # (measured at sf0.1: the probe explode alone was 1.7 s
+    # single-threaded vs 0.9 s fanned out). No-op when the scan already
+    # has >= defaultParallelism partitions (the 100 TB case).
+    t = fan_out_scan(docs.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
         normalized_link_key(F.col(text_col)).alias("t"),
     ).withColumn("len", F.length("t"))

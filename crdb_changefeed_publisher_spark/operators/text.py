@@ -616,27 +616,33 @@ def benchmark_contamination(
     32-byte keys instead of ~8-word strings (the gram text is never needed
     downstream — only counts). Same content-address collision contract as
     exact dedup (~2^-128); the oracle still compares gram strings."""
+    from crdb_changefeed_publisher_spark.tables import fan_out_scan
+
     w = F.split(F.trim(F.col(text_col)), " ")
     idxs = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
     grams = (
-        docs.select(
+        # One exchange, not two (r13): hash-partitioning by doc_id alone
+        # satisfies the (doc_id, gk) distinct AND the final per-doc
+        # aggregate (partitioning exprs are a subset of both grouping
+        # keys), so the dedup and the report agg run exchange-free on top
+        # of this single shuffle. The exchange sits BEFORE the gram
+        # explode + sha2 (r13 follow-up, guide §2.3): it then carries
+        # whole texts (~1x corpus bytes) instead of exploded gram rows,
+        # and the explode + sha2 — the expensive narrow work — runs at
+        # the exchange's width instead of the scan's (a single-row-group
+        # fixture file is ONE task). fan_out_scan(always=True) keeps the
+        # count explicit so AQE cannot coalesce the small fixture to one
+        # partition, and never narrows a production-scale scan.
+        fan_out_scan(docs.select(id_col, text_col), id_col, always=True)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(
                 F.transform(idxs, lambda i: F.array_join(F.slice(w, i, n), " "))
             ).alias("g"),
         )
         .select("doc_id", F.unhex(F.sha2(F.col("g"), 256)).alias("gk"))
-        # One exchange, not two (r13): hash-partitioning by doc_id alone
-        # satisfies the (doc_id, gk) distinct AND the final per-doc
-        # aggregate (partitioning exprs are a subset of both grouping
-        # keys), so the dedup and the report agg run exchange-free on top
-        # of this single shuffle. Within-doc duplicate grams are rare in
-        # prose, so the un-deduped exchange carries ~the same bytes the
-        # old (doc_id, gk) distinct exchange did — measured 2.01 -> 1.63 s
-        # at sf0.1, rows identical.
-        .repartition(F.col("doc_id"))
         .distinct()
     )
     bench = grams.filter(F.col("doc_id") % bench_mod == 0).select("gk").distinct()

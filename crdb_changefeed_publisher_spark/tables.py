@@ -40,6 +40,48 @@ def set_bucketed_overrides(mapping: dict[str, str] | None) -> None:
         _BUCKETED_OVERRIDES.update(mapping)
 
 
+def fan_out_scan(df: DataFrame, *key_cols: str, always: bool = False) -> DataFrame:
+    """Scale-adaptive scan fan-out for CPU-heavy narrow pipelines.
+
+    The fixture tables are single-row-group parquet files, so their scans
+    plan as ONE task no matter the core count — and every narrow operator
+    chained onto the scan (explode, regexp normalize, hash, Arrow UDF)
+    inherits that single task and runs one-core until the first exchange
+    (measured: PassJoin's probe explode spent 1.7 s single-threaded on
+    local[32]; 0.9 s after a 32-way fan-out, guide §2 "partitioning must
+    derive from the environment, not the file layout").
+
+    Hash-repartitions on ``key_cols`` to the session's defaultParallelism
+    — but ONLY when the input has fewer partitions than that, so a
+    production-scale scan (thousands of row groups, partitions >> cores)
+    is left untouched and pays no extra exchange. Keyed repartition keeps
+    the placement deterministic under task retry (guide §2.5: never
+    round-robin rows whose upstream is non-deterministic).
+
+    Use where the exchange is cheap relative to the per-row work it
+    parallelizes: the scan side of gram/segment explodes, signature UDFs,
+    normalize passes. Do NOT bolt onto scan-dominated aggregates — the
+    added exchange is pure cost there.
+
+    ``always=True`` is for operators whose downstream grouping/window on
+    ``key_cols`` NEEDS a hashpartitioning(key_cols) exchange anyway (the
+    subset rule then makes every later keyed operator exchange-free): the
+    repartition is emitted unconditionally — moved to the scan side of
+    the heavy narrow work instead of after it — and the partition count
+    never DROPS below the input's (max(defaultParallelism, input)), so a
+    production-scale scan keeps its width. The explicit count also keeps
+    AQE from coalescing the exchange to one task when the fixture corpus
+    is small — the per-row work downstream is exactly what must not run
+    single-threaded.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    n_in = df.rdd.getNumPartitions()
+    if not always and n_in >= n:
+        return df
+    return df.repartition(max(n, n_in) if always else n, *[F.col(c) for c in key_cols])
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _BUCKETED_OVERRIDES:
         return spark.table(_BUCKETED_OVERRIDES[name])
