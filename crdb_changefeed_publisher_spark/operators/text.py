@@ -307,7 +307,14 @@ def repetition_signals(
     the volume is the same doc-local n-grams the decontamination pass
     already moves.
     """
-    words = docs.select(
+    from crdb_changefeed_publisher_spark.tables import fan_out_scan
+
+    # Fan out BEFORE the posexplode (r13): the window's doc_id exchange
+    # moves to the scan side, so the split+explode runs at session width
+    # instead of the scan's (one task on a single-row-group fixture file)
+    # and the exchange carries whole texts instead of word rows. Exchange
+    # count unchanged; no-op on a production-width scan.
+    words = fan_out_scan(docs.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc_id"),
         F.length(F.trim(F.col(text_col))).alias("n_chars"),
         F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias("pos", "w0"),
@@ -694,12 +701,21 @@ def duplicate_span_report(
     aggregate. No join, no second scan of the text, nothing driver-side —
     unlike boilerplate_report (sentence granularity, >= 10-doc threshold)
     this flags ANY cross-document n-word repetition."""
+    from crdb_changefeed_publisher_spark.tables import fan_out_scan
+
     w = F.split(F.trim(F.col(text_col)), " ")
     idxs = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
     grams = (
-        docs.select(
+        # Conditional fan-out (r13): the needed exchange here is by gk —
+        # derived from the gram, so it cannot move ahead of the explode
+        # the way contamination's doc_id exchange can. On a narrow scan
+        # the fan-out pays one extra text-sized exchange to run the
+        # explode + sha2 at session width; on a production-width scan it
+        # is a no-op and the shape below is unchanged.
+        fan_out_scan(docs.select(id_col, text_col), id_col)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(
                 F.transform(idxs, lambda i: F.array_join(F.slice(w, i, n), " "))
@@ -857,8 +873,14 @@ def _positional_grams(
     count window or join key can never concentrate the (n-1)-per-doc
     gram-less rows into one NULL-key skew partition. Shared base of the
     excision family (exact_substring_excise / contaminated_span_excise)."""
+    from crdb_changefeed_publisher_spark.tables import fan_out_scan
+
     w = F.split(F.trim(F.col(text_col)), " ")
-    rows = docs.select(
+    # Fan out BEFORE the posexplode (r13): the by_doc window's exchange
+    # moves to the scan side — split+explode+gram build run at session
+    # width (one task on a single-row-group fixture file otherwise), the
+    # exchange carries texts instead of word rows, count unchanged.
+    rows = fan_out_scan(docs.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(w).alias("pos0", "word"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
