@@ -957,8 +957,13 @@ def banding_chunk_bits_for(
     return c
 
 
-def _explode_sig_chunks(sig: DataFrame, n_chunks: int, chunk_bits: int) -> DataFrame:
-    """(doc_id, sig) -> one row per chunk: (doc_id, sig, chunk_idx, chunk).
+def _explode_sig_chunks(
+    sig: DataFrame, n_chunks: int, chunk_bits: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, sig) -> one row per chunk: (doc_id, sig, *extra_cols,
+    chunk_idx, chunk). `extra_cols` ride through the explode so a caller
+    never re-joins the signature table just to recover a column it already
+    had (the media near-dup `kind` case).
 
     The banding dial for SimHash blocking. Bucket space = 2^chunk_bits per
     chunk position; expected docs per bucket ~ n_docs / 2^chunk_bits, and
@@ -971,6 +976,7 @@ def _explode_sig_chunks(sig: DataFrame, n_chunks: int, chunk_bits: int) -> DataF
     return sig.select(
         "doc_id",
         "sig",
+        *extra_cols,
         F.explode(
             F.array(
                 *[
@@ -984,7 +990,7 @@ def _explode_sig_chunks(sig: DataFrame, n_chunks: int, chunk_bits: int) -> DataF
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "sig", "c.chunk_idx", "c.chunk")
+    ).select("doc_id", "sig", *extra_cols, "c.chunk_idx", "c.chunk")
 
 
 def simhash_portable_pairs(

@@ -772,9 +772,13 @@ def media_near_dup_pairs(
         .withColumnRenamed("media_id", "doc_id")
         .localCheckpoint(eager=True)  # consumed by both join sides
     )
-    chunks = _explode_sig_chunks(sig, n_chunks, chunk_bits).join(
-        sig.select("doc_id", "kind"), "doc_id"
-    )
+    # `kind` rides through the chunk explode (r13): the former
+    # chunks-join-sig re-attach scanned the checkpointed table twice more
+    # and paid a broadcast join per candidate side just to recover a
+    # column the explode input already had. `kind` in the JOIN KEY also
+    # keeps cross-kind chunk collisions out of the candidate stream
+    # (same pairs: the kind-equality filter moved into the equi-join).
+    chunks = _explode_sig_chunks(sig, n_chunks, chunk_bits, extra_cols=("kind",))
     a = chunks.select(
         F.col("kind"),
         F.col("doc_id").alias("media_a"),
@@ -783,7 +787,7 @@ def media_near_dup_pairs(
         "chunk",
     )
     b = chunks.select(
-        F.col("kind").alias("kind_b"),
+        F.col("kind"),
         F.col("doc_id").alias("media_b"),
         F.col("sig").alias("sig_b"),
         "chunk_idx",
@@ -791,11 +795,13 @@ def media_near_dup_pairs(
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     return (
-        a.join(b, ["chunk_idx", "chunk"])
-        .filter((F.col("kind") == F.col("kind_b")) & (F.col("media_a") < F.col("media_b")))
+        a.join(b, ["kind", "chunk_idx", "chunk"])
+        .filter(F.col("media_a") < F.col("media_b"))
         .select("kind", "media_a", "media_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)  # before the distinct:
+        # hamming is a pure function of the pair, so filtering first only
+        # shrinks the distinct's exchange, never its result
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -81,24 +81,15 @@ def quality_checks(
     containment counts orphans via a broadcast-able left-anti join against
     the (distinct) parent keys.
 
-    Consistency caveat: `total` comes from an eager count that is a
-    SEPARATE scan from the violation-count jobs, so on a non-static source
-    (a stream-updated table, a path being appended to) the total can
-    disagree with the violation counts. Run against a snapshot (or a
-    cached frame) when that matters.
+    `total` is computed INSIDE the row-local aggregation pass (r13: the
+    former eager df.count() was both a separate scan/job and a documented
+    consistency hazard on non-static sources — the local-family rows now
+    read total from the very pass that counted their violations) and
+    reaches the unique/containment rows as a broadcast one-row join.
     """
     if not any((unique_cols, not_null_cols, enum_domains, non_negative_cols, contained_in)):
         raise ValueError("quality_checks: no constraints declared")
-    total = df.count()
     rows: list[DataFrame] = []
-
-    def check_row(name: str, violations) -> DataFrame:
-        return violations.select(
-            F.lit(name).alias("check"),
-            F.col("v").cast("long").alias("violations"),
-            F.lit(total).cast("long").alias("total"),
-            (F.col("v") == 0).alias("passed"),
-        )
 
     local_aggs = []
     local_names = []
@@ -111,12 +102,27 @@ def quality_checks(
     for c in non_negative_cols or []:
         local_names.append(f"non_negative:{c}")
         local_aggs.append(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)))
-    if local_aggs:
-        wide = df.agg(
-            *[F.coalesce(a, F.lit(0)).alias(f"v{i}") for i, a in enumerate(local_aggs)]
+    # ONE row after the aggregation — localCheckpoint cuts its lineage so
+    # the per-constraint output branches (and every broadcast of the total)
+    # read the materialized row instead of re-running the scan+agg subtree
+    # per branch (measured: without the cut the plan re-scanned the input
+    # once per broadcast build).
+    wide = df.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[F.coalesce(a, F.lit(0)).alias(f"v{i}") for i, a in enumerate(local_aggs)],
+    ).localCheckpoint(eager=False)
+    total_row = wide.select(F.col("_total").alias("_t"))
+
+    def check_row(name: str, violations) -> DataFrame:
+        return violations.crossJoin(F.broadcast(total_row)).select(
+            F.lit(name).alias("check"),
+            F.col("v").cast("long").alias("violations"),
+            F.col("_t").cast("long").alias("total"),
+            (F.col("v") == 0).alias("passed"),
         )
-        for i, name in enumerate(local_names):
-            rows.append(check_row(name, wide.select(F.col(f"v{i}").alias("v"))))
+
+    for i, name in enumerate(local_names):
+        rows.append(check_row(name, wide.select(F.col(f"v{i}").alias("v"))))
     for c in unique_cols or []:
         dup = (
             df.groupBy(c)
