@@ -215,6 +215,13 @@ def jaccard_pairs_minhash_block(
             sizes, "m", docs.count() if n_docs is None else n_docs,
             candidate_budget, "jaccard_pairs_minhash_block",
         )
+    # NOTE (r13): a window-count (`count() over partitionBy(block)`) looks
+    # like it saves the sizes agg + join, but hashpartitioning(block)
+    # subset-satisfies the (block, salt) pair join's distribution, so the
+    # planner would then SKIP the (block, salt) exchange — putting every
+    # salt group of a block back into one task and silently defeating the
+    # skew cap this operator exists to provide. The agg + (AQE-broadcast)
+    # join keeps the salted exchange physical; left as is.
     salted = sets.join(sizes, "block").withColumn(
         "n_salt", F.ceil(F.col("m") / F.lit(block_cap)).cast("int")
     )

@@ -1040,6 +1040,7 @@ def _two_level_probes(
     scale: int,
     id_col: str,
     vec_col: str,
+    qcells: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, cell, sub): the final probe table of the two-level serve —
     the coarse screen's cells expanded to their sub-centroids via a
@@ -1047,14 +1048,18 @@ def _two_level_probes(
     exact int64 distance evaluated JVM-side, and the (dist, cell, sub)
     window capped at n_probe_for(k_total). Shared verbatim by the
     in-memory serve and the from-index serve so both answer from the
-    identical probe set."""
+    identical probe set. `qcells` lets a caller that already built the
+    coarse screen (the from-index pruner needs the same frame) pass it
+    in instead of paying the queries scan + Arrow coarse-distance pass
+    twice (r13, guide §5: one evaluation per lineage)."""
     from crdb_changefeed_publisher_spark.operators.linalg import (
         n_probe_for,
         quantize_vec,
     )
 
     p2 = n_probe_for(codebook.count())
-    qcells = _two_level_coarse_cells(queries, cents1, scale, id_col, vec_col)
+    if qcells is None:
+        qcells = _two_level_coarse_cells(queries, cents1, scale, id_col, vec_col)
     qq = queries.select(
         F.col(id_col).alias("query_id"),
         quantize_vec(F.col(vec_col), scale).alias("qq"),
@@ -1260,8 +1265,18 @@ def ivf_topk_two_level(
         kmeans_assign_two_level,
     )
 
+    qcells = None
+    if from_index_path is not None:
+        # ONE coarse screen for both consumers (r13): the pruner's collect
+        # below and the probe builder need the same (query_id, cell) frame,
+        # and without a cut each would re-run the queries scan + Arrow
+        # coarse-distance pass. Lazy localCheckpoint: the pruner's collect
+        # materializes it, the probe join reuses it.
+        qcells = _two_level_coarse_cells(
+            queries, cents1, scale, id_col, vec_col
+        ).localCheckpoint(eager=False)
     probes = _two_level_probes(
-        queries, cents1, codebook, scale, id_col, vec_col
+        queries, cents1, codebook, scale, id_col, vec_col, qcells=qcells
     )
     if from_index_path is not None:
         # prune BEFORE the scan: the union of the queries' coarse cells is
@@ -1270,13 +1285,7 @@ def ivf_topk_two_level(
         # driver-safe at any corpus size while unprobed cells' directories
         # are never opened
         probed = sorted(
-            int(r.cell)
-            for r in _two_level_coarse_cells(
-                queries, cents1, scale, id_col, vec_col
-            )
-            .select("cell")
-            .distinct()
-            .collect()
+            int(r.cell) for r in qcells.select("cell").distinct().collect()
         )
         cells = load_two_level_index(
             queries.sparkSession, from_index_path, cells=probed
