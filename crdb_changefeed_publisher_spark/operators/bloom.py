@@ -268,7 +268,18 @@ def bloom_semijoin_stats(
     frame is the cheap side and the fact scan only pays an equi-join).
     Probe vehicle follows the filter size: codegen literals while the
     words fit a plan constant, broadcast join above LITERAL_MAX_BITS."""
-    keys = small.select(F.col(small_key).alias(big_key)).distinct()
+    # ONE evaluation of the distinct-key frame (r13, guide §5): it feeds
+    # the sizing count, the filter-build collect AND the truth broadcast —
+    # without a cut each consumer re-runs the small-side scan + distinct
+    # exchange. Lazy localCheckpoint: the first action (the count below,
+    # or the build collect when m_bits is given) materializes it, the
+    # rest reuse. Key-set-sized by contract — the "build once, broadcast
+    # bytes" artifact the docstring already names.
+    keys = (
+        small.select(F.col(small_key).alias(big_key))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if m_bits is None:
         m_bits = bloom_m_bits_for(keys.count())
     truth = keys.withColumn("_match", F.lit(1))
