@@ -276,13 +276,19 @@ def _int_sq_dists(Q: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
 def kmeans_assign(
     emb: DataFrame, centroids: list[list[int]], scale: int = 1024,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (exact integer squared
     L2; ties break to the lower cluster id): (id, cluster, sq_dist).
     Arrow-batched numpy — one (batch x k) int64 matmul per batch, no
     shuffle, no per-row Python — so one Lloyd assignment pass over a
     100 TB corpus is scan-bound, and np.argmin's first-minimum rule IS
-    the lower-cluster-id tiebreak."""
+    the lower-cluster-id tiebreak.
+
+    ``keep_vec=True`` threads the raw vector through the pass (the
+    kmeans_assign_two_level convention): the assignment's own output then
+    carries everything a write-time cell-partitioned index needs, so the
+    index build never re-joins a separate vector table."""
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.int64)
@@ -294,18 +300,20 @@ def kmeans_assign(
             Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
             d2 = _int_sq_dists(Q, C)
             best = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "cluster": best.astype(np.int32),
-                    "sq_dist": d2[np.arange(len(best)), best],
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "cluster": best.astype(np.int32),
+                "sq_dist": d2[np.arange(len(best)), best],
+            }
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
     id_type = emb.schema[id_col].dataType.simpleString()
-    return emb.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} {id_type}, cluster int, sq_dist long"
-    )
+    schema = f"{id_col} {id_type}, cluster int, sq_dist long"
+    if keep_vec:
+        schema += f", {vec_col} {emb.schema[vec_col].dataType.simpleString()}"
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def kmeans_train(

@@ -892,15 +892,77 @@ def ivf_topk(
     )
 
 
+def build_trained_index(
+    corpus: DataFrame,
+    centroids_int: list[list[int]],
+    out_path: str,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the trained flat-IVF assignment as the WRITE-TIME
+    cell-partitioned layout — the 100 TB posture ivf_topk_trained's own
+    docstring names ("at 100 TB [the assignment] happens once at write
+    time ... and disappears from the query path"), and the flat twin of
+    build_two_level_index: pay the corpus assignment pass + one exchange
+    ONCE, land (id, sq_dist, vec) under index/cell=<c>/, and let every
+    serve read directory-pruned scans. Centroids + scale ride along
+    (cents.json) so a serving session needs only the path."""
+    import json
+    import os
+
+    from crdb_changefeed_publisher_spark.operators.linalg import kmeans_assign
+
+    assigned = kmeans_assign(
+        corpus, centroids_int, scale, vec_col, id_col, keep_vec=True
+    ).withColumnRenamed("cluster", "cell")
+    (
+        assigned.repartition("cell")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_path, "index"))
+    )
+    tmp = os.path.join(out_path, f"cents.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump({"scale": scale, "centroids": centroids_int}, fh)
+    os.replace(tmp, os.path.join(out_path, "cents.json"))
+
+
+def load_trained_codebook(spark, path: str) -> tuple[list[list[int]], int]:
+    """(centroids, scale) back from a build_trained_index directory."""
+    import json
+    import os
+
+    with open(os.path.join(path, "cents.json")) as fh:
+        meta = json.load(fh)
+    return meta["centroids"], int(meta["scale"])
+
+
+def load_trained_index(
+    spark, path: str, cells: list[int] | None = None
+) -> DataFrame:
+    """Read the persisted flat index; with `cells` the predicate is a
+    PARTITION filter — unprobed cells' directories are never opened
+    (the load_two_level_index contract on the flat layout)."""
+    import os
+
+    df = spark.read.parquet(os.path.join(path, "index"))
+    if cells is not None:
+        df = df.filter(df.cell.isin([int(c) for c in cells]))
+    return df
+
+
 def ivf_topk_trained(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     centroids_int: list[list[int]],
     k: int = 5,
     n_probe: int | None = None,
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    from_index_path: str | None = None,
 ) -> DataFrame:
     """IVF serving over cells TRAINED IN-ENGINE: the complete ANN
     lifecycle — linalg.kmeans_quantized learns the centroids, this
@@ -926,7 +988,17 @@ def ivf_topk_trained(
     decade (the r8 `weak`); ~sqrt(k) probes hold the fraction decay to
     1/sqrt(n) at sqrt(n) candidate cost, and hold recall fully LEVEL on
     clustered corpora (measured; see n_probe_for's docstring and
-    docs/SCALE.md)."""
+    docs/SCALE.md).
+
+    ``from_index_path`` (r13, mirroring the two-level serve) answers from
+    the PERSISTED cell-partitioned layout (build_trained_index) instead
+    of recomputing the corpus assignment per serve: the union of the
+    queries' probed cells — bounded by k, the one driver-side collect —
+    prunes the index scan to those cells' DIRECTORIES, the stored
+    vectors rerank in place (no separate corpus-vector join), and
+    ``corpus`` may be None. Answers are row-identical to the in-memory
+    serve by construction (the index IS this assignment's output;
+    tests/test_ann_index_layout.py pins it at 2 SFs)."""
     import numpy as np
 
     from crdb_changefeed_publisher_spark.operators.linalg import (
@@ -961,26 +1033,60 @@ def ivf_topk_trained(
     probes = queries.select(id_col, vec_col).mapInPandas(
         probe, f"query_id {qid_type}, cell int"
     )
-    cells = kmeans_assign(corpus, centroids_int, scale, vec_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")
-    )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qe")
     )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ce")
-    )
-    scored = (
-        probes.join(cells, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_arrow(F.col("qe"), F.col("ce")).alias("score"),
+    if from_index_path is not None:
+        # ONE probe evaluation for both consumers (the two-level serve's
+        # r13 fix): the pruner's collect below and the candidate join
+        # share the same query-sized frame; the lazy checkpoint is
+        # materialized by the collect and reused by the join. The probed
+        # cell union is bounded by k ints — driver-safe at any corpus
+        # size — and prunes the scan to those cells' directories.
+        probes = probes.localCheckpoint(eager=False)
+        probed = sorted(
+            int(r.cell) for r in probes.select("cell").distinct().collect()
         )
-    )
+        candidates = load_trained_index(
+            queries.sparkSession, from_index_path, cells=probed
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            as_double(F.col(vec_col)).alias("ce"),
+        )
+        scored = (
+            candidates.join(F.broadcast(probes), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_arrow(F.col("qe"), F.col("ce")).alias("score"),
+            )
+        )
+    else:
+        if corpus is None:
+            raise ValueError(
+                "ivf_topk_trained: pass a corpus DataFrame or a "
+                "from_index_path (build_trained_index) to serve from"
+            )
+        cells = kmeans_assign(corpus, centroids_int, scale, vec_col, id_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")
+        )
+        cv = corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("ce")
+        )
+        scored = (
+            probes.join(cells, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_arrow(F.col("qe"), F.col("ce")).alias("score"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )

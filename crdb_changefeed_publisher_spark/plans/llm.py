@@ -1571,11 +1571,17 @@ SHARED_PASSES = {
     "ann_encode": lambda spark, sf_dir: _encoded_index(spark, sf_dir),
     "minhash_pairs": lambda spark, sf_dir: _minhash_pairs(spark, sf_dir),
     # k-means training is eager (the Lloyd loop collects k-row updates
-    # inside _kmeans_cents); the returned 1-row frame just gives bench a
+    # inside _kmeans_cents), and r13 adds the one-time PERSISTED flat
+    # index build (the write-time assignment exchange, mirroring
+    # kmeans2_train below); the returned 1-row frame just gives bench a
     # materializable handle, so the registered embedding_topk_ivf_trained
-    # row reads as its MARGINAL probe+rerank cost
+    # row reads as its MARGINAL cost: pruned scan + probe + rerank
     "kmeans_train": lambda spark, sf_dir: spark.createDataFrame(
-        [(len(_kmeans_cents(spark, sf_dir)),)], "k int"
+        [(
+            len(_kmeans_cents(spark, sf_dir)),
+            _kmeans_index_path(spark, sf_dir),
+        )],
+        "k int, index_path string",
     ),
     # two-level training is likewise eager (the trainer persists and
     # materializes the codebook before returning), and r13 adds the
@@ -2242,6 +2248,34 @@ def _kmeans_cents(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     return _KMEANS_CACHE[key]
 
 
+_KMEANS_INDEX_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _kmeans_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached PERSISTED flat-IVF index for the tier (the
+    _kmeans2_index_path convention on the flat trained codebook): the
+    corpus assignment written once as the cell-partitioned layout
+    (similarity.build_trained_index), served directory-pruned by every
+    consumer — the write-time posture ivf_topk_trained's docstring
+    names, now also what the registered row exercises."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _KMEANS_INDEX_PATHS.get(key)
+    if path is None:
+        cents = _kmeans_cents(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_ann_flat",
+            spark.sparkContext.applicationId,
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        similarity.build_trained_index(emb, cents, path, scale=KMEANS_SCALE)
+        _KMEANS_INDEX_PATHS[key] = path
+    return path
+
+
 @query(
     "embedding_kmeans",
     retired=True,  # registry at the 50 cap; oracle-verified in pytest
@@ -2862,13 +2896,20 @@ def _ivf_trained_oracle(
 def embedding_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
+    # r13: serve FROM THE PERSISTED cell-partitioned index (built once per
+    # session in the _shared:kmeans_train pass, same trade the two-level
+    # row made in the r13 mid-build) — the corpus assignment pass leaves
+    # the query path; answers are row-identical (the index IS the
+    # assignment's output; pinned at 2 SFs in tests/test_ann_index_layout)
+    # and the oracle is unchanged.
     return similarity.ivf_topk_trained(
         queries,
-        emb,
+        None,
         centroids_int=_kmeans_cents(spark, sf_dir),
         k=5,
         n_probe=None,  # self-sized: linalg.n_probe_for(k), oracle pdial twin
         scale=KMEANS_SCALE,
+        from_index_path=_kmeans_index_path(spark, sf_dir),
     )
 
 

@@ -183,3 +183,70 @@ def test_index_roundtrip_and_partition_pruned_probe(spark, tmp_path):
     read_cells = {int(f.split("/")[0]) for f in touched}
     assert read_cells == set(cells)
     assert probe.count() == sum(1 for (_, c, _) in want if c in cells)
+
+
+def test_trained_flat_served_from_disk_matches_in_memory(spark, tmp_path):
+    """r13: the registered embedding_topk_ivf_trained row now serves from
+    the persisted flat cell-partitioned layout (build_trained_index) — the
+    from-index serve must return EXACTLY the in-memory serve's rows at two
+    scale factors (the fixtures the registered SQL twin is verified on, so
+    equality here is transitively equality against the DuckDB oracle), and
+    the probed scan must prune at the directory level."""
+    from pyspark.sql import functions as F
+
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_k_for,
+        kmeans_train,
+    )
+    from crdb_changefeed_publisher_spark.operators.similarity import (
+        build_trained_index,
+        ivf_topk_trained,
+        load_trained_codebook,
+        load_trained_index,
+    )
+    from crdb_changefeed_publisher_spark.plans.llm import (
+        KMEANS_CELL_TARGET,
+        KMEANS_ITERS,
+        KMEANS_SCALE,
+    )
+    from crdb_changefeed_publisher_spark.tables import load_table
+
+    for i, sf_dir in enumerate(["/root/testdata/sf0.001", "/root/testdata/sf0.01"]):
+        emb = load_table(spark, sf_dir, "embeddings")
+        k = kmeans_k_for(emb.count(), cell_target=KMEANS_CELL_TARGET)
+        cents = kmeans_train(emb, k=k, n_iters=KMEANS_ITERS, scale=KMEANS_SCALE)
+        out = str(tmp_path / f"flatidx{i}")
+        build_trained_index(emb, cents, out, scale=KMEANS_SCALE)
+        queries = emb.filter(F.col("vec_id") % 25 == 0)
+        want = {
+            (r.query_id, r.rnk): (r.neighbor_id, r.score)
+            for r in ivf_topk_trained(
+                queries, emb, cents, k=5, scale=KMEANS_SCALE
+            ).collect()
+        }
+        # a serving session needs only the path: centroids + scale ride along
+        l_cents, l_scale = load_trained_codebook(spark, out)
+        assert l_cents == cents and l_scale == KMEANS_SCALE
+        got = {
+            (r.query_id, r.rnk): (r.neighbor_id, r.score)
+            for r in ivf_topk_trained(
+                queries, None, l_cents, k=5, scale=l_scale, from_index_path=out
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+
+    # pruning: a 2-cell load must read only those cells' directories
+    all_cells = sorted(
+        r.cell for r in load_trained_index(spark, out).select("cell").distinct().collect()
+    )
+    cells = all_cells[:2]
+    probe = load_trained_index(spark, out, cells=cells)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+    touched = {
+        r.f
+        for r in probe.select(
+            F.element_at(F.split(F.input_file_name(), "/cell="), 2).alias("f")
+        ).collect()
+    }
+    assert {int(f.split("/")[0]) for f in touched} == set(cells)
