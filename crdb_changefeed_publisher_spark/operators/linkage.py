@@ -73,6 +73,15 @@ def fuzzy_pairs(
         F.substring("t", 1, prefix_len).alias("p"),
         F.length("t").alias("len"),
     )
+    # One normalize pass, not two (r13, guide §5 — the fuzzy_pairs_passjoin
+    # cut applied to the prefix screen): both join sides consume k under
+    # DIFFERENT aliases (doc_a/ta vs doc_b/tb), so exchange reuse cannot
+    # dedup the subtrees and the scan + regexp normalize ran per side.
+    # ~(id + normalized text + prefix + len)/doc — the smallest frame in
+    # the pipeline; at cluster scale persist to reliable storage instead.
+    # Interleaved steal-free A/B at sf0.1 (doc_fuzzy_linkage, results
+    # equal): min 1.75 -> 0.88 s, med 1.93 -> 0.98.
+    k = k.localCheckpoint(eager=False)
     a = k.select(
         F.col("id").alias("doc_a"), F.col("t").alias("ta"), "p", F.col("len").alias("la")
     )
