@@ -363,6 +363,14 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # NOT checkpointed, deliberately (r13): a signature-table cut (the
+    # minhash_portable_pairs treatment) would halve the duplicate
+    # shingle+window evaluation across the aliased join sides, but it
+    # also truncates the lineage the plan gate inspects — the map-side
+    # partial_min property this operator exists to demonstrate
+    # (tests/test_plans.py::test_minhash_has_partial_aggregation). The
+    # row is retired (not benched); the registered portable twin carries
+    # the checkpoint.
     sig = _minhash_signatures(shingle_rows(docs, text_col, id_col, n), num_hashes)
     band_rows = sig.select(
         "doc_id",
