@@ -40,6 +40,31 @@ def set_bucketed_overrides(mapping: dict[str, str] | None) -> None:
         _BUCKETED_OVERRIDES.update(mapping)
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the frame (driver-side only, no job):
+    for a parquet scan projection this is file bytes scaled by the
+    projected columns' width fraction — the same estimate the planner
+    uses for broadcast decisions. None when the estimate is unavailable."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 — estimate only; callers fall back
+        return None
+
+
+# Floor on estimated input bytes per fanned task. 32 KiB of compressed text
+# per task keeps the per-task work large relative to task dispatch + (for
+# Arrow consumers) Python-worker spinup: the r13 unconditional 32-way fan
+# regressed the light-shingle family on the driver's cold 32-core bench
+# (doc_dsir_sample 1.25 -> 2.70 s, 2x SLOWER at 32 cores than at 8 —
+# r13 verdict #1) because 500 docs / ~250 KB fanned to 32 Arrow tasks pays
+# 32 worker spinups for ~8 KB of work each. Tunable per deployment; the
+# default is measured at the bench tier (docs/RESULTS.md r14) and only
+# matters for scans smaller than cores * floor — production-width scans
+# never reach the repartition at all.
+_FAN_OUT_BYTES_PER_TASK_ENV = "SPARK_GRAFT_FANOUT_BYTES_PER_TASK"
+_FAN_OUT_BYTES_PER_TASK_DEFAULT = 32 * 1024
+
+
 def fan_out_scan(df: DataFrame, *key_cols: str, always: bool = False) -> DataFrame:
     """Scale-adaptive scan fan-out for CPU-heavy narrow pipelines.
 
@@ -51,12 +76,22 @@ def fan_out_scan(df: DataFrame, *key_cols: str, always: bool = False) -> DataFra
     local[32]; 0.9 s after a 32-way fan-out, guide §2 "partitioning must
     derive from the environment, not the file layout").
 
-    Hash-repartitions on ``key_cols`` to the session's defaultParallelism
-    — but ONLY when the input has fewer partitions than that, so a
-    production-scale scan (thousands of row groups, partitions >> cores)
-    is left untouched and pays no extra exchange. Keyed repartition keeps
-    the placement deterministic under task retry (guide §2.5: never
+    Hash-repartitions on ``key_cols`` — but ONLY when the input has fewer
+    partitions than the session's defaultParallelism, so a production-
+    scale scan (thousands of row groups, partitions >> cores) is left
+    untouched and pays no extra exchange. Keyed repartition keeps the
+    placement deterministic under task retry (guide §2.5: never
     round-robin rows whose upstream is non-deterministic).
+
+    The width is DATA-ADAPTIVE, not the core count alone (guide §2.5:
+    partition for the work, r13 verdict #1): Catalyst's size estimate of
+    the input, floored at $SPARK_GRAFT_FANOUT_BYTES_PER_TASK (default
+    32 KiB) per task, capped at defaultParallelism. A tiny frame fans to
+    the handful of tasks its bytes justify instead of paying core-count
+    tasks' dispatch + Python-worker spinup; when the estimate is
+    unavailable the width falls back to defaultParallelism. If the
+    justified width does not exceed the input's existing width, the
+    repartition is skipped entirely.
 
     Use where the exchange is cheap relative to the per-row work it
     parallelizes: the scan side of gram/segment explodes, signature UDFs,
@@ -72,14 +107,29 @@ def fan_out_scan(df: DataFrame, *key_cols: str, always: bool = False) -> DataFra
     production-scale scan keeps its width. The explicit count also keeps
     AQE from coalescing the exchange to one task when the fixture corpus
     is small — the per-row work downstream is exactly what must not run
-    single-threaded.
+    single-threaded. (Width stays at defaultParallelism here, not the
+    byte-derived count: the exchange exists regardless, so extra width
+    costs nothing new, and the always sites' downstream work is the
+    measured-heavy kind — r13 contamination 2.14 -> 0.76 s.)
     """
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     n_in = df.rdd.getNumPartitions()
     if not always and n_in >= n:
         return df
-    return df.repartition(max(n, n_in) if always else n, *[F.col(c) for c in key_cols])
+    if always:
+        return df.repartition(max(n, n_in), *[F.col(c) for c in key_cols])
+    width = n
+    est = _plan_size_bytes(df)
+    if est is not None and est >= 0:
+        floor = int(
+            os.environ.get(_FAN_OUT_BYTES_PER_TASK_ENV, _FAN_OUT_BYTES_PER_TASK_DEFAULT)
+        )
+        if floor > 0:
+            width = min(n, max(1, est // floor))
+    if width <= n_in:
+        return df
+    return df.repartition(width, *[F.col(c) for c in key_cols])
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

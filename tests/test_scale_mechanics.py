@@ -184,3 +184,43 @@ def test_bench_weather_verdict_thresholds():
                                  elapsed_sec=60, n_cpus=32,
                                  user_hz=1100) == []
     assert bench.weather_verdict(5001, 1.0, 1.0, 1.0, False) != []
+
+
+def test_fan_out_scan_width_is_data_adaptive(spark, sf_dir, monkeypatch):
+    """r14: fan_out_scan sizes its repartition from Catalyst's byte
+    estimate (floored per task), never blindly to the core count — the
+    r13 unconditional core-count fan regressed light-per-row consumers
+    of tiny frames (doc_dsir_sample 2x slower at 32 cores than 8).
+    Both paths must return identical rows: width is physical only."""
+    from crdb_changefeed_publisher_spark.tables import fan_out_scan, load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_cores = spark.sparkContext.defaultParallelism
+
+    # Tiny floor => old behavior: width == defaultParallelism.
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT_BYTES_PER_TASK", "1")
+    wide = fan_out_scan(docs, "doc_id")
+    assert wide.rdd.getNumPartitions() == n_cores
+
+    # Huge floor => the bytes justify nothing beyond the input width:
+    # the repartition is skipped entirely (no new exchange in the plan).
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT_BYTES_PER_TASK", str(1 << 40))
+    skipped = fan_out_scan(docs, "doc_id")
+    assert skipped is docs
+
+    # Default floor => width in [1, cores], derived from the estimate.
+    monkeypatch.delenv("SPARK_GRAFT_FANOUT_BYTES_PER_TASK", raising=False)
+    adaptive = fan_out_scan(docs, "doc_id")
+    width = adaptive.rdd.getNumPartitions()
+    assert 1 <= width <= n_cores
+
+    # always=True keeps the unconditional core-count exchange (it replaces
+    # a downstream keyed exchange, so width costs nothing new).
+    always = fan_out_scan(docs, "doc_id", always=True)
+    assert always.rdd.getNumPartitions() == n_cores
+
+    # Results identical across widths (sorted collect).
+    a = sorted(map(tuple, wide.collect()))
+    b = sorted(map(tuple, docs.collect()))
+    c = sorted(map(tuple, adaptive.collect()))
+    assert a == b == c
