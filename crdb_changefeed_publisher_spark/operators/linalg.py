@@ -316,9 +316,110 @@ def kmeans_assign(
     return emb.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def kmeans_train_multi(
+    emb: DataFrame,
+    seed_sets: list[list[list[int]]],
+    n_iters: int = 3,
+    scale: int = 1024,
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train SEVERAL independent centroid sets in lockstep over ONE
+    persisted corpus scan (r14, guide §5: one evaluation per lineage).
+
+    Each set evolves by exactly kmeans_train's rules — argmin assignment
+    with lower-id ties, element-wise floor means, empty clusters carry
+    forward — and the per-set arithmetic is untouched by the fusion:
+    integer sums are associative/commutative, so accumulating several
+    sets' statistics in the same batch loop yields bit-identical
+    centroids to training each set alone. What the fusion removes is the
+    REDUNDANT data motion when a session needs more than one codebook
+    from the same corpus (the flat IVF codebook and the two-level
+    level-1 cells): one ``emb.select(vec_col)`` persist instead of one
+    per set, and one Arrow pass + one KB-sized stats collect per
+    iteration instead of one per set per iteration.
+
+    Identical seed sets are trained ONCE and the result fanned back to
+    every requesting position — at tiers where the sizing dials agree
+    (kmeans_k_for == kmeans_k1_for up to ~16k vectors) the second
+    trainer costs nothing at all.
+    """
+    import pandas as pd
+
+    uniq: list[list[list[int]]] = []
+    idx_for: list[int] = []
+    for s in seed_sets:
+        for j, u in enumerate(uniq):
+            if u == s:
+                idx_for.append(j)
+                break
+        else:
+            idx_for.append(len(uniq))
+            uniq.append([list(c) for c in s])
+    cents: list[list[list[int]]] = [[list(c) for c in s] for s in uniq]
+    ks = [len(s) for s in cents]
+    d = len(cents[0][0])
+    vecs = emb.select(vec_col).persist()
+
+    def update_pass(Cs: list["np.ndarray"]):
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Ss = [np.zeros((k, d), dtype=np.int64) for k in ks]
+            ns = [np.zeros(k, dtype=np.int64) for k in ks]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
+                for j, C in enumerate(Cs):
+                    best = _int_sq_dists(Q, C).argmin(axis=1)
+                    np.add.at(Ss[j], best, Q)
+                    ns[j] += np.bincount(best, minlength=ks[j])
+            frames = []
+            for j in range(len(Cs)):
+                live = np.nonzero(ns[j])[0]
+                if not len(live):
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "set_idx": np.full(len(live) * (d + 1), j, dtype=np.int32),
+                            "cluster": np.repeat(live, d + 1).astype(np.int32),
+                            "pos": np.tile(np.arange(-1, d), len(live)).astype(np.int32),
+                            "val": np.concatenate(
+                                [np.concatenate(([ns[j][c]], Ss[j][c])) for c in live]
+                            ),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+        return part
+
+    try:
+        for _ in range(n_iters):
+            Cs = [np.asarray(c, dtype=np.int64) for c in cents]
+            stats = (
+                vecs.mapInPandas(update_pass(Cs), "set_idx int, cluster int, pos int, val long")
+                .groupBy("set_idx", "cluster", "pos")
+                .agg(F.sum("val").alias("v"))
+                .collect()
+            )
+            sums: dict[tuple[int, int], dict[int, int]] = {}
+            for r in stats:
+                sums.setdefault((int(r.set_idx), int(r.cluster)), {})[int(r.pos)] = int(r.v)
+            new_cents = [list(s) for s in cents]  # empty clusters keep their centroid
+            for (j, cid), by_pos in sums.items():
+                n = by_pos[-1]
+                new_cents[j][cid] = [by_pos[i] // n for i in range(d)]
+            cents = new_cents
+    finally:
+        vecs.unpersist()
+    return [cents[j] for j in idx_for]
+
+
 def kmeans_train(
     emb: DataFrame, k: int = 8, n_iters: int = 3, scale: int = 1024,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    seeds: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """Distributed Lloyd k-means in EXACT INTEGER arithmetic — the learned
     clustering is deterministic and engine-exact, so even the training
@@ -345,59 +446,15 @@ def kmeans_train(
     dedup_semantic (SemDeDup cells) and similarity.ivf_topk_trained (ANN
     serving). Driver state per iteration is k*d ints, independent of
     corpus size; total cost is n_iters scans, each shuffling
-    partition-count-sized partials."""
-    import pandas as pd
+    partition-count-sized partials.
 
-    cents = kmeans_seeds(emb, k, scale, vec_col, id_col)
-    d = len(cents[0])
-    vecs = emb.select(vec_col).persist()
-
-    def update_pass(C: np.ndarray):
-        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            S = np.zeros((k, d), dtype=np.int64)
-            n = np.zeros(k, dtype=np.int64)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                Q = _quantize_np(pdf[vec_col].to_numpy(), scale)
-                best = _int_sq_dists(Q, C).argmin(axis=1)
-                np.add.at(S, best, Q)
-                n += np.bincount(best, minlength=k)
-            live = np.nonzero(n)[0]
-            if not len(live):
-                return
-            yield pd.DataFrame(
-                {
-                    "cluster": np.repeat(live, d + 1).astype(np.int32),
-                    "pos": np.tile(np.arange(-1, d), len(live)).astype(np.int32),
-                    "val": np.concatenate(
-                        [np.concatenate(([n[c]], S[c])) for c in live]
-                    ),
-                }
-            )
-
-        return part
-
-    try:
-        for _ in range(n_iters):
-            C = np.asarray(cents, dtype=np.int64)
-            stats = (
-                vecs.mapInPandas(update_pass(C), "cluster int, pos int, val long")
-                .groupBy("cluster", "pos")
-                .agg(F.sum("val").alias("v"))
-                .collect()
-            )
-            sums: dict[int, dict[int, int]] = {}
-            for r in stats:
-                sums.setdefault(int(r.cluster), {})[int(r.pos)] = int(r.v)
-            new_cents = list(cents)  # empty clusters keep their centroid
-            for cid, by_pos in sums.items():
-                n = by_pos[-1]
-                new_cents[cid] = [by_pos[i] // n for i in range(d)]
-            cents = new_cents
-    finally:
-        vecs.unpersist()
-    return cents
+    ``seeds`` (r14): precomputed initial centroids (kmeans_seeds output)
+    — pass when the caller already paid the seed top-k job (e.g. one
+    seed list at max(k, k1) sliced for several trainers; the hash order
+    is a fixed total order, so seeds(k) == seeds(kmax)[:k])."""
+    if seeds is None:
+        seeds = kmeans_seeds(emb, k, scale, vec_col, id_col)
+    return kmeans_train_multi(emb, [seeds], n_iters, scale, vec_col)[0]
 
 
 def kmeans_quantized(
@@ -453,6 +510,7 @@ def kmeans_train_two_level(
     id_col: str = "vec_id",
     n: int | None = None,
     max_cell_rows: int | None = None,
+    cents1: list[list[int]] | None = None,
 ) -> tuple[list[list[int]], DataFrame]:
     """Two-level exact Lloyd — the seventh-decade trainer (r10 verdict
     #1). Flat Lloyd is n*k per iteration with k ~ n/cell_target, i.e.
@@ -506,8 +564,17 @@ def kmeans_train_two_level(
     else:
         max_cell_rows = min(max_cell_rows, cell_dial_cap)
     k1 = kmeans_k1_for(n, cell_target)
-    cents1 = kmeans_train(emb, k=k1, n_iters=n_iters, scale=scale,
-                          vec_col=vec_col, id_col=id_col)
+    if cents1 is None:
+        cents1 = kmeans_train(emb, k=k1, n_iters=n_iters, scale=scale,
+                              vec_col=vec_col, id_col=id_col)
+    elif len(cents1) != k1:
+        # r14: callers may hand in level-1 cells trained elsewhere (the
+        # fused kmeans_train_multi pass) — but ONLY the dial-sized set;
+        # a mismatched k1 would silently change cell populations.
+        raise ValueError(
+            f"kmeans_train_two_level: provided cents1 has {len(cents1)} "
+            f"cells but kmeans_k1_for(n={n}) = {k1}"
+        )
 
     # tag each vector with its coarse cell IN the scan that reads it —
     # joining a separate kmeans_assign output back on the id would

@@ -2221,6 +2221,44 @@ def _kmeans_ctes(
 
 
 _KMEANS_CACHE: dict[tuple[str, str], list[list[int]]] = {}
+_KMEANS1_CACHE: dict[tuple[str, str], list[list[int]]] = {}
+
+
+def _train_flat_and_level1(spark: SparkSession, sf_dir: str) -> None:
+    """ONE corpus training pipeline for BOTH session codebooks (r14,
+    guide §5 / r13 verdict #2): the flat IVF centroids (_kmeans_cents)
+    and the two-level trainer's level-1 cells previously each ran their
+    own count job, seed top-k, vecs persist and n_iters update passes
+    over the SAME embeddings table. Fused: one shared count
+    (_emb_count), one seed top-k at max(k, k1) sliced per dial (the
+    hash order is a fixed total order, so seeds(k) == seeds(kmax)[:k]),
+    and kmeans_train_multi's lockstep iterations — one persisted scan,
+    one Arrow pass + one KB stats collect per iteration for both sets.
+    At tiers where the dials agree (k == k1, up to ~16k vectors) the
+    sets share seeds and the second training is free via the multi
+    trainer's identical-seed dedup. Per-set arithmetic is untouched —
+    centroids are bit-identical to the separate trainers (integer sums
+    are order-independent), which the retired-oracle suite pins."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _KMEANS_CACHE and key in _KMEANS1_CACHE:
+        return
+    from crdb_changefeed_publisher_spark.operators.linalg import (
+        kmeans_k1_for,
+        kmeans_k_for,
+        kmeans_seeds,
+        kmeans_train_multi,
+    )
+
+    n = _emb_count(spark, sf_dir)
+    k = kmeans_k_for(n, cell_target=KMEANS_CELL_TARGET)
+    k1 = kmeans_k1_for(n, cell_target=KMEANS_CELL_TARGET)
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = kmeans_seeds(emb, max(k, k1), KMEANS_SCALE)
+    flat, lvl1 = kmeans_train_multi(
+        emb, [seeds[:k], seeds[:k1]], n_iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+    _KMEANS_CACHE[key] = flat
+    _KMEANS1_CACHE[key] = lvl1
 
 
 def _kmeans_cents(spark: SparkSession, sf_dir: str) -> list[list[int]]:
@@ -2235,16 +2273,7 @@ def _kmeans_cents(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     as n/8."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KMEANS_CACHE:
-        from crdb_changefeed_publisher_spark.operators.linalg import (
-            kmeans_k_for,
-            kmeans_train,
-        )
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        k = kmeans_k_for(emb.count(), cell_target=KMEANS_CELL_TARGET)
-        _KMEANS_CACHE[key] = kmeans_train(
-            emb, k=k, n_iters=KMEANS_ITERS, scale=KMEANS_SCALE
-        )
+        _train_flat_and_level1(spark, sf_dir)
     return _KMEANS_CACHE[key]
 
 
@@ -2510,10 +2539,14 @@ def _kmeans2_codebook_df(spark: SparkSession, sf_dir: str):
             kmeans_train_two_level,
         )
 
+        # level-1 cells come from the fused session training pass (r14):
+        # one corpus pipeline feeds both this trainer and _kmeans_cents.
+        _train_flat_and_level1(spark, sf_dir)
         emb = load_table(spark, sf_dir, "embeddings")
         cents1, codebook = kmeans_train_two_level(
             emb, cell_target=KMEANS_CELL_TARGET, n_iters=KMEANS_ITERS,
             scale=KMEANS_SCALE, n=_emb_count(spark, sf_dir),
+            cents1=_KMEANS1_CACHE[key],
         )
         _KMEANS2_CACHE[key] = (cents1, codebook)
     return _KMEANS2_CACHE[key]
